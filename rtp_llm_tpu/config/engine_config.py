@@ -1,0 +1,120 @@
+"""Engine / runtime configuration groups.
+
+TPU-native analog of the reference's grouped config system
+(rtp_llm/cpp/config/ConfigModules.h + rtp_llm/server/server_args/*.py,
+rtp_llm/config/py_config_modules.py): each domain is a dataclass, every field is
+settable from an env var (``RTP_<GROUP>_<FIELD>``) or a CLI flag
+(``--<group>-<field>``); see server_args.py for the dual parser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class QuantMethod(str, enum.Enum):
+    """Mirror of the reference QuantMethod enum (cpp/model_utils/QuantInfo.h:6-19),
+    restricted to schemes meaningful on TPU."""
+
+    NONE = "none"
+    WEIGHT_ONLY_INT8 = "int8"  # per-channel weight-only, applied at load
+    WEIGHT_ONLY_INT4 = "int4"  # groupwise weight-only (GPTQ/AWQ layouts)
+    FP8 = "fp8"  # fp8 (e4m3) weights, per-tensor or per-block scales
+
+
+@dataclasses.dataclass
+class QuantConfig:
+    method: QuantMethod = QuantMethod.NONE
+    group_size: int = 128  # for int4 groupwise
+    kv_cache_dtype: str = "bfloat16"  # bfloat16 | int8 | fp8
+
+    def __post_init__(self):
+        if isinstance(self.method, str):
+            self.method = QuantMethod(self.method)
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.method != QuantMethod.NONE
+
+
+@dataclasses.dataclass
+class ParallelConfig:
+    """Mesh layout. Analog of reference ParallelismConfig (ConfigModules.h:56-95)
+    but expressed as jax mesh axis sizes instead of rank bookkeeping."""
+
+    tp_size: int = 1
+    dp_size: int = 1
+    ep_size: int = 1  # expert parallel; folded into tp axis of the mesh for MoE
+    pp_size: int = 1  # reserved (reference defines but does not implement PP)
+    cp_size: int = 1  # prefill context parallel (long context)
+
+    # multi-host
+    num_hosts: int = 1
+    host_index: int = 0
+    coordinator_address: Optional[str] = None
+
+    @property
+    def world_size(self) -> int:
+        return self.tp_size * self.dp_size * self.cp_size
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    """Paged KV cache sizing. Analog of reference KVCacheConfig
+    (ConfigModules.h:146-208) + CacheConfigCreator."""
+
+    block_size: int = 32  # tokens per KV block
+    num_blocks: int = 0  # 0 = auto-size from free HBM after weights
+    reserve_runtime_mem_mb: int = 1024  # HBM headroom for activations
+    memory_utilization: float = 0.9
+    enable_prefix_cache: bool = True
+    # test hook (reference kv_cache_config.test_block_num)
+    test_num_blocks: int = 0
+
+
+@dataclasses.dataclass
+class SchedulerConfig:
+    """FIFO continuous-batching scheduler knobs. Analog of FIFOSchedulerConfig
+    (ConfigModules.h:358) + RuntimeConfig (:374)."""
+
+    max_batch_size: int = 64  # decode slots (fixed shape => single decode program)
+    max_prefill_tokens: int = 8192  # largest prefill bucket
+    prefill_buckets: tuple = (128, 512, 2048, 8192)
+    max_seq_len: int = 8192
+    max_queue_size: int = 1024
+    # admission: require this fraction of peak blocks free before scheduling
+    watermark_frac: float = 0.01
+    # chunked prefill chunk size (0 = disabled, whole-prompt prefill)
+    prefill_chunk_size: int = 0
+
+
+@dataclasses.dataclass
+class ServerConfig:
+    host: str = "0.0.0.0"
+    port: int = 8088
+    model_path: str = ""
+    model_type: Optional[str] = None
+    tokenizer_path: Optional[str] = None
+    served_model_name: Optional[str] = None
+    log_level: str = "INFO"
+    access_log: bool = True
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Aggregated engine view (analog of reference EngineConfig.create,
+    config/engine_config.py:41,186)."""
+
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
+    quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
+    # runtime
+    enable_profiling: bool = False
+    warmup: bool = True
+    seed: int = 0
+
+    GROUPS = ("parallel", "cache", "scheduler", "quant", "server")

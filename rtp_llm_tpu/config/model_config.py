@@ -1,0 +1,132 @@
+"""Model architecture configuration.
+
+TPU-native analog of the reference's ModelConfig (rtp_llm/cpp/config/ModelConfig.h
+and rtp_llm/models/*_weight.py config derivation): a single dataclass built from a
+HuggingFace ``config.json``, normalized across model families.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model_type: str = "qwen2"
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_attention_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 32768
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # qwen2 uses qkv bias
+    mlp_bias: bool = False
+    # qwen3-style per-head q/k norms
+    use_qk_norm: bool = False
+    # sliding-window attention (0 = disabled)
+    sliding_window: int = 0
+    # MoE (0 experts = dense)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    num_shared_experts: int = 0
+    moe_norm_topk_prob: bool = True
+    moe_layer_freq: int = 1  # every Nth layer is MoE
+    first_moe_layer: int = 0  # dense layers before MoE starts
+    moe_router_score_fn: str = "softmax"  # softmax | sigmoid
+    # dtypes
+    dtype: str = "bfloat16"
+    # special tokens
+    bos_token_id: Optional[int] = None
+    eos_token_id: Any = None  # int or list[int]
+
+    def __post_init__(self):
+        if self.head_dim == 0:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        if isinstance(self.eos_token_id, int):
+            self.eos_token_id = [self.eos_token_id]
+        elif self.eos_token_id is None:
+            self.eos_token_id = []
+
+    @property
+    def eos_token_ids(self) -> list:
+        return list(self.eos_token_id or [])
+
+    @property
+    def kv_size_per_token_bytes(self) -> int:
+        """bytes of KV written per token (bf16)."""
+        return 2 * self.num_layers * self.num_kv_heads * self.head_dim * 2
+
+    def is_moe_layer(self, layer_idx: int) -> bool:
+        if self.num_experts <= 0:
+            return False
+        if layer_idx < self.first_moe_layer:
+            return False
+        return (layer_idx - self.first_moe_layer) % max(self.moe_layer_freq, 1) == 0
+
+    @classmethod
+    def from_hf_config(cls, hf: dict, model_type: Optional[str] = None) -> "ModelConfig":
+        """Normalize a HuggingFace config.json dict into a ModelConfig.
+
+        Mirrors the derivation the reference does per model family in
+        rtp_llm/models/{qwen_v2,llama,...}.py, but data-driven.
+        """
+        mt = model_type or hf.get("model_type", "qwen2")
+        n_heads = hf.get("num_attention_heads", 32)
+        hidden = hf.get("hidden_size", 4096)
+        cfg = cls(
+            model_type=mt,
+            vocab_size=hf.get("vocab_size", 32000),
+            hidden_size=hidden,
+            intermediate_size=hf.get("intermediate_size", 4 * hidden),
+            num_layers=hf.get("num_hidden_layers", hf.get("num_layers", 32)),
+            num_attention_heads=n_heads,
+            num_kv_heads=hf.get("num_key_value_heads", n_heads),
+            head_dim=hf.get("head_dim") or hidden // n_heads,
+            max_position_embeddings=hf.get("max_position_embeddings", 32768),
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            rope_scaling=hf.get("rope_scaling"),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            bos_token_id=hf.get("bos_token_id"),
+            eos_token_id=hf.get("eos_token_id"),
+        )
+        # family-specific normalization
+        if mt in ("qwen2", "qwen2_moe"):
+            cfg.attention_bias = True
+        if mt in ("qwen3", "qwen3_moe"):
+            cfg.attention_bias = hf.get("attention_bias", False)
+            cfg.use_qk_norm = True
+        if mt == "llama":
+            cfg.attention_bias = hf.get("attention_bias", False)
+        sw = hf.get("sliding_window")
+        if sw and hf.get("use_sliding_window", False):
+            cfg.sliding_window = int(sw)
+        # MoE families (qwen2_moe / qwen3_moe / mixtral)
+        if "num_experts" in hf or "num_local_experts" in hf:
+            cfg.num_experts = hf.get("num_experts", hf.get("num_local_experts", 0))
+            cfg.num_experts_per_tok = hf.get("num_experts_per_tok", hf.get("top_k", 2))
+            cfg.moe_intermediate_size = hf.get(
+                "moe_intermediate_size", hf.get("intermediate_size", 0)
+            )
+            cfg.num_shared_experts = hf.get("shared_expert_intermediate_size", 0) and 1 or 0
+            cfg.moe_norm_topk_prob = hf.get("norm_topk_prob", True)
+            if "decoder_sparse_step" in hf:
+                cfg.moe_layer_freq = hf.get("decoder_sparse_step", 1)
+        return cfg
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, model_type: Optional[str] = None) -> "ModelConfig":
+        path = os.path.join(model_path, "config.json")
+        with open(path) as f:
+            hf = json.load(f)
+        return cls.from_hf_config(hf, model_type)

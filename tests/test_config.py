@@ -1,0 +1,93 @@
+import os
+
+import pytest
+
+from rtp_llm_tpu.config import EngineConfig, GenerateConfig, ModelConfig, QuantMethod
+from rtp_llm_tpu.config.server_args import apply_env_and_args, parse_engine_config
+
+
+def test_model_config_from_hf_qwen2():
+    hf = {
+        "model_type": "qwen2",
+        "vocab_size": 151936,
+        "hidden_size": 3584,
+        "intermediate_size": 18944,
+        "num_hidden_layers": 28,
+        "num_attention_heads": 28,
+        "num_key_value_heads": 4,
+        "rope_theta": 1000000.0,
+        "rms_norm_eps": 1e-06,
+        "eos_token_id": 151645,
+        "tie_word_embeddings": False,
+    }
+    cfg = ModelConfig.from_hf_config(hf)
+    assert cfg.num_kv_heads == 4
+    assert cfg.head_dim == 128
+    assert cfg.attention_bias  # qwen2 has qkv bias
+    assert cfg.eos_token_ids == [151645]
+    assert not cfg.use_qk_norm
+
+
+def test_model_config_qwen3():
+    hf = {
+        "model_type": "qwen3",
+        "hidden_size": 1024,
+        "num_attention_heads": 16,
+        "num_hidden_layers": 28,
+        "head_dim": 128,
+        "num_key_value_heads": 8,
+    }
+    cfg = ModelConfig.from_hf_config(hf)
+    assert cfg.use_qk_norm
+    assert cfg.head_dim == 128
+
+
+def test_model_config_moe():
+    hf = {
+        "model_type": "qwen3_moe",
+        "hidden_size": 2048,
+        "num_attention_heads": 32,
+        "num_hidden_layers": 48,
+        "num_experts": 128,
+        "num_experts_per_tok": 8,
+        "moe_intermediate_size": 768,
+        "norm_topk_prob": True,
+    }
+    cfg = ModelConfig.from_hf_config(hf)
+    assert cfg.num_experts == 128
+    assert cfg.is_moe_layer(0)
+
+
+def test_generate_config_validation():
+    with pytest.raises(ValueError):
+        GenerateConfig(max_new_tokens=0)
+    with pytest.raises(ValueError):
+        GenerateConfig(top_p=0.0)
+    g = GenerateConfig(temperature=0.0)
+    assert not g.do_sample  # temp 0 => greedy
+
+
+def test_generate_config_openai_aliases():
+    g = GenerateConfig.from_dict(
+        {"max_tokens": 7, "stop": "###", "temperature": 0.5, "n": 2, "unknown_key": 1}
+    )
+    assert g.max_new_tokens == 7
+    assert g.stop_words == ["###"]
+    assert g.num_return_sequences == 2
+
+
+def test_env_and_cli_parsing(monkeypatch):
+    monkeypatch.setenv("RTP_SCHEDULER_MAX_BATCH_SIZE", "16")
+    monkeypatch.setenv("RTP_QUANT_METHOD", "int8")
+    cfg = parse_engine_config([])
+    assert cfg.scheduler.max_batch_size == 16
+    assert cfg.quant.method == QuantMethod.WEIGHT_ONLY_INT8
+    # CLI overrides env
+    cfg2 = apply_env_and_args(EngineConfig(), ["--scheduler-max-batch-size", "8"])
+    assert cfg2.scheduler.max_batch_size == 8
+
+
+def test_cli_model_tag():
+    cfg = parse_engine_config(["/path/to/model", "--server-port", "9000"])
+    assert cfg.server.model_path == "/path/to/model"
+    assert cfg.server.port == 9000
