@@ -1,0 +1,63 @@
+"""Reference paged attention in pure jnp.
+
+Functional ground truth for the Pallas kernels (and the execution path on the
+CPU backend in tests). One signature serves both phases — decode is T=1 — the
+TPU analog of the reference's per-phase FMHA impl selection
+(models_py/modules/factory/attention/attn_factory.py:200).
+
+Semantics: query token t of row b has absolute position q_offset[b] + t and
+attends to cache positions p with p <= q_pos and p < kv_len[b] (and, with a
+sliding window, p > q_pos - window).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def paged_attention_ref(
+    q: jnp.ndarray,  # [B, T, Hq, D]
+    k_cache: jnp.ndarray,  # [num_blocks, block_size, Hkv, D]
+    v_cache: jnp.ndarray,  # [num_blocks, block_size, Hkv, D]
+    block_tables: jnp.ndarray,  # [B, max_blocks] int32
+    kv_lens: jnp.ndarray,  # [B] int32 — total valid kv length per row
+    q_offsets: jnp.ndarray,  # [B] int32 — absolute position of first query token
+    sm_scale: float,
+    sliding_window: int = 0,
+    soft_cap: float = 0.0,
+) -> jnp.ndarray:
+    b, t, hq, d = q.shape
+    nb, bs, hkv, _ = k_cache.shape
+    g = hq // hkv  # GQA group size
+    s = block_tables.shape[1] * bs  # padded kv length
+
+    # gather paged KV -> [B, S, Hkv, D]
+    k = k_cache[block_tables].reshape(b, s, hkv, d)
+    v = v_cache[block_tables].reshape(b, s, hkv, d)
+
+    qf = q.reshape(b, t, hkv, g, d).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf, precision=_HI) * sm_scale
+    if soft_cap > 0.0:
+        scores = soft_cap * jnp.tanh(scores / soft_cap)
+
+    kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1,1,S]
+    q_pos = q_offsets[:, None, None] + jnp.arange(t, dtype=jnp.int32)[None, :, None]
+    mask = (kv_pos <= q_pos) & (kv_pos < kv_lens[:, None, None])  # [B,T,S]
+    if sliding_window > 0:
+        mask &= kv_pos > q_pos - sliding_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+
+    # safe softmax: fully-masked rows (inactive slots) produce zeros, not NaN
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(scores - m)
+    e = jnp.where(mask[:, None, None, :, :], e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-20)
+
+    out = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32), precision=_HI)
+    return out.reshape(b, t, hq, d).astype(q.dtype)

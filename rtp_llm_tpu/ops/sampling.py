@@ -1,0 +1,120 @@
+"""On-device batched sampling.
+
+TPU-native equivalent of the reference C++/CUDA ``Sampler``
+(cpp/models/Sampler.h:15, sampling_penalty_kernels.cu): penalties and
+top-k/top-p filtering are applied to the whole decode batch inside the jitted
+step. Per-request token statistics live on device (``prompt_mask``,
+``output_counts``) and are updated by scatter-add each step, so sampling never
+round-trips to the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class SamplingParams(NamedTuple):
+    """Per-slot sampling controls, shape [B] each."""
+
+    temperature: jnp.ndarray  # f32; applied after penalties
+    top_k: jnp.ndarray  # i32; 0 disables
+    top_p: jnp.ndarray  # f32; 1.0 disables
+    do_sample: jnp.ndarray  # bool; False => greedy
+    repetition_penalty: jnp.ndarray  # f32; 1.0 disables
+    presence_penalty: jnp.ndarray  # f32; 0.0 disables
+    frequency_penalty: jnp.ndarray  # f32; 0.0 disables
+    ban_eos: jnp.ndarray  # bool; True while min_new_tokens not reached
+
+    @staticmethod
+    def zeros(batch: int) -> "SamplingParams":
+        return SamplingParams(
+            temperature=jnp.ones((batch,), jnp.float32),
+            top_k=jnp.zeros((batch,), jnp.int32),
+            top_p=jnp.ones((batch,), jnp.float32),
+            do_sample=jnp.zeros((batch,), bool),
+            repetition_penalty=jnp.ones((batch,), jnp.float32),
+            presence_penalty=jnp.zeros((batch,), jnp.float32),
+            frequency_penalty=jnp.zeros((batch,), jnp.float32),
+            ban_eos=jnp.zeros((batch,), bool),
+        )
+
+
+def apply_penalties(
+    logits: jnp.ndarray,  # [B, V] f32
+    prompt_mask: jnp.ndarray,  # [B, V] bool — token appeared in the prompt
+    output_counts: jnp.ndarray,  # [B, V] i32 — occurrences in generated output
+    params: SamplingParams,
+) -> jnp.ndarray:
+    seen = prompt_mask | (output_counts > 0)
+    rep = params.repetition_penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(seen, penalized, logits)
+    logits = logits - params.presence_penalty[:, None] * (output_counts > 0)
+    logits = logits - params.frequency_penalty[:, None] * output_counts.astype(jnp.float32)
+    return logits
+
+
+def _topk_topp_mask(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
+    """Mask logits outside the per-row top-k / top-p nucleus with NEG_INF."""
+    v = logits.shape[-1]
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # desc
+    # top-k threshold: value of the k-th largest (k=0 -> keep all)
+    k = jnp.where(params.top_k > 0, jnp.clip(params.top_k, 1, v), v)
+    kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
+    keep_k = logits >= kth
+    # top-p: smallest prefix of sorted probs with cumsum >= top_p
+    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    # keep sorted idx i if cum[i] - p_i < top_p  (always keeps the first token)
+    keep_sorted = (cum - probs_sorted) < params.top_p[:, None]
+    # threshold = min kept prob value
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    keep_p = logits >= thresh
+    return jnp.where(keep_k & keep_p, logits, NEG_INF)
+
+
+def sample_tokens(
+    logits: jnp.ndarray,  # [B, V] f32 (pre-temperature)
+    params: SamplingParams,
+    prompt_mask: jnp.ndarray,
+    output_counts: jnp.ndarray,
+    eos_token_ids: Sequence[int],
+    key: jax.Array,
+):
+    """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
+
+    Greedy rows take argmax of penalized logits; sampling rows draw from the
+    temperature/top-k/top-p distribution via the Gumbel trick.
+    """
+    logits = logits.astype(jnp.float32)
+    logits = apply_penalties(logits, prompt_mask, output_counts, params)
+    if len(eos_token_ids) > 0:
+        eos = jnp.array(list(eos_token_ids), dtype=jnp.int32)
+        ban = params.ban_eos[:, None] & (
+            jnp.zeros(logits.shape, bool).at[:, eos].set(True)
+        )
+        logits = jnp.where(ban, NEG_INF, logits)
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp = jnp.maximum(params.temperature, 1e-5)[:, None]
+    scaled = logits / temp
+    filtered = _topk_topp_mask(scaled, params)
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, filtered.shape) + 1e-20) + 1e-20)
+    sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.where(params.do_sample, sampled, greedy)
+
+    logprobs_full = jax.nn.log_softmax(logits, axis=-1)
+    logprobs = jnp.take_along_axis(logprobs_full, tokens[:, None], axis=-1)[:, 0]
+
+    rows = jnp.arange(tokens.shape[0])
+    new_counts = output_counts.at[rows, tokens].add(1)
+    return tokens, logprobs, new_counts
