@@ -1,0 +1,121 @@
+"""KV-cache manager: block allocation + prefix reuse for request streams.
+
+Analog of the reference KVCacheManager / KVCacheAllocator
+(rtp_llm/cpp/cache/KVCacheManager.h:28, KVCacheAllocator.h:37): ref-counted
+block pool with a prefix-reuse cache; when the pool is exhausted, LRU
+cache-held blocks are evicted to satisfy new allocations. Admission estimates
+(estimatePeakNeedBlocks analog) let the scheduler avoid mid-flight OOM.
+
+Device-side cache sizing from free HBM (CacheConfigCreator analog) lives in
+the engine, which owns the device arrays; this class never touches device
+memory.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+from rtp_llm_tpu.cache.block_pool import BlockPool
+from rtp_llm_tpu.cache.prefix_cache import PrefixBlockCache
+
+
+@dataclasses.dataclass
+class BlockAllocation:
+    """Blocks held by one stream. ``reuse_len`` = tokens covered by reused
+    prefix blocks (their KV is already on device)."""
+
+    blocks: list[int]
+    reuse_len: int
+
+
+class KVCacheManager:
+    def __init__(self, num_blocks: int, block_size: int, enable_prefix_cache: bool = True):
+        self.block_size = block_size
+        self.pool = BlockPool(num_blocks)
+        self.prefix_cache = PrefixBlockCache() if enable_prefix_cache else None
+
+    # ---- sizing / admission ----
+
+    def blocks_for_tokens(self, num_tokens: int) -> int:
+        return max(1, math.ceil(num_tokens / self.block_size))
+
+    @property
+    def free_blocks(self) -> int:
+        """Free now + reclaimable from the prefix cache."""
+        n = self.pool.free_blocks
+        if self.prefix_cache is not None:
+            n += self._reclaimable()
+        return n
+
+    def _reclaimable(self) -> int:
+        # cache-held blocks with refcount 1 (only the cache holds them)
+        return sum(
+            1 for b in list(self.prefix_cache._by_block) if self.pool.refcount(b) == 1
+        )
+
+    # ---- allocation ----
+
+    def _malloc(self, n: int) -> list[int] | None:
+        """malloc with LRU eviction from the prefix cache as fallback
+        (reference: BlockCache::pop + maybeFreeBlockFromCache)."""
+        got = self.pool.malloc(n)
+        if got is not None:
+            return got
+        if self.prefix_cache is None:
+            return None
+        while self.pool.free_blocks < n:
+            b = self.prefix_cache.pop_lru()
+            if b is None:
+                return None
+            self.pool.free([b])  # drop the cache's reference
+        return self.pool.malloc(n)
+
+    def allocate(self, token_ids: list[int]) -> BlockAllocation | None:
+        """Allocate blocks for a new request of len(token_ids) prompt tokens,
+        reusing cached prefix blocks where possible. Returns None if the pool
+        (after eviction) cannot cover it; caller keeps the request WAITING."""
+        need_total = self.blocks_for_tokens(len(token_ids))
+        reused: list[int] = []
+        if self.prefix_cache is not None:
+            reused = self.prefix_cache.match(token_ids, self.block_size)
+            reused = reused[:need_total]
+        fresh = self._malloc(need_total - len(reused))
+        if fresh is None:
+            return None
+        self.pool.ref(reused)
+        return BlockAllocation(
+            blocks=reused + fresh, reuse_len=len(reused) * self.block_size
+        )
+
+    def extend(self, alloc: BlockAllocation, new_total_tokens: int) -> bool:
+        """Grow a stream's allocation to cover new_total_tokens (decode).
+        Returns False on OOM (caller must pause/evict the stream)."""
+        need = self.blocks_for_tokens(new_total_tokens)
+        if need <= len(alloc.blocks):
+            return True
+        fresh = self._malloc(need - len(alloc.blocks))
+        if fresh is None:
+            return False
+        alloc.blocks.extend(fresh)
+        return True
+
+    def free(self, alloc: BlockAllocation, token_ids: list[int] | None = None):
+        """Release a stream's blocks. If token_ids given (prompt+generated),
+        full blocks are offered to the prefix cache first; retained blocks keep
+        one reference owned by the cache (reference: insertIntoCache,
+        KVCacheManager.h:28 / freeWithCache)."""
+        if self.prefix_cache is not None and token_ids:
+            n_full = len(token_ids) // self.block_size
+            retained = self.prefix_cache.insert(
+                token_ids[: n_full * self.block_size],
+                alloc.blocks[:n_full],
+                self.block_size,
+            )
+            self.pool.ref(retained)  # cache's reference
+        self.pool.free(alloc.blocks)
+        alloc.blocks = []
+
+    def estimate_peak_blocks(self, prompt_len: int, max_new_tokens: int) -> int:
+        """Admission estimate (reference: estimatePeakNeedBlocks)."""
+        return self.blocks_for_tokens(prompt_len + max_new_tokens)

@@ -1,0 +1,191 @@
+"""Per-request stream state machine.
+
+Analog of the reference GenerateStream (cpp/engine_base/stream/GenerateStream.h:90)
++ NormalGenerateStream: token accumulation, stop criteria, incremental output
+queue for streaming consumers, block allocation handle, timing metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import queue
+import threading
+import time
+from typing import Any, List, Optional
+
+from rtp_llm_tpu.cache.kv_cache_manager import BlockAllocation
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+
+
+class StreamState(enum.Enum):
+    """Reference: GenerateTypes.h:136."""
+
+    WAITING = "waiting"
+    RUNNING = "running"
+    FINISHED = "finished"
+    STOPPED = "stopped"  # error / cancel
+
+
+class FinishReason(str, enum.Enum):
+    STOP = "stop"  # eos or stop word / stop token
+    LENGTH = "length"  # max_new_tokens or max_seq_len
+    CANCELLED = "cancelled"
+    ERROR = "error"
+
+
+@dataclasses.dataclass
+class StreamOutput:
+    """One incremental output chunk pushed to the consumer."""
+
+    new_tokens: List[int]
+    finished: bool
+    finish_reason: Optional[FinishReason] = None
+    logprobs: Optional[List[float]] = None
+    error: Optional[str] = None
+
+
+class GenerateStream:
+    _next_id = 0
+    _id_lock = threading.Lock()
+
+    def __init__(
+        self,
+        prompt_token_ids: List[int],
+        config: Optional[GenerateConfig] = None,
+        request_id: Optional[int] = None,
+        stop_token_sequences: Optional[List[List[int]]] = None,
+    ):
+        if request_id is None:
+            with GenerateStream._id_lock:
+                GenerateStream._next_id += 1
+                request_id = GenerateStream._next_id
+        self.request_id = request_id
+        self.prompt_token_ids = list(prompt_token_ids)
+        self.output_token_ids: List[int] = []
+        self.output_logprobs: List[float] = []
+        self.config = config or GenerateConfig()
+        self.state = StreamState.WAITING
+        self.finish_reason: Optional[FinishReason] = None
+        self.error: Optional[str] = None
+        # token-id sequences that terminate generation (stop_words tokenized
+        # by the frontend; reference: stop words list in GenerateConfig.h:60)
+        self.stop_token_sequences = [
+            list(s) for s in (stop_token_sequences or []) if s
+        ]
+
+        # engine-owned runtime fields
+        self.alloc: Optional[BlockAllocation] = None
+        self.slot: int = -1  # decode batch slot, -1 = none
+        self.reuse_len: int = 0
+
+        # output side
+        self._out_q: "queue.Queue[StreamOutput]" = queue.Queue()
+        # metrics (reference: GenerateStream metrics)
+        self.enqueue_time = time.time()
+        self.first_token_time: Optional[float] = None
+        self.finish_time: Optional[float] = None
+
+    # ---- engine-side API ----
+
+    @property
+    def prompt_len(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def total_len(self) -> int:
+        return self.prompt_len + len(self.output_token_ids)
+
+    @property
+    def all_token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    def is_finished(self) -> bool:
+        return self.state in (StreamState.FINISHED, StreamState.STOPPED)
+
+    def needs_eos_ban(self) -> bool:
+        return (
+            self.config.ignore_eos
+            or len(self.output_token_ids) < self.config.min_new_tokens
+        )
+
+    def append_token(
+        self, token: int, eos_token_ids: list, logprob: Optional[float] = None,
+        max_seq_len: int = 0,
+    ) -> bool:
+        """Engine dispatch: record one generated token, evaluate stop criteria,
+        and push an incremental chunk. Returns True if the stream finished.
+        (Reference: GenerateStream::update / NormalBatchStreamProcessor::dispatch.)
+        """
+        if self.first_token_time is None:
+            self.first_token_time = time.time()
+        self.output_token_ids.append(int(token))
+        if logprob is not None:
+            self.output_logprobs.append(float(logprob))
+
+        reason = None
+        cfg = self.config
+        n_out = len(self.output_token_ids)
+        banned_eos = cfg.ignore_eos or n_out < cfg.min_new_tokens
+        if not banned_eos and (
+            token in eos_token_ids or token in cfg.stop_token_ids
+        ):
+            reason = FinishReason.STOP
+        elif self._hits_stop_sequence():
+            reason = FinishReason.STOP
+        elif n_out >= cfg.max_new_tokens:
+            reason = FinishReason.LENGTH
+        elif max_seq_len and self.total_len >= max_seq_len:
+            reason = FinishReason.LENGTH
+        elif cfg.timeout_ms and (time.time() - self.enqueue_time) * 1000 > cfg.timeout_ms:
+            reason = FinishReason.CANCELLED
+
+        if reason is not None:
+            self.finish(reason)
+            return True
+        self._out_q.put(StreamOutput(new_tokens=[int(token)], finished=False,
+                                     logprobs=[logprob] if logprob is not None else None))
+        return False
+
+    def _hits_stop_sequence(self) -> bool:
+        if not self.stop_token_sequences:
+            return False
+        out = self.output_token_ids
+        for seq in self.stop_token_sequences:
+            if len(out) >= len(seq) and out[-len(seq):] == seq:
+                return True
+        return False
+
+    def finish(self, reason: FinishReason):
+        self.state = StreamState.FINISHED if reason in (
+            FinishReason.STOP, FinishReason.LENGTH
+        ) else StreamState.STOPPED
+        self.finish_reason = reason
+        self.finish_time = time.time()
+        last = self.output_token_ids[-1:] if self.output_token_ids else []
+        self._out_q.put(StreamOutput(new_tokens=last, finished=True, finish_reason=reason))
+
+    def abort(self, error: Optional[str] = None):
+        self.state = StreamState.STOPPED
+        self.finish_reason = FinishReason.ERROR if error else FinishReason.CANCELLED
+        self.error = error
+        self.finish_time = time.time()
+        self._out_q.put(
+            StreamOutput(new_tokens=[], finished=True,
+                         finish_reason=self.finish_reason, error=error)
+        )
+
+    # ---- consumer-side API ----
+
+    def next_output(self, timeout: Optional[float] = None) -> StreamOutput:
+        """Block for the next incremental chunk (reference: pollStreamOutput,
+        LocalRpcServer.cc:80)."""
+        return self._out_q.get(timeout=timeout)
+
+    def drain(self) -> List[StreamOutput]:
+        out = []
+        while True:
+            try:
+                out.append(self._out_q.get_nowait())
+            except queue.Empty:
+                return out

@@ -1,0 +1,126 @@
+"""Tiny fake HF checkpoints for tests.
+
+Analog of the reference's FakeModelLoader
+(rtp_llm/test/model_test/test_util/fake_model_loader.py:26): writes a real
+HF-format directory (config.json + model.safetensors) with small random
+weights so the *real* loader + forward path is exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.loader.weight_maps import get_weight_specs, hf_names_for
+
+
+def tiny_config(model_type: str = "qwen2", **overrides) -> ModelConfig:
+    base = dict(
+        model_type=model_type,
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_attention_heads=4,
+        num_kv_heads=2,
+        head_dim=16,
+        max_position_embeddings=1024,
+        rope_theta=10000.0,
+        eos_token_id=[2],
+    )
+    if model_type in ("qwen2", "qwen2_moe"):
+        base["attention_bias"] = True
+    if model_type in ("qwen3", "qwen3_moe"):
+        base["use_qk_norm"] = True
+    if model_type.endswith("_moe"):
+        base.update(num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32)
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
+    """HF on-disk shape (pre-transpose) for one canonical tensor."""
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_kv_heads
+    i, v = cfg.intermediate_size, cfg.vocab_size
+    e, mi = cfg.num_experts, cfg.moe_intermediate_size
+    shapes = {
+        "embed_tokens": (v, h),
+        "lm_head": (v, h),
+        "final_norm": (h,),
+        "input_norm": (h,),
+        "post_attn_norm": (h,),
+        "q_proj": (hq * d, h),
+        "k_proj": (hkv * d, h),
+        "v_proj": (hkv * d, h),
+        "o_proj": (h, hq * d),
+        "q_bias": (hq * d,),
+        "k_bias": (hkv * d,),
+        "v_bias": (hkv * d,),
+        "q_norm": (d,),
+        "k_norm": (d,),
+        "gate_proj": (i, h),
+        "up_proj": (i, h),
+        "down_proj": (h, i),
+        "router": (e, h),
+        "moe_gate": (mi, h),
+        "moe_up": (mi, h),
+        "moe_down": (h, mi),
+        "shared_gate": (i, h),
+        "shared_up": (i, h),
+        "shared_down": (h, i),
+        "shared_expert_gate": (1, h),
+    }
+    return shapes[spec_name]
+
+
+def write_fake_checkpoint(
+    path: str, cfg: ModelConfig, seed: int = 0, scale: float = 0.05,
+    extra_config: dict | None = None,
+) -> str:
+    """Write config.json + model.safetensors for ``cfg`` into ``path``."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    tensors: dict[str, np.ndarray] = {}
+    for spec in get_weight_specs(cfg):
+        shape = _hf_shape(spec.name, cfg)
+        for (_l, _e, hf_name) in hf_names_for(spec, cfg.num_layers, cfg.num_experts):
+            if spec.name.endswith("_norm"):
+                t = np.ones(shape, np.float32)
+            else:
+                t = (rng.standard_normal(shape) * scale).astype(np.float32)
+            tensors[hf_name] = t
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+
+    hf_cfg = {
+        "model_type": cfg.model_type,
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "eos_token_id": cfg.eos_token_ids or None,
+        "attention_bias": cfg.attention_bias,
+    }
+    if cfg.num_experts:
+        hf_cfg.update(
+            num_experts=cfg.num_experts,
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            moe_intermediate_size=cfg.moe_intermediate_size,
+            norm_topk_prob=cfg.moe_norm_topk_prob,
+        )
+    hf_cfg.update(extra_config or {})
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=1)
+    return path

@@ -1,0 +1,220 @@
+"""HF checkpoint -> canonical JAX weight pytree.
+
+Analog of the reference ModelLoader (rtp_llm/model_loader/loader.py:31):
+multi-file safetensors (index-aware), single-file safetensors, and torch-bin
+checkpoints; name mapping via weight_maps; per-layer stacking; optional
+per-tensor transform hook (quantization) and sharding hook (TP placement).
+
+Unlike the reference (which loads per-rank shards through torch), we load once
+into host RAM as numpy and hand JAX full arrays with a ``NamedSharding`` — XLA
+slices each device's shard during the transfer, which on a single host is the
+idiomatic TPU path. Multi-host loading uses the same specs with
+``jax.make_array_from_process_local_data``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.loader.weight_maps import WeightSpec, get_weight_specs, hf_names_for
+
+logger = logging.getLogger(__name__)
+
+# canonical tensor transform: (spec, np.ndarray) -> {suffix: np.ndarray}
+# identity transform returns {"": tensor}; quantization returns e.g.
+# {"": int8_weights, ".scale": scales}
+TransformFn = Callable[[WeightSpec, np.ndarray], dict]
+# sharding hook: (spec, shape) -> Optional[jax.sharding.Sharding]
+ShardFn = Callable[[WeightSpec, tuple], Optional[jax.sharding.Sharding]]
+
+
+def _cast_float(x: np.ndarray, dtype) -> np.ndarray:
+    if x.dtype in (np.float32, np.float64, np.float16) or x.dtype == jnp.bfloat16:
+        return x.astype(dtype)
+    return x
+
+
+class _TensorSource:
+    """Lazily-opened view over all checkpoint files, name -> numpy array.
+
+    Analog of rtp_llm/model_loader/tensor_source.py. Handles:
+    * model.safetensors.index.json + shards
+    * any *.safetensors files (no index)
+    * pytorch_model.bin / *.bin (torch, cpu)
+    """
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        self._name_to_file: dict[str, str] = {}
+        self._open_files: dict[str, object] = {}
+        self._torch_state: Optional[dict] = None
+
+        index_path = os.path.join(model_path, "model.safetensors.index.json")
+        st_files = sorted(
+            f for f in os.listdir(model_path) if f.endswith(".safetensors")
+        )
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                index = json.load(f)
+            self._name_to_file = dict(index["weight_map"])
+        elif st_files:
+            from safetensors import safe_open
+
+            for fname in st_files:
+                with safe_open(os.path.join(model_path, fname), framework="np") as f:
+                    for name in f.keys():
+                        self._name_to_file[name] = fname
+        else:
+            bin_files = sorted(
+                f for f in os.listdir(model_path)
+                if f.endswith(".bin") or f.endswith(".pt")
+            )
+            if not bin_files:
+                raise FileNotFoundError(f"no checkpoint files in {model_path}")
+            import torch
+
+            self._torch_state = {}
+            for fname in bin_files:
+                sd = torch.load(
+                    os.path.join(model_path, fname),
+                    map_location="cpu", weights_only=True,
+                )
+                for k, v in sd.items():
+                    self._torch_state[k] = v
+
+    def names(self):
+        if self._torch_state is not None:
+            return list(self._torch_state)
+        return list(self._name_to_file)
+
+    def get(self, name: str) -> np.ndarray:
+        if self._torch_state is not None:
+            t = self._torch_state[name]
+            import torch
+
+            if t.dtype == torch.bfloat16:
+                return t.float().numpy().astype(jnp.bfloat16)
+            return t.numpy()
+        fname = self._name_to_file[name]
+        if fname not in self._open_files:
+            from safetensors import safe_open
+
+            self._open_files[fname] = safe_open(
+                os.path.join(self.model_path, fname), framework="np"
+            )
+        return self._open_files[fname].get_tensor(name)
+
+    def close(self):
+        self._open_files.clear()
+        self._torch_state = None
+
+
+class CheckpointLoader:
+    """Loads a model's weights per the family spec table.
+
+    transform: per-canonical-tensor hook (load-time quantization lives here —
+    reference analog: model_loader/*_quant_weight.py modules).
+    shard_fn:  returns the target jax Sharding for a canonical tensor (TP).
+    """
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        transform: Optional[TransformFn] = None,
+        shard_fn: Optional[ShardFn] = None,
+    ):
+        self.cfg = model_config
+        self.transform = transform
+        self.shard_fn = shard_fn
+
+    def load(self, model_path: str) -> dict:
+        t0 = time.time()
+        src = _TensorSource(model_path)
+        try:
+            weights = self._load_from_source(src)
+        finally:
+            src.close()
+        logger.info("loaded %d tensors from %s in %.1fs",
+                    len(weights), model_path, time.time() - t0)
+        return weights
+
+    def _load_from_source(self, src: _TensorSource) -> dict:
+        cfg = self.cfg
+        weights: dict[str, jax.Array] = {}
+        available = set(src.names())
+        for spec in get_weight_specs(cfg):
+            entries = hf_names_for(spec, cfg.num_layers, cfg.num_experts)
+            missing = [n for (_, _, n) in entries if n not in available]
+            if missing:
+                if spec.optional:
+                    continue
+                raise KeyError(
+                    f"checkpoint missing tensors for {spec.name!r}: "
+                    f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+                )
+            canonical = self._assemble(spec, src, entries)
+            for suffix, arr in self._apply_transform(spec, canonical).items():
+                weights[spec.name + suffix] = self._place(spec, arr)
+        if cfg.tie_word_embeddings and "lm_head" not in weights:
+            # forward uses embed_tokens.T; no duplicate storage
+            pass
+        return weights
+
+    def _assemble(self, spec: WeightSpec, src: _TensorSource, entries) -> np.ndarray:
+        def fetch(name: str) -> np.ndarray:
+            t = np.asarray(src.get(name))
+            if spec.transpose:
+                t = np.swapaxes(t, -1, -2)
+            return t
+
+        if not spec.per_layer:
+            return fetch(entries[0][2])
+        if spec.per_expert:
+            num_experts = self.cfg.num_experts
+            per_layer = []
+            by_layer: dict[int, list] = {}
+            for (l, e, name) in entries:
+                by_layer.setdefault(l, []).append((e, name))
+            for l in sorted(by_layer):
+                exp = [fetch(n) for (_, n) in sorted(by_layer[l])]
+                assert len(exp) == num_experts
+                per_layer.append(np.stack(exp))
+            return np.stack(per_layer)
+        return np.stack([fetch(name) for (_, _, name) in entries])
+
+    def _apply_transform(self, spec: WeightSpec, arr: np.ndarray) -> dict:
+        if self.transform is not None:
+            out = self.transform(spec, arr)
+            if out is not None:
+                return {k: v for k, v in out.items()}
+        return {"": _cast_float(arr, jnp.dtype(self.cfg.dtype))}
+
+    def _place(self, spec: WeightSpec, arr: np.ndarray) -> jax.Array:
+        sharding = self.shard_fn(spec, arr.shape) if self.shard_fn else None
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jnp.asarray(arr)
+
+
+def load_model_weights(
+    model_path: str,
+    model_config: Optional[ModelConfig] = None,
+    transform: Optional[TransformFn] = None,
+    shard_fn: Optional[ShardFn] = None,
+) -> tuple[ModelConfig, dict]:
+    """Convenience: derive ModelConfig from the checkpoint's config.json
+    (reference analog: ModelFactory.create_model_config, model_factory.py:245)
+    and load weights."""
+    if model_config is None:
+        model_config = ModelConfig.from_pretrained(model_path)
+    loader = CheckpointLoader(model_config, transform=transform, shard_fn=shard_fn)
+    return model_config, loader.load(model_path)

@@ -1,0 +1,196 @@
+"""Canonical weight naming + HF name maps per model family.
+
+Analog of the reference's per-model ``ModelDeployWeightInfo`` weight-name maps
+(rtp_llm/model_loader/model_weight_info.py:101, rtp_llm/models/*_weight.py) and
+the C++ weight-name registry (rtp_llm/cpp/models/models_weight/W.h:9-182),
+re-expressed as a declarative spec table.
+
+Canonical layout conventions (TPU-first):
+  * all linear kernels are ``[in_dim, out_dim]`` so forward is ``y = x @ W``
+    (HF stores ``[out, in]``; we transpose at load),
+  * per-layer tensors are stacked along a leading layer axis ``[L, ...]``,
+  * per-expert tensors are stacked ``[L, E, in, out]`` for batched expert
+    matmuls on the MXU.
+
+Canonical names:
+  embed_tokens [V,H]; final_norm [H]; lm_head [H,V]
+  layers.input_norm [L,H]; layers.post_attn_norm [L,H]
+  layers.q_proj [L,H,Hq*D] (+ layers.q_bias [L,Hq*D]); k/v likewise
+  layers.o_proj [L,Hq*D,H]; layers.q_norm / layers.k_norm [L,D]
+  layers.gate_proj / layers.up_proj [L,H,I]; layers.down_proj [L,I,H]
+  layers.router [L,H,E]; layers.moe_gate/moe_up [L,E,H,I']; layers.moe_down [L,E,I',H]
+  layers.shared_gate/shared_up [L,H,Is]; layers.shared_down [L,Is,H]
+  layers.router_bias [L,E]  (e.g. deepseek-v3 e_score_correction_bias)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Callable, Optional
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WeightSpec:
+    """One canonical tensor: where it comes from in the HF checkpoint and how
+    it is laid out / sharded.
+
+    hf_pattern uses ``{l}`` for the layer index and ``{e}`` for the expert
+    index. ``transpose`` flips the trailing two dims (HF Linear [out,in] ->
+    ours [in,out]). ``shard_axis``: logical TP sharding of the *canonical*
+    tensor — name of the dimension ('out' = last axis, 'in' = second-to-last,
+    'expert' = expert axis, None = replicated).
+    """
+
+    name: str
+    hf_pattern: str
+    per_layer: bool = False
+    per_expert: bool = False
+    transpose: bool = False
+    shard_axis: Optional[str] = None
+    optional: bool = False
+    # present only when this predicate on ModelConfig holds
+    when: Optional[Callable[[ModelConfig], bool]] = None
+
+
+def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """Shared spec table for the llama-architecture family: llama 1/2/3,
+    qwen2 (qkv bias), qwen3 (qk norm), mistral, and their MoE variants.
+
+    Reference name maps: rtp_llm/models/llama_weight.py, qwen_v2_weight.py.
+    """
+    has_bias = cfg.attention_bias
+    qk_norm = cfg.use_qk_norm
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("input_norm", "model.layers.{l}.input_layernorm.weight", per_layer=True),
+        WeightSpec(
+            "post_attn_norm",
+            "model.layers.{l}.post_attention_layernorm.weight",
+            per_layer=True,
+        ),
+        WeightSpec(
+            "q_proj", "model.layers.{l}.self_attn.q_proj.weight",
+            per_layer=True, transpose=True, shard_axis="out",
+        ),
+        WeightSpec(
+            "k_proj", "model.layers.{l}.self_attn.k_proj.weight",
+            per_layer=True, transpose=True, shard_axis="out",
+        ),
+        WeightSpec(
+            "v_proj", "model.layers.{l}.self_attn.v_proj.weight",
+            per_layer=True, transpose=True, shard_axis="out",
+        ),
+        WeightSpec(
+            "o_proj", "model.layers.{l}.self_attn.o_proj.weight",
+            per_layer=True, transpose=True, shard_axis="in",
+        ),
+    ]
+    if not cfg.tie_word_embeddings:
+        specs.append(WeightSpec("lm_head", "lm_head.weight", transpose=True, shard_axis="out"))
+    if has_bias:
+        specs += [
+            WeightSpec("q_bias", "model.layers.{l}.self_attn.q_proj.bias",
+                       per_layer=True, shard_axis="out"),
+            WeightSpec("k_bias", "model.layers.{l}.self_attn.k_proj.bias",
+                       per_layer=True, shard_axis="out"),
+            WeightSpec("v_bias", "model.layers.{l}.self_attn.v_proj.bias",
+                       per_layer=True, shard_axis="out"),
+        ]
+    if qk_norm:
+        specs += [
+            WeightSpec("q_norm", "model.layers.{l}.self_attn.q_norm.weight", per_layer=True),
+            WeightSpec("k_norm", "model.layers.{l}.self_attn.k_norm.weight", per_layer=True),
+        ]
+
+    if cfg.num_experts > 0:
+        specs += [
+            WeightSpec("router", "model.layers.{l}.mlp.gate.weight",
+                       per_layer=True, transpose=True),
+            WeightSpec(
+                "moe_gate", "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
+                per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+            ),
+            WeightSpec(
+                "moe_up", "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
+                per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+            ),
+            WeightSpec(
+                "moe_down", "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
+                per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+            ),
+        ]
+        if cfg.num_shared_experts > 0:
+            # qwen2-moe style shared expert (+ sigmoid shared-expert gate)
+            specs += [
+                WeightSpec("shared_gate", "model.layers.{l}.mlp.shared_expert.gate_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out"),
+                WeightSpec("shared_up", "model.layers.{l}.mlp.shared_expert.up_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out"),
+                WeightSpec("shared_down", "model.layers.{l}.mlp.shared_expert.down_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="in"),
+                WeightSpec("shared_expert_gate", "model.layers.{l}.mlp.shared_expert_gate.weight",
+                           per_layer=True, transpose=True, optional=True),
+            ]
+    else:
+        specs += [
+            WeightSpec("gate_proj", "model.layers.{l}.mlp.gate_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out"),
+            WeightSpec("up_proj", "model.layers.{l}.mlp.up_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out"),
+            WeightSpec("down_proj", "model.layers.{l}.mlp.down_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="in"),
+        ]
+    return specs
+
+
+_FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
+    "llama": _llama_family_specs,
+    "mistral": _llama_family_specs,
+    "qwen2": _llama_family_specs,
+    "qwen3": _llama_family_specs,
+    "qwen2_moe": _llama_family_specs,
+    "qwen3_moe": _llama_family_specs,
+}
+
+
+def register_weight_specs(model_type: str, builder: Callable[[ModelConfig], list[WeightSpec]]):
+    """Registry hook mirroring the reference's register_model
+    (rtp_llm/model_factory_register.py)."""
+    _FAMILY_BUILDERS[model_type] = builder
+
+
+def get_weight_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    try:
+        builder = _FAMILY_BUILDERS[cfg.model_type]
+    except KeyError:
+        raise ValueError(
+            f"no weight map registered for model_type={cfg.model_type!r}; "
+            f"known: {sorted(_FAMILY_BUILDERS)}"
+        ) from None
+    specs = builder(cfg)
+    return [s for s in specs if s.when is None or s.when(cfg)]
+
+
+_LAYER_RE = re.compile(r"\{l\}")
+_EXPERT_RE = re.compile(r"\{e\}")
+
+
+def hf_names_for(spec: WeightSpec, num_layers: int, num_experts: int):
+    """Enumerate the concrete HF tensor names a spec expands to, as
+    (layer, expert, hf_name) tuples (layer/expert are -1 when not applicable)."""
+    out = []
+    layers = range(num_layers) if spec.per_layer else [-1]
+    experts = range(num_experts) if spec.per_expert else [-1]
+    for l in layers:
+        for e in experts:
+            name = spec.hf_pattern
+            if l >= 0:
+                name = _LAYER_RE.sub(str(l), name)
+            if e >= 0:
+                name = _EXPERT_RE.sub(str(e), name)
+            out.append((l, e, name))
+    return out

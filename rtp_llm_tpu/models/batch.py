@@ -1,0 +1,58 @@
+"""The engine <-> model batch contract.
+
+TPU analog of the reference's GptModelInputs/GptModelOutputs
+(rtp_llm/models_py/bindings/core/OpData.h:34-125, SURVEY.md Appendix A), but
+fixed-shape: the engine pads each step's batch to a (batch, seq) bucket so the
+jitted step is compiled once per bucket (the analog of the reference's
+CUDA-graph runner, cpp/cuda_graph/cuda_graph_runner.h:20, promoted to a core
+design decision on TPU).
+
+One layout serves both phases: decode is T=1 with up to max_batch rows;
+prefill is T=bucket with one-or-more rows. Inactive (padding) rows carry
+``kv_len == 0`` so their tokens mask out of attention and their KV scatter
+slots drop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class ModelInputs(NamedTuple):
+    """Fixed-shape batched model inputs.
+
+    tokens:       [B, T] i32 — input token ids (padded with 0)
+    positions:    [B, T] i32 — absolute positions (q_offset + t for valid tokens)
+    block_tables: [B, MAX_BLOCKS] i32 — KV block ids per row (0 = null block)
+    kv_lens:      [B] i32 — total valid KV length per row *after* this call
+                  (0 => inactive row)
+    q_offsets:    [B] i32 — absolute position of the row's first query token
+                  (= reused-prefix length for prefill; kv_len-1 for decode)
+    """
+
+    tokens: jnp.ndarray
+    positions: jnp.ndarray
+    block_tables: jnp.ndarray
+    kv_lens: jnp.ndarray
+    q_offsets: jnp.ndarray
+
+    @property
+    def batch(self) -> int:
+        return self.tokens.shape[0]
+
+    @property
+    def seq(self) -> int:
+        return self.tokens.shape[1]
+
+
+class ModelOutputs(NamedTuple):
+    """logits: [B, V] f32 — at each row's last valid token.
+    hidden:  optional [B, H] — same rows (for embeddings / MTP).
+    all_logits: optional [B, T, V] (need_all_logits analog, e.g. ppl eval).
+    """
+
+    logits: jnp.ndarray
+    hidden: Optional[jnp.ndarray] = None
+    all_logits: Optional[jnp.ndarray] = None

@@ -1,0 +1,196 @@
+"""Dense + MoE decoder-only transformer forward (llama architecture family).
+
+Covers llama 1/2/3, mistral, qwen2 (qkv bias), qwen3 (per-head qk-norm),
+qwen2_moe / qwen3_moe / mixtral. TPU-native counterpart of the reference model
+descs (rtp_llm/models_py/model_desc/qwen3.py:82, generic_moe.py) — but written
+as a pure function over a canonical weight dict with the paged KV cache
+threaded through, so the engine can jit/donate/shard it as one program.
+
+Layer structure (pre-norm):
+  x -> rms_norm -> attn(paged KV) -> +res -> rms_norm -> mlp/moe -> +res
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
+from rtp_llm_tpu.ops.attention import paged_attention_ref
+from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
+from rtp_llm_tpu.ops.norms import rms_norm
+from rtp_llm_tpu.ops.rope import apply_rope, compute_rope_freqs
+
+
+class LlamaFamilyModel:
+    """Static model metadata + pure forward.
+
+    The KV cache is one array ``[L, 2, num_blocks, block_size, Hkv, D]``; each
+    layer statically slices its slab (XLA fuses the slice into the gather /
+    scatter, no copy). Block 0 is the null block for padding tokens.
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.cos, self.sin = compute_rope_freqs(
+            cfg.head_dim,
+            cfg.max_position_embeddings,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+        )
+        self.sm_scale = cfg.head_dim**-0.5
+
+    # ---- cache ----
+
+    def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
+        c = self.cfg
+        return (c.num_layers, 2, num_blocks, block_size, c.num_kv_heads, c.head_dim)
+
+    def init_cache(
+        self, num_blocks: int, block_size: int, dtype=jnp.bfloat16
+    ) -> jnp.ndarray:
+        return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
+
+    # ---- forward ----
+
+    def forward(
+        self,
+        weights: dict,
+        cache: jnp.ndarray,
+        inputs: ModelInputs,
+        need_all_logits: bool = False,
+    ) -> tuple[ModelOutputs, jnp.ndarray]:
+        cfg = self.cfg
+        b, t = inputs.tokens.shape
+        hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)  # [B,T,H]
+
+        # per-token validity + flat cache slots, computed once for all layers
+        tpos = inputs.positions  # [B,T]
+        valid = (inputs.q_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+                 ) < inputs.kv_lens[:, None]
+        slots = token_slots(
+            tpos, inputs.block_tables, cache.shape[3], valid
+        ).reshape(-1)  # [B*T]
+
+        for i in range(cfg.num_layers):
+            x, cache = self._layer(weights, cache, i, x, inputs, slots)
+
+        x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps)
+
+        if cfg.tie_word_embeddings:
+            lm_head = weights["embed_tokens"].T  # [H, V]
+        else:
+            lm_head = weights["lm_head"]
+
+        # logits only at each row's last valid token (reference lm_output_indexes,
+        # PyWrappedModel.cc:714-742)
+        last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)  # [B]
+        hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
+        logits = (hidden_last @ lm_head).astype(jnp.float32)
+
+        all_logits = None
+        if need_all_logits:
+            all_logits = (x @ lm_head).astype(jnp.float32)
+        return ModelOutputs(logits=logits, hidden=hidden_last, all_logits=all_logits), cache
+
+    # ---- layer ----
+
+    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
+        cfg = self.cfg
+        b, t, h = x.shape
+        hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+
+        res = x
+        x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
+
+        q = x @ w["q_proj"][i]
+        k = x @ w["k_proj"][i]
+        v = x @ w["v_proj"][i]
+        if "q_bias" in w:
+            q = q + w["q_bias"][i]
+            k = k + w["k_bias"][i]
+            v = v + w["v_bias"][i]
+        q = q.reshape(b, t, hq, d)
+        k = k.reshape(b, t, hkv, d)
+        v = v.reshape(b, t, hkv, d)
+        if cfg.use_qk_norm:
+            q = rms_norm(q, w["q_norm"][i], cfg.rms_norm_eps)
+            k = rms_norm(k, w["k_norm"][i], cfg.rms_norm_eps)
+        q = apply_rope(q, inputs.positions, self.cos, self.sin)
+        k = apply_rope(k, inputs.positions, self.cos, self.sin)
+
+        k_cache, v_cache = cache[i, 0], cache[i, 1]
+        k_cache, v_cache = write_kv(
+            k_cache, v_cache,
+            k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
+        )
+        cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
+
+        attn = paged_attention_ref(
+            q, k_cache, v_cache,
+            inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
+            self.sm_scale,
+            sliding_window=cfg.sliding_window,
+        )
+        x = attn.reshape(b, t, hq * d) @ w["o_proj"][i]
+        x = res + x
+
+        res = x
+        x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
+        if cfg.is_moe_layer(i):
+            x = self._moe_mlp(w, i, x)
+        else:
+            x = self._dense_mlp(w, i, x)
+        return res + x, cache
+
+    def _dense_mlp(self, w, i, x):
+        gate = x @ w["gate_proj"][i]
+        up = x @ w["up_proj"][i]
+        return (jax.nn.silu(gate) * up) @ w["down_proj"][i]
+
+    def _moe_mlp(self, w, i, x):
+        """Dense-dispatch MoE: every expert computes every token, combined by
+        the (masked, renormalized) router weights. Correct + simple; the
+        EP-sharded ragged version replaces this in the parallel MoE module.
+        """
+        cfg = self.cfg
+        b, t, h = x.shape
+        xt = x.reshape(-1, h)  # [N,H]
+        router_logits = (xt.astype(jnp.float32)
+                         @ w["router"][i].astype(jnp.float32))  # [N,E]
+        if cfg.moe_router_score_fn == "sigmoid":
+            scores = jax.nn.sigmoid(router_logits)
+        else:
+            scores = jax.nn.softmax(router_logits, axis=-1)
+        topk = cfg.num_experts_per_tok
+        top_vals, top_idx = jax.lax.top_k(scores, topk)  # [N,k]
+        if cfg.moe_norm_topk_prob:
+            top_vals = top_vals / jnp.maximum(
+                jnp.sum(top_vals, axis=-1, keepdims=True), 1e-20
+            )
+        # combine weights as dense [N,E]
+        comb = jnp.zeros(scores.shape, scores.dtype).at[
+            jnp.arange(xt.shape[0])[:, None], top_idx
+        ].add(top_vals)
+
+        # all-experts compute: [E,N,I'] = einsum over stacked expert weights
+        gate = jnp.einsum("nh,ehi->eni", xt, w["moe_gate"][i])
+        up = jnp.einsum("nh,ehi->eni", xt, w["moe_up"][i])
+        down = jnp.einsum("eni,eih->enh", jax.nn.silu(gate) * up, w["moe_down"][i])
+        out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
+
+        if "shared_gate" in w:
+            sg = xt @ w["shared_gate"][i]
+            su = xt @ w["shared_up"][i]
+            shared = (jax.nn.silu(sg) * su) @ w["shared_down"][i]
+            if "shared_expert_gate" in w:
+                g = jax.nn.sigmoid(xt.astype(jnp.float32) @ w["shared_expert_gate"][i])
+                shared = shared * g.astype(shared.dtype)
+            out = out + shared.astype(jnp.float32)
+        return out.astype(x.dtype).reshape(b, t, h)

@@ -1,0 +1,37 @@
+"""model_type -> model class registry.
+
+Analog of the reference's register_model / ModelFactory
+(rtp_llm/model_factory.py:32, model_factory_register.py). The reference
+registers 58 model types; families sharing an architecture share a class here.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.models.llama_family import LlamaFamilyModel
+
+_REGISTRY: dict[str, Callable[[ModelConfig], object]] = {}
+
+
+def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
+    _REGISTRY[model_type] = factory
+
+
+for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe", "mixtral"):
+    register_model(_mt, LlamaFamilyModel)
+
+
+def create_model(cfg: ModelConfig):
+    try:
+        factory = _REGISTRY[cfg.model_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown model_type {cfg.model_type!r}; registered: {sorted(_REGISTRY)}"
+        ) from None
+    return factory(cfg)
+
+
+def registered_model_types() -> list[str]:
+    return sorted(_REGISTRY)
