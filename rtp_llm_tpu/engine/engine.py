@@ -1,0 +1,351 @@
+"""The continuous-batching engine: host loop + jitted device programs.
+
+Analog of the reference NormalEngine/NormalExecutor
+(cpp/normal_engine/NormalEngine.cc:398-503 loop/step, NormalExecutor.cc:132
+process): each step schedules streams, runs bucketed prefill programs for new
+streams, then one fused decode+sample program over the fixed decode batch, and
+dispatches sampled tokens back onto streams.
+
+TPU-first design decisions (vs the reference):
+  * prefill and decode are separate fixed-shape jit programs (compiled once per
+    bucket — the CUDA-graph analog);
+  * the decode batch state lives on device (device_state.py); per-step host
+    work is only scheduling + the [B]-token readback;
+  * long prompts run as chunked prefill over the largest bucket (reference:
+    prefill chunking in RuntimeConfig).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+from rtp_llm_tpu.config.engine_config import EngineConfig
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.engine import device_state as ds
+from rtp_llm_tpu.engine.scheduler import FIFOScheduler
+from rtp_llm_tpu.engine.stream import FinishReason, GenerateStream
+from rtp_llm_tpu.models.batch import ModelInputs
+from rtp_llm_tpu.ops.sampling import SamplingParams, sample_tokens
+
+logger = logging.getLogger(__name__)
+
+
+class LlmEngine:
+    def __init__(self, model, weights: dict, config: EngineConfig):
+        self.model = model
+        self.weights = weights
+        self.config = config
+        mc = model.cfg
+        sc = config.scheduler
+        cc = config.cache
+
+        num_blocks = cc.test_num_blocks or cc.num_blocks
+        if num_blocks <= 0:
+            num_blocks = self._auto_size_blocks()
+        self.num_blocks = num_blocks
+        self.block_size = cc.block_size
+        self.max_blocks_per_seq = math.ceil(sc.max_seq_len / cc.block_size)
+
+        self.cache_mgr = KVCacheManager(
+            num_blocks, cc.block_size, enable_prefix_cache=cc.enable_prefix_cache
+        )
+        self.scheduler = FIFOScheduler(sc, self.cache_mgr)
+
+        kv_dtype = jnp.dtype(config.quant.kv_cache_dtype) \
+            if config.quant.kv_cache_dtype != "bfloat16" else jnp.bfloat16
+        self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype)
+        self.state = ds.DecodeState.init(
+            sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size, config.seed
+        )
+        self.eos_ids = tuple(mc.eos_token_ids)
+
+        # slot bookkeeping
+        self.slots: List[Optional[GenerateStream]] = [None] * sc.max_batch_size
+        self._free_slots = list(range(sc.max_batch_size - 1, -1, -1))
+        self._slot_nblocks = [0] * sc.max_batch_size  # detect alloc growth
+        self._slot_ban = [False] * sc.max_batch_size
+
+        # jitted programs
+        self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1, 2))
+        self._prefill_jits = {}  # bucket_t -> fn
+        self._insert_jit = jax.jit(ds.insert_slot, donate_argnums=(0,))
+        self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
+        self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
+        self._set_ban_jit = jax.jit(ds.set_ban_eos, donate_argnums=(0,))
+        self._first_sample_jit = jax.jit(self._first_sample_impl)
+
+        # metrics
+        self.step_count = 0
+        self.tokens_generated = 0
+
+    # ---- sizing ----
+
+    def _auto_size_blocks(self) -> int:
+        """Size the KV pool from free device memory after weights
+        (reference: CacheConfigCreator, cpp/cache/CacheConfigCreator.cc)."""
+        cc = self.config.cache
+        mc = self.model.cfg
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            free = stats["bytes_limit"] * cc.memory_utilization - stats.get(
+                "bytes_in_use", 0
+            ) - cc.reserve_runtime_mem_mb * (1 << 20)
+        else:
+            free = 2 << 30  # CPU backend / unknown: 2 GiB worth of blocks
+        kv_dtype_bytes = 1 if self.config.quant.kv_cache_dtype in ("int8", "fp8") else 2
+        per_block = (
+            2 * mc.num_layers * cc.block_size * mc.num_kv_heads * mc.head_dim
+            * kv_dtype_bytes
+        )
+        n = max(16, int(free // per_block))
+        logger.info("auto-sized KV pool: %d blocks (%.1f MiB)", n, n * per_block / 1e6)
+        return n
+
+    # ---- device programs ----
+
+    def _decode_impl(self, weights, kv, state: ds.DecodeState):
+        active = state.kv_lens > 0
+        kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
+        inputs = ModelInputs(
+            tokens=state.last_tokens[:, None],
+            positions=jnp.where(active, state.kv_lens, 0)[:, None],
+            block_tables=state.block_tables,
+            kv_lens=kv_lens_new,
+            q_offsets=state.kv_lens,
+        )
+        out, kv = self.model.forward(weights, kv, inputs)
+        rng, key = jax.random.split(state.rng)
+        tokens, logprobs, new_counts = sample_tokens(
+            out.logits, state.params, state.prompt_mask, state.output_counts,
+            self.eos_ids, key,
+        )
+        tokens = jnp.where(active, tokens, state.last_tokens)
+        new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
+        state = state._replace(
+            last_tokens=tokens, kv_lens=kv_lens_new,
+            output_counts=new_counts, rng=rng,
+        )
+        return kv, state, tokens, logprobs
+
+    def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
+                      kv_lens, q_offsets):
+        inputs = ModelInputs(
+            tokens=tokens, positions=positions, block_tables=block_tables,
+            kv_lens=kv_lens, q_offsets=q_offsets,
+        )
+        out, kv = self.model.forward(weights, kv, inputs)
+        return kv, out.logits
+
+    def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng):
+        counts = jnp.zeros(logits.shape, jnp.int32)
+        rng, key = jax.random.split(rng)
+        tokens, logprobs, _ = sample_tokens(
+            logits, params, prompt_mask, counts, self.eos_ids, key
+        )
+        return tokens, logprobs, rng
+
+    def _get_prefill_fn(self, bucket: int):
+        fn = self._prefill_jits.get(bucket)
+        if fn is None:
+            fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+            self._prefill_jits[bucket] = fn
+        return fn
+
+    def _pick_bucket(self, n: int) -> int:
+        for b in self.config.scheduler.prefill_buckets:
+            if n <= b:
+                return b
+        return self.config.scheduler.prefill_buckets[-1]
+
+    # ---- prefill path ----
+
+    def _run_prefill(self, stream: GenerateStream):
+        """Chunked prefill of stream's non-reused prompt, then first-token
+        sample + decode-slot insertion."""
+        prompt = stream.prompt_token_ids
+        p = len(prompt)
+        r = stream.reuse_len
+        block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+        blocks = stream.alloc.blocks
+        block_row[: len(blocks)] = blocks
+        block_row_j = jnp.asarray(block_row)
+
+        max_bucket = self.config.scheduler.prefill_buckets[-1]
+        logits = None
+        pos = r
+        while pos < p:
+            chunk = prompt[pos : pos + max_bucket]
+            t_real = len(chunk)
+            bucket = self._pick_bucket(t_real)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :t_real] = chunk
+            positions = np.zeros((1, bucket), np.int32)
+            positions[0, :t_real] = np.arange(pos, pos + t_real)
+            fn = self._get_prefill_fn(bucket)
+            self.kv, logits = fn(
+                self.weights, self.kv,
+                jnp.asarray(toks), jnp.asarray(positions),
+                block_row_j[None, :],
+                jnp.asarray([pos + t_real], np.int32),
+                jnp.asarray([pos], np.int32),
+            )
+            pos += t_real
+
+        # sample the first generated token from the last-chunk logits
+        ban = stream.needs_eos_ban()
+        prow = ds.params_row_from_config(stream.config, ban)
+        params = SamplingParams(
+            temperature=jnp.asarray([prow["temperature"]]),
+            top_k=jnp.asarray([prow["top_k"]]),
+            top_p=jnp.asarray([prow["top_p"]]),
+            do_sample=jnp.asarray([prow["do_sample"]]),
+            repetition_penalty=jnp.asarray([prow["repetition_penalty"]]),
+            presence_penalty=jnp.asarray([prow["presence_penalty"]]),
+            frequency_penalty=jnp.asarray([prow["frequency_penalty"]]),
+            ban_eos=jnp.asarray([prow["ban_eos"]]),
+        )
+        pmask = np.zeros((1, self.model.cfg.vocab_size), bool)
+        pmask[0, np.asarray(prompt, np.int64)] = True
+        pmask_j = jnp.asarray(pmask)
+        tokens, logprobs, rng = self._first_sample_jit(
+            logits, params, pmask_j, self.state.rng
+        )
+        self.state = self.state._replace(rng=rng)
+        token = int(tokens[0])
+        logprob = float(logprobs[0])
+
+        # insert into a decode slot
+        slot = self._free_slots.pop()
+        stream.slot = slot
+        self.slots[slot] = stream
+        self._slot_nblocks[slot] = len(blocks)
+        self._slot_ban[slot] = ban
+        self.state = self._insert_jit(
+            self.state, jnp.int32(slot), jnp.int32(token), jnp.int32(p),
+            block_row_j, pmask_j[0],
+            prow["temperature"], prow["top_k"], prow["top_p"], prow["do_sample"],
+            prow["repetition_penalty"], prow["presence_penalty"],
+            prow["frequency_penalty"], prow["ban_eos"],
+        )
+
+        finished = stream.append_token(
+            token, self.eos_ids, logprob,
+            max_seq_len=self.config.scheduler.max_seq_len,
+        )
+        if finished:
+            self._release_stream(stream)
+
+    # ---- dispatch / release ----
+
+    def _release_stream(self, stream: GenerateStream):
+        if stream.slot >= 0:
+            slot = stream.slot
+            self.state = self._clear_jit(self.state, jnp.int32(slot))
+            self.slots[slot] = None
+            self._free_slots.append(slot)
+            stream.slot = -1
+        self.scheduler.release(stream)
+
+    # ---- the step ----
+
+    def step(self) -> bool:
+        """One engine iteration. Returns True if any work was done."""
+        sr = self.scheduler.schedule()
+        for s in sr.new_streams:
+            self._run_prefill(s)
+
+        active = [s for s in self.scheduler.running if s.slot >= 0]
+        if not active:
+            self.step_count += 1
+            return bool(sr.new_streams)
+
+        # grow block allocations for the token this step writes
+        for s in list(active):
+            if not self.scheduler.grow_for_decode(s):
+                # preempted back to WAITING: clear its slot
+                slot = s.slot
+                if slot >= 0:
+                    self.state = self._clear_jit(self.state, jnp.int32(slot))
+                    self.slots[slot] = None
+                    self._free_slots.append(slot)
+                    s.slot = -1
+                active.remove(s)
+                continue
+            if len(s.alloc.blocks) != self._slot_nblocks[s.slot]:
+                row = np.zeros((self.max_blocks_per_seq,), np.int32)
+                row[: len(s.alloc.blocks)] = s.alloc.blocks
+                self.state = self._set_blocks_jit(
+                    self.state, jnp.int32(s.slot), jnp.asarray(row)
+                )
+                self._slot_nblocks[s.slot] = len(s.alloc.blocks)
+            ban = s.needs_eos_ban()
+            if ban != self._slot_ban[s.slot]:
+                self._slot_ban[s.slot] = ban
+                bans = np.zeros((len(self.slots),), bool)
+                for st in self.slots:
+                    if st is not None and st.slot >= 0:
+                        bans[st.slot] = self._slot_ban[st.slot]
+                self.state = self._set_ban_jit(self.state, jnp.asarray(bans))
+        if not active:
+            self.step_count += 1
+            return True
+
+        self.kv, self.state, tokens, logprobs = self._decode_jit(
+            self.weights, self.kv, self.state
+        )
+        tokens_h = np.asarray(tokens)
+        logprobs_h = np.asarray(logprobs)
+
+        for s in active:
+            tok = int(tokens_h[s.slot])
+            self.tokens_generated += 1
+            finished = s.append_token(
+                tok, self.eos_ids, float(logprobs_h[s.slot]),
+                max_seq_len=self.config.scheduler.max_seq_len,
+            )
+            if finished:
+                self._release_stream(s)
+        self.step_count += 1
+        return True
+
+    # ---- public API ----
+
+    def enqueue(
+        self,
+        prompt_token_ids: List[int],
+        config: Optional[GenerateConfig] = None,
+        stop_token_sequences: Optional[List[List[int]]] = None,
+    ) -> GenerateStream:
+        """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36)."""
+        stream = GenerateStream(
+            prompt_token_ids, config, stop_token_sequences=stop_token_sequences
+        )
+        self.scheduler.enqueue(stream)
+        return stream
+
+    def has_work(self) -> bool:
+        return self.scheduler.has_work()
+
+    def generate(
+        self,
+        prompt_token_ids: List[int],
+        config: Optional[GenerateConfig] = None,
+        max_steps: int = 100_000,
+    ) -> GenerateStream:
+        """Synchronous convenience: enqueue + step to completion."""
+        stream = self.enqueue(prompt_token_ids, config)
+        steps = 0
+        while not stream.is_finished() and steps < max_steps:
+            self.step()
+            steps += 1
+        return stream

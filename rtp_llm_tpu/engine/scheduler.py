@@ -1,0 +1,125 @@
+"""FIFO continuous-batching scheduler with KV-memory admission.
+
+Analog of the reference FIFOScheduler (cpp/engine_base/schedulers/FIFOScheduler.h:11,
+FIFOSchedulerBase.h:21): waiting queue + running set; admission checks that the
+KV pool can cover a new stream's peak need (estimatePeakNeedBlocks) plus a
+watermark; running decode streams that outgrow their allocation pause back to
+WAITING (reference: evaluateRunningMemory evict path).
+
+Also provides BatchDecodeScheduler semantics (accumulate-to-fixed-batch,
+reference BatchDecodeScheduler.h:22) via ``min_batch`` for perf benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+from typing import Deque, List, Optional
+
+from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+from rtp_llm_tpu.config.engine_config import SchedulerConfig
+from rtp_llm_tpu.engine.stream import FinishReason, GenerateStream, StreamState
+
+
+@dataclasses.dataclass
+class ScheduleResult:
+    new_streams: List[GenerateStream]  # admitted this step (need prefill)
+    running: List[GenerateStream]  # decode set (includes new after prefill)
+
+
+class FIFOScheduler:
+    def __init__(
+        self,
+        config: SchedulerConfig,
+        cache_manager: KVCacheManager,
+        min_batch: int = 0,  # >0 => hold prefills until this many waiting (perf mode)
+    ):
+        self.config = config
+        self.cache = cache_manager
+        self.min_batch = min_batch
+        self.waiting: Deque[GenerateStream] = deque()
+        self.running: List[GenerateStream] = []
+
+    # ---- enqueue / cancel ----
+
+    def enqueue(self, stream: GenerateStream) -> bool:
+        if len(self.waiting) >= self.config.max_queue_size:
+            stream.abort("queue full")
+            return False
+        if stream.prompt_len + 1 > self.config.max_seq_len:
+            stream.abort(
+                f"prompt length {stream.prompt_len} exceeds max_seq_len "
+                f"{self.config.max_seq_len}"
+            )
+            return False
+        self.waiting.append(stream)
+        return True
+
+    @property
+    def pending(self) -> int:
+        return len(self.waiting)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    # ---- the per-step scheduling decision ----
+
+    def schedule(self) -> ScheduleResult:
+        """Evict finished, admit waiting streams under KV + slot budget."""
+        self.running = [s for s in self.running if not s.is_finished()]
+
+        new_streams: List[GenerateStream] = []
+        if self.min_batch and len(self.waiting) + len(self.running) < self.min_batch:
+            return ScheduleResult([], self.running)
+
+        watermark = max(
+            1, int(self.cache.pool.num_blocks * self.config.watermark_frac)
+        )
+        while self.waiting:
+            if len(self.running) + len(new_streams) >= self.config.max_batch_size:
+                break
+            s = self.waiting[0]
+            if s.is_finished():  # cancelled while waiting
+                self.waiting.popleft()
+                continue
+            need = self.cache.estimate_peak_blocks(
+                s.prompt_len,
+                min(s.config.max_new_tokens,
+                    self.config.max_seq_len - s.prompt_len),
+            )
+            if need + watermark > self.cache.free_blocks:
+                break  # strict FIFO: do not skip ahead (reference behavior)
+            alloc = self.cache.allocate(s.all_token_ids)
+            if alloc is None:
+                break
+            self.waiting.popleft()
+            s.alloc = alloc
+            s.reuse_len = min(alloc.reuse_len, s.prompt_len - 1)
+            s.state = StreamState.RUNNING
+            new_streams.append(s)
+
+        self.running.extend(new_streams)
+        return ScheduleResult(new_streams, self.running)
+
+    # ---- decode-time growth ----
+
+    def grow_for_decode(self, stream: GenerateStream) -> bool:
+        """Ensure stream's allocation covers one more token; on OOM, preempt it
+        back to WAITING (freeing blocks). Returns False if preempted."""
+        ok = self.cache.extend(stream.alloc, stream.total_len)
+        if ok:
+            return True
+        # preempt: release blocks, requeue at the front (will re-prefill)
+        self.cache.free(stream.alloc)
+        stream.alloc = None
+        stream.slot = -1
+        stream.state = StreamState.WAITING
+        self.waiting.appendleft(stream)
+        self.running = [s for s in self.running if s is not stream]
+        return False
+
+    def release(self, stream: GenerateStream):
+        """Free a finished stream's blocks (offering them to the prefix cache)."""
+        if stream.alloc is not None:
+            self.cache.free(stream.alloc, token_ids=stream.all_token_ids)
+            stream.alloc = None

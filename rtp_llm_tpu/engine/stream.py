@@ -126,10 +126,10 @@ class GenerateStream:
         reason = None
         cfg = self.config
         n_out = len(self.output_token_ids)
-        banned_eos = cfg.ignore_eos or n_out < cfg.min_new_tokens
-        if not banned_eos and (
-            token in eos_token_ids or token in cfg.stop_token_ids
-        ):
+        below_min = n_out < cfg.min_new_tokens
+        eos_hit = (not cfg.ignore_eos) and (not below_min) and token in eos_token_ids
+        stop_hit = (not below_min) and token in cfg.stop_token_ids
+        if eos_hit or stop_hit:
             reason = FinishReason.STOP
         elif self._hits_stop_sequence():
             reason = FinishReason.STOP

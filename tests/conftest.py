@@ -13,8 +13,16 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# this box has one CPU core: persist compiled executables across test runs
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# sitecustomize (axon) pre-imports jax in every interpreter, so the env var
+# alone can be captured too late; force the platform through the config API
+# and fail loudly if a TPU backend sneaks in (its f32 matmuls are 3-pass bf16,
+# which breaks exact-parity tests).
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# persist compiled executables across test runs within this boot (/tmp): a
+# home-dir cache can carry AOT results from a different machine type (SIGILL)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
