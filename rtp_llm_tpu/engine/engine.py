@@ -40,10 +40,14 @@ logger = logging.getLogger(__name__)
 
 
 class LlmEngine:
-    def __init__(self, model, weights: dict, config: EngineConfig):
+    def __init__(self, model, weights: dict, config: EngineConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh ("dp","tp"); when given, the KV
+        cache shards kv-heads over tp and the decode batch shards over dp
+        (weights should be loaded with parallel.make_weight_shard_fn)."""
         self.model = model
         self.weights = weights
         self.config = config
+        self.mesh = mesh
         mc = model.cfg
         sc = config.scheduler
         cc = config.cache
@@ -66,6 +70,31 @@ class LlmEngine:
         self.state = ds.DecodeState.init(
             sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size, config.seed
         )
+        if mesh is not None:
+            from rtp_llm_tpu.parallel.shardings import (
+                cache_sharding, replicated, state_sharding,
+            )
+
+            if mesh.devices.size > 1 and getattr(model, "attn_backend", None):
+                # GSPMD cannot auto-partition a pallas_call; use the XLA
+                # reference attention until the shard_map kernel path lands
+                model.attn_backend = "ref"
+
+            self.kv = jax.device_put(self.kv, cache_sharding(mesh, mc))
+            dp_b = state_sharding(mesh)
+            rep = replicated(mesh)
+
+            def place(path_leaf):
+                arr = path_leaf
+                if hasattr(arr, "ndim") and arr.ndim >= 1 and arr.shape[0] == sc.max_batch_size:
+                    return jax.device_put(arr, state_sharding(mesh, arr.ndim))
+                return jax.device_put(arr, rep)
+
+            self.state = jax.tree.map(place, self.state)
+            # the PRNG key is [2] and must never be batch-sharded
+            self.state = self.state._replace(
+                rng=jax.device_put(self.state.rng, rep)
+            )
         self.eos_ids = tuple(mc.eos_token_ids)
 
         # slot bookkeeping

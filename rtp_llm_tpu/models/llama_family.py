@@ -20,18 +20,20 @@ import jax.numpy as jnp
 
 from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
-from rtp_llm_tpu.ops.attention import paged_attention_ref
+from rtp_llm_tpu.ops.attention import paged_attention
 from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
 from rtp_llm_tpu.ops.norms import rms_norm
 from rtp_llm_tpu.ops.rope import apply_rope, compute_rope_freqs
+from rtp_llm_tpu.quant.weight_only import quantized_matmul
 
 
 class LlamaFamilyModel:
     """Static model metadata + pure forward.
 
-    The KV cache is one array ``[L, 2, num_blocks, block_size, Hkv, D]``; each
-    layer statically slices its slab (XLA fuses the slice into the gather /
-    scatter, no copy). Block 0 is the null block for padding tokens.
+    The KV cache is one array ``[L, 2, Hkv, num_blocks * block_size, D]``
+    (head-major flat-slot pool — see ops/kv_cache.py for why this layout);
+    each layer statically slices its slab (XLA fuses the slice into the
+    gather / scatter, no copy). Block 0 is the null block for padding tokens.
     """
 
     def __init__(self, cfg: ModelConfig):
@@ -43,16 +45,19 @@ class LlamaFamilyModel:
             cfg.rope_scaling,
         )
         self.sm_scale = cfg.head_dim**-0.5
+        self.block_size = 16  # set by init_cache
+        self.attn_backend = "auto"  # auto | pallas | ref
 
     # ---- cache ----
 
     def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
         c = self.cfg
-        return (c.num_layers, 2, num_blocks, block_size, c.num_kv_heads, c.head_dim)
+        return (c.num_layers, 2, c.num_kv_heads, num_blocks * block_size, c.head_dim)
 
     def init_cache(
         self, num_blocks: int, block_size: int, dtype=jnp.bfloat16
     ) -> jnp.ndarray:
+        self.block_size = block_size
         return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
 
     # ---- forward ----
@@ -75,7 +80,7 @@ class LlamaFamilyModel:
         valid = (inputs.q_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
                  ) < inputs.kv_lens[:, None]
         slots = token_slots(
-            tpos, inputs.block_tables, cache.shape[3], valid
+            tpos, inputs.block_tables, self.block_size, valid
         ).reshape(-1)  # [B*T]
 
         for i in range(cfg.num_layers):
@@ -99,6 +104,23 @@ class LlamaFamilyModel:
             all_logits = (x @ lm_head).astype(jnp.float32)
         return ModelOutputs(logits=logits, hidden=hidden_last, all_logits=all_logits), cache
 
+    # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
+
+    @staticmethod
+    def _linear(w: dict, name: str, i, x):
+        W = w[name][i]
+        s = w.get(name + ".scale")
+        return quantized_matmul(x, W, None if s is None else s[i])
+
+    @staticmethod
+    def _expert_linear(w: dict, name: str, i, x):
+        """Batched expert matmul: x [N,H] x W[i] [E,H,I'] -> [E,N,I']."""
+        W = w[name][i]
+        s = w.get(name + ".scale")
+        if s is None:
+            return jnp.einsum("nh,ehi->eni", x, W)
+        return jax.vmap(lambda We, se: quantized_matmul(x, We, se))(W, s[i])
+
     # ---- layer ----
 
     def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
@@ -109,9 +131,9 @@ class LlamaFamilyModel:
         res = x
         x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
 
-        q = x @ w["q_proj"][i]
-        k = x @ w["k_proj"][i]
-        v = x @ w["v_proj"][i]
+        q = self._linear(w, "q_proj", i, x)
+        k = self._linear(w, "k_proj", i, x)
+        v = self._linear(w, "v_proj", i, x)
         if "q_bias" in w:
             q = q + w["q_bias"][i]
             k = k + w["k_bias"][i]
@@ -132,13 +154,15 @@ class LlamaFamilyModel:
         )
         cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
 
-        attn = paged_attention_ref(
+        attn = paged_attention(
             q, k_cache, v_cache,
             inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
             self.sm_scale,
+            block_size=self.block_size,
             sliding_window=cfg.sliding_window,
+            backend=self.attn_backend,
         )
-        x = attn.reshape(b, t, hq * d) @ w["o_proj"][i]
+        x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d))
         x = res + x
 
         res = x
@@ -150,9 +174,9 @@ class LlamaFamilyModel:
         return res + x, cache
 
     def _dense_mlp(self, w, i, x):
-        gate = x @ w["gate_proj"][i]
-        up = x @ w["up_proj"][i]
-        return (jax.nn.silu(gate) * up) @ w["down_proj"][i]
+        gate = self._linear(w, "gate_proj", i, x)
+        up = self._linear(w, "up_proj", i, x)
+        return self._linear(w, "down_proj", i, jax.nn.silu(gate) * up)
 
     def _moe_mlp(self, w, i, x):
         """Dense-dispatch MoE: every expert computes every token, combined by
@@ -179,16 +203,22 @@ class LlamaFamilyModel:
             jnp.arange(xt.shape[0])[:, None], top_idx
         ].add(top_vals)
 
-        # all-experts compute: [E,N,I'] = einsum over stacked expert weights
-        gate = jnp.einsum("nh,ehi->eni", xt, w["moe_gate"][i])
-        up = jnp.einsum("nh,ehi->eni", xt, w["moe_up"][i])
-        down = jnp.einsum("eni,eih->enh", jax.nn.silu(gate) * up, w["moe_down"][i])
+        # all-experts compute: [E,N,I'] = batched matmuls over stacked experts
+        gate = self._expert_linear(w, "moe_gate", i, xt)
+        up = self._expert_linear(w, "moe_up", i, xt)
+        act = jax.nn.silu(gate) * up  # [E,N,I']
+        W_down = w["moe_down"][i]
+        s_down = w.get("moe_down.scale")
+        down = jax.vmap(
+            lambda a, We, se: quantized_matmul(a, We, se),
+            in_axes=(0, 0, 0 if s_down is not None else None),
+        )(act, W_down, s_down[i] if s_down is not None else None)
         out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
 
         if "shared_gate" in w:
-            sg = xt @ w["shared_gate"][i]
-            su = xt @ w["shared_up"][i]
-            shared = (jax.nn.silu(sg) * su) @ w["shared_down"][i]
+            sg = self._linear(w, "shared_gate", i, xt)
+            su = self._linear(w, "shared_up", i, xt)
+            shared = self._linear(w, "shared_down", i, jax.nn.silu(sg) * su)
             if "shared_expert_gate" in w:
                 g = jax.nn.sigmoid(xt.astype(jnp.float32) @ w["shared_expert_gate"][i])
                 shared = shared * g.astype(shared.dtype)

@@ -1,3 +1,67 @@
+"""Attention impls + runtime dispatch.
+
+Analog of the reference's AttnImplFactory
+(models_py/modules/factory/attention/attn_factory.py:200): picks the fastest
+implementation per phase/platform/shape. On TPU, decode (T=1) uses the Pallas
+paged kernel; everything else falls back to the jnp reference (XLA-fused),
+which is also the CPU-backend path in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
 from rtp_llm_tpu.ops.attention.ref import paged_attention_ref
 
-__all__ = ["paged_attention_ref"]
+_TPU_PLATFORMS = ("tpu", "axon")
+
+
+def default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() in _TPU_PLATFORMS else "ref"
+    except Exception:
+        return "ref"
+
+
+def paged_attention(
+    q: jnp.ndarray,  # [B, T, Hq, D]
+    k_cache: jnp.ndarray,  # [Hkv, slots, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, MB]
+    kv_lens: jnp.ndarray,  # [B]
+    q_offsets: jnp.ndarray,  # [B]
+    sm_scale: float,
+    block_size: int,
+    sliding_window: int = 0,
+    soft_cap: float = 0.0,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    b, t, hq, d = q.shape
+    hkv = k_cache.shape[0]
+    if backend == "auto":
+        backend = default_backend()
+    use_pallas = (
+        backend == "pallas"
+        and t == 1
+        and d % 128 == 0
+        and block_size % 8 == 0
+        and hq % hkv == 0
+        and sliding_window == 0
+        and soft_cap == 0.0
+    )
+    if use_pallas:
+        from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
+
+        out = paged_decode_attention(
+            q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
+            block_size=block_size,
+        )
+        return out[:, None]
+    return paged_attention_ref(
+        q, k_cache, v_cache, block_tables, kv_lens, q_offsets, sm_scale,
+        block_size=block_size, sliding_window=sliding_window, soft_cap=soft_cap,
+    )
+
+
+__all__ = ["paged_attention", "paged_attention_ref", "default_backend"]

@@ -20,23 +20,28 @@ _HI = jax.lax.Precision.HIGHEST
 
 def paged_attention_ref(
     q: jnp.ndarray,  # [B, T, Hq, D]
-    k_cache: jnp.ndarray,  # [num_blocks, block_size, Hkv, D]
-    v_cache: jnp.ndarray,  # [num_blocks, block_size, Hkv, D]
+    k_cache: jnp.ndarray,  # [Hkv, num_slots, D] (num_slots = NB * block_size)
+    v_cache: jnp.ndarray,  # [Hkv, num_slots, D]
     block_tables: jnp.ndarray,  # [B, max_blocks] int32
     kv_lens: jnp.ndarray,  # [B] int32 — total valid kv length per row
     q_offsets: jnp.ndarray,  # [B] int32 — absolute position of first query token
     sm_scale: float,
+    block_size: int,
     sliding_window: int = 0,
     soft_cap: float = 0.0,
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
-    nb, bs, hkv, _ = k_cache.shape
+    hkv = k_cache.shape[0]
     g = hq // hkv  # GQA group size
-    s = block_tables.shape[1] * bs  # padded kv length
+    s = block_tables.shape[1] * block_size  # padded kv length
 
-    # gather paged KV -> [B, S, Hkv, D]
-    k = k_cache[block_tables].reshape(b, s, hkv, d)
-    v = v_cache[block_tables].reshape(b, s, hkv, d)
+    # flat slot indices per row -> gather paged KV as [B, S, Hkv, D]
+    idx = (
+        block_tables[:, :, None] * block_size
+        + jnp.arange(block_size, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, s)
+    k = jnp.moveaxis(k_cache[:, idx], 0, 2)  # [B, S, Hkv, D]
+    v = jnp.moveaxis(v_cache[:, idx], 0, 2)
 
     qf = q.reshape(b, t, hkv, g, d).astype(jnp.float32)
     kf = k.astype(jnp.float32)

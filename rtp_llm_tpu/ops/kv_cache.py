@@ -1,13 +1,18 @@
 """Paged KV cache device ops: slot computation and scatter writes.
 
 TPU-native equivalent of the reference's KV-cache write kernels
-(models_py/bindings/common/kernels/kv_cache_kernels.cu). The cache for one
-layer is ``[num_blocks, block_size, kv_heads, head_dim]``; a token at absolute
-position ``p`` of a request with block table ``bt`` lives at flat slot
-``bt[p // block_size] * block_size + p % block_size``.
+(models_py/bindings/common/kernels/kv_cache_kernels.cu).
 
-Block 0 of the pool is reserved as the *null block*: padded / inactive tokens
-are directed there (reference analog: garbage blocks for fake streams).
+Pool layout (per layer, per k/v): ``[Hkv, num_blocks * block_size, D]`` —
+head-major with a flat slot axis. This ordering is chosen for the TPU memory
+system: the tiled (sublane, lane) dims are (slots, D), so the Pallas decode
+kernel can DMA one block's slab ``[block_size, D]`` for one head with aligned
+slices (head axis is untiled), and a block's tokens are contiguous in HBM.
+
+A token at absolute position ``p`` of a request with block table ``bt`` lives
+at flat slot ``bt[p // block_size] * block_size + p % block_size``. Block 0 is
+the reserved null block: padded / inactive tokens are directed there
+(reference analog: garbage blocks for fake streams).
 """
 
 from __future__ import annotations
@@ -44,14 +49,13 @@ def write_kv(
 ):
     """Scatter new KV rows into the paged cache.
 
-    k_cache/v_cache: [num_blocks, block_size, H, D]
-    k_new/v_new: [T, H, D]; slots: [T] flat slots (out-of-bounds = drop).
+    k_cache/v_cache: [Hkv, num_slots, D] (num_slots = num_blocks * block_size)
+    k_new/v_new: [T, Hkv, D]; slots: [T] flat slots (out-of-bounds = drop).
     Returns updated (k_cache, v_cache). Under jit with donated caches this is an
     in-place scatter.
     """
-    nb, bs, h, d = k_cache.shape
-    kf = k_cache.reshape(nb * bs, h, d)
-    vf = v_cache.reshape(nb * bs, h, d)
-    kf = kf.at[slots].set(k_new.astype(kf.dtype), mode="drop")
-    vf = vf.at[slots].set(v_new.astype(vf.dtype), mode="drop")
-    return kf.reshape(nb, bs, h, d), vf.reshape(nb, bs, h, d)
+    kt = jnp.swapaxes(k_new, 0, 1).astype(k_cache.dtype)  # [Hkv, T, D]
+    vt = jnp.swapaxes(v_new, 0, 1).astype(v_cache.dtype)
+    k_cache = k_cache.at[:, slots].set(kt, mode="drop")
+    v_cache = v_cache.at[:, slots].set(vt, mode="drop")
+    return k_cache, v_cache

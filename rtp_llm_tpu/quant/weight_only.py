@@ -1,0 +1,132 @@
+"""Weight-only INT8 (per-channel) and INT4 (groupwise) quantization.
+
+Reference analogs:
+  INT8 per-channel  — model_loader/weight_only_quant_weight.py (auto at load)
+  INT4 groupwise    — model_loader/group_wise_quant_weight.py (GPTQ/AWQ)
+
+Storage conventions (canonical kernels are [..., in, out]):
+  INT8: {name: int8 [..., in, out], name.scale: f32 [..., out]}
+  INT4: {name: int8 [..., in, out] (values in [-8,7], unpacked storage),
+         name.scale: f32 [..., in/G, out]} — symmetric groupwise over the
+         *in* dim. Unpacked int8 storage trades 2x bytes for a direct
+         convert-into-matmul path; the packed uint8 path is the Pallas
+         dequant-GEMM kernel's job (quant/pallas_int4.py, later round).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtp_llm_tpu.config.engine_config import QuantConfig, QuantMethod
+from rtp_llm_tpu.loader.weight_maps import WeightSpec
+
+# canonical names never quantized (embeddings feed gathers; norms are tiny)
+_NEVER = {"embed_tokens", "final_norm", "input_norm", "post_attn_norm",
+          "q_norm", "k_norm", "router", "router_bias", "shared_expert_gate"}
+
+
+def int8_quantize(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-out-channel int8: w ~= q * scale, scale [., out]."""
+    amax = np.max(np.abs(w), axis=-2, keepdims=True)  # over in dim
+    scale = (amax / 127.0).astype(np.float32)
+    q = np.clip(np.round(w / np.maximum(scale, 1e-10)), -127, 127).astype(np.int8)
+    return q, np.squeeze(scale, axis=-2)
+
+
+def int4_quantize_groupwise(
+    w: np.ndarray, group_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric groupwise int4 (stored as int8 in [-7, 7]): per (group, out)
+    scale. w shape [..., in, out], in % group_size == 0."""
+    *lead, k, n = w.shape
+    g = k // group_size
+    wg = w.reshape(*lead, g, group_size, n)
+    amax = np.max(np.abs(wg), axis=-2, keepdims=True)
+    scale = (amax / 7.0).astype(np.float32)
+    q = np.clip(np.round(wg / np.maximum(scale, 1e-10)), -7, 7).astype(np.int8)
+    return q.reshape(*lead, k, n), np.squeeze(scale, axis=-2)
+
+
+def int4_pack(q: np.ndarray) -> np.ndarray:
+    """Pack int4 values (int8 storage) pairwise along the *in* dim into uint8."""
+    *lead, k, n = q.shape
+    u = (q.astype(np.int16) & 0xF).astype(np.uint8)
+    lo = u[..., 0::2, :]
+    hi = u[..., 1::2, :]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def int4_unpack(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of int4_pack (jnp; usable inside jit)."""
+    lo = (p & 0xF).astype(jnp.int8)
+    hi = (p >> 4).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    *lead, k2, n = p.shape
+    out = jnp.stack([lo, hi], axis=-2)  # [..., k2, 2, n]
+    return out.reshape(*lead, 2 * k2, n)
+
+
+def make_quant_transform(quant: QuantConfig):
+    """Loader transform implementing QuantConfig (None for no-op)."""
+    if not quant.is_quantized:
+        return None
+
+    def transform(spec: WeightSpec, arr: np.ndarray) -> Optional[dict]:
+        quantize = (
+            spec.name not in _NEVER
+            and not spec.name.endswith("_bias")
+            and not spec.name.endswith("_norm")
+            and arr.ndim >= 2
+            and spec.shard_axis in ("out", "in", "expert")
+            and spec.name != "lm_head"
+        )
+        if not quantize:
+            return {"": arr.astype(jnp.bfloat16)}
+        if quant.method == QuantMethod.WEIGHT_ONLY_INT8:
+            q, s = int8_quantize(np.asarray(arr, np.float32))
+            return {"": q, ".scale": s}
+        if quant.method == QuantMethod.WEIGHT_ONLY_INT4:
+            k = arr.shape[-2]
+            if k % quant.group_size != 0:
+                q, s = int8_quantize(np.asarray(arr, np.float32))
+                return {"": q, ".scale": s}
+            q, s = int4_quantize_groupwise(
+                np.asarray(arr, np.float32), quant.group_size
+            )
+            return {"": q, ".scale": s}
+        return {"": arr.astype(jnp.bfloat16)}
+
+    return transform
+
+
+def quantized_matmul(
+    x: jnp.ndarray, w: jnp.ndarray, scale: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """y = x @ dequant(w). Handles bf16 (scale None), int8 per-channel
+    ([out] scale) and int4 groupwise ([in/G, out] scale).
+
+    XLA keeps w int8 in HBM and fuses the convert into the matmul operand —
+    HBM reads are the quantized bytes, which is the whole point on a
+    bandwidth-bound decode step.
+    """
+    if scale is None:
+        return x @ w
+    if scale.ndim == w.ndim - 1:  # per-out-channel int8
+        y = jnp.matmul(x, w.astype(x.dtype))
+        return y * scale.astype(x.dtype)
+    # groupwise int4: scale [in/G, out]
+    k = w.shape[-2]
+    g = scale.shape[-2]
+    group = k // g
+    xg = x.reshape(*x.shape[:-1], g, group)
+    wg = w.reshape(*w.shape[:-2], g, group, w.shape[-1])
+    # per-group partial matmuls, scaled then summed (einsum fuses on MXU)
+    y = jnp.einsum(
+        "...gk,gkn,gn->...n",
+        xg, wg.astype(x.dtype), scale.astype(x.dtype),
+    )
+    return y

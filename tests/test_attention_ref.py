@@ -25,7 +25,7 @@ def dense_attention(q, k, v, causal_offset, kv_len, sliding_window=0):
 
 
 def build_cache(k_tokens, v_tokens, block_table, block_size, num_blocks, hkv, d):
-    k_cache = jnp.zeros((num_blocks, block_size, hkv, d), jnp.float32)
+    k_cache = jnp.zeros((hkv, num_blocks * block_size, d), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     t = k_tokens.shape[0]
     pos = jnp.arange(t, dtype=jnp.int32)
@@ -50,6 +50,7 @@ def test_paged_prefill_matches_dense():
         kv_lens=jnp.array([t], jnp.int32),
         q_offsets=jnp.array([0], jnp.int32),
         sm_scale=1.0 / np.sqrt(d),
+        block_size=bsz,
     )[0]
     want = dense_attention(q, k, v, 0, t)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
@@ -60,7 +61,7 @@ def test_paged_decode_matches_dense_batch():
     hq, hkv, d, bsz = 8, 4, 16, 4
     num_blocks, max_blocks = 16, 4
     lens = [7, 13]  # two sequences mid-decode
-    k_cache = jnp.zeros((num_blocks, bsz, hkv, d), jnp.float32)
+    k_cache = jnp.zeros((hkv, num_blocks * bsz, d), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     tables, ks, vs = [], [], []
     next_block = 1  # 0 = null block
@@ -86,6 +87,7 @@ def test_paged_decode_matches_dense_batch():
         kv_lens=jnp.asarray(lens, jnp.int32),
         q_offsets=jnp.asarray([L - 1 for L in lens], jnp.int32),
         sm_scale=1.0 / np.sqrt(d),
+        block_size=bsz,
     )
     for i, L in enumerate(lens):
         want = dense_attention(q[i], ks[i], vs[i], L - 1, L)
@@ -93,7 +95,7 @@ def test_paged_decode_matches_dense_batch():
 
 
 def test_inactive_row_produces_zeros_not_nan():
-    k_cache = jnp.zeros((4, 4, 2, 8), jnp.float32)
+    k_cache = jnp.zeros((2, 16, 8), jnp.float32)
     q = jnp.ones((1, 1, 4, 8), jnp.float32)
     out = paged_attention_ref(
         q,
@@ -103,6 +105,7 @@ def test_inactive_row_produces_zeros_not_nan():
         kv_lens=jnp.array([0], jnp.int32),
         q_offsets=jnp.array([0], jnp.int32),
         sm_scale=0.35,
+        block_size=4,
     )
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), 0.0)
@@ -121,6 +124,7 @@ def test_sliding_window():
         kv_lens=jnp.array([t], jnp.int32),
         q_offsets=jnp.array([0], jnp.int32),
         sm_scale=1.0 / np.sqrt(d),
+        block_size=bsz,
         sliding_window=w,
     )[0]
     want = dense_attention(q, k, v, 0, t, sliding_window=w)

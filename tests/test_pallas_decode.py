@@ -1,0 +1,80 @@
+"""Pallas paged decode attention vs jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtp_llm_tpu.ops.attention import paged_attention_ref
+from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
+
+
+BS = 16
+
+
+def _setup(b=4, hq=8, hkv=2, d=128, nb=32, bs=BS, max_blocks=8, seed=0,
+           kv_lens=None):
+    rng = np.random.default_rng(seed)
+    q = rng.standard_normal((b, 1, hq, d)).astype(np.float32)
+    k_cache = rng.standard_normal((hkv, nb * bs, d)).astype(np.float32)
+    v_cache = rng.standard_normal((hkv, nb * bs, d)).astype(np.float32)
+    if kv_lens is None:
+        kv_lens = rng.integers(1, max_blocks * bs, size=(b,))
+    kv_lens = np.asarray(kv_lens, np.int32)
+    # distinct random blocks per row
+    bt = np.zeros((b, max_blocks), np.int32)
+    perm = rng.permutation(np.arange(1, nb))
+    i = 0
+    for r in range(b):
+        n = -(-int(kv_lens[r]) // bs)
+        bt[r, :n] = perm[i : i + n]
+        i += n
+    return (jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+            jnp.asarray(bt), jnp.asarray(kv_lens))
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 2), (4, 4), (8, 1)])
+def test_matches_reference(hq, hkv):
+    q, k, v, bt, lens = _setup(hq=hq, hkv=hkv)
+    sm = 1.0 / np.sqrt(q.shape[-1])
+    # decode semantics: query is the token at position kv_len-1
+    expect = paged_attention_ref(q, k, v, bt, lens, lens - 1, sm, block_size=BS)
+    got = paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_inactive_rows_zero():
+    q, k, v, bt, lens = _setup(kv_lens=[5, 0, 33, 0])
+    sm = 0.1
+    got = paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS, interpret=True)
+    assert np.all(np.asarray(got[1]) == 0)
+    assert np.all(np.asarray(got[3]) == 0)
+    expect = paged_attention_ref(q, k, v, bt, lens, jnp.maximum(lens - 1, 0), sm, block_size=BS)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(expect[0, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_single_token_kv():
+    q, k, v, bt, lens = _setup(b=2, kv_lens=[1, 16])
+    sm = 0.2
+    expect = paged_attention_ref(q, k, v, bt, lens, lens - 1, sm, block_size=BS)
+    got = paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_bf16_cache():
+    q, k, v, bt, lens = _setup(b=2, kv_lens=[40, 64])
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    sm = 1.0 / np.sqrt(q.shape[-1])
+    expect = paged_attention_ref(qb, kb, vb, bt, lens, lens - 1, sm, block_size=BS)
+    got = paged_decode_attention(qb[:, 0], kb, vb, bt, lens, sm, block_size=BS, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expect[:, 0], np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -1,0 +1,94 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Reference analog: distributed C++ tests with real process groups
+(cpp/testing/DistributedTest.cc) — here GSPMD gives the same coverage in one
+process: a TP(+DP)-sharded engine must produce exactly the tokens of the
+unsharded engine.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.engine_config import (
+    CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+)
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.engine import LlmEngine
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.models import create_model
+from rtp_llm_tpu.parallel import make_mesh, make_weight_shard_fn
+
+
+def _engine(cfg_kind, ckpt, mesh=None, max_batch=4):
+    cfg = tiny_config(cfg_kind)
+    cfg.dtype = "float32"
+    shard_fn = make_weight_shard_fn(mesh, cfg) if mesh is not None else None
+    weights = CheckpointLoader(cfg, shard_fn=shard_fn).load(ckpt)
+    model = create_model(cfg)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_batch_size=max_batch, max_seq_len=128, prefill_buckets=(16, 64)
+        ),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    return LlmEngine(model, weights, econf, mesh=mesh)
+
+
+@pytest.mark.parametrize("tp,dp", [(2, 1), (4, 1), (2, 2), (1, 4)])
+def test_tp_dp_engine_matches_unsharded(tmp_path, tp, dp):
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    mesh = make_mesh(ParallelConfig(tp_size=tp, dp_size=dp))
+
+    base = _engine("qwen2", ckpt)
+    shard = _engine("qwen2", ckpt, mesh=mesh, max_batch=4)
+
+    prompts = [[1, 5, 9, 42], [7, 100], [3, 55, 8]]
+    gc = lambda: GenerateConfig(max_new_tokens=6, do_sample=False, ignore_eos=True)
+    expected = [base.generate(p, gc()).output_token_ids for p in prompts]
+
+    streams = [shard.enqueue(p, gc()) for p in prompts]
+    for _ in range(60):
+        if all(s.is_finished() for s in streams):
+            break
+        shard.step()
+    for s, exp in zip(streams, expected):
+        assert s.output_token_ids == exp
+
+
+def test_weight_shardings_are_applied(tmp_path):
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "w"), cfg)
+    cfg.dtype = "float32"
+    mesh = make_mesh(ParallelConfig(tp_size=4, dp_size=2))
+    weights = CheckpointLoader(cfg, shard_fn=make_weight_shard_fn(mesh, cfg)).load(ckpt)
+    # col-parallel: q_proj [L, H, Hq*D] sharded on last dim
+    q = weights["q_proj"]
+    assert q.sharding.spec == jax.sharding.PartitionSpec(None, None, "tp")
+    # row-parallel: o_proj sharded on in dim
+    o = weights["o_proj"]
+    assert o.sharding.spec == jax.sharding.PartitionSpec(None, "tp", None)
+    # norms replicated
+    assert weights["final_norm"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_moe_expert_sharding(tmp_path):
+    cfg = tiny_config("qwen3_moe")
+    ckpt = write_fake_checkpoint(str(tmp_path / "moe"), cfg)
+    cfg.dtype = "float32"
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=1))
+    weights = CheckpointLoader(cfg, shard_fn=make_weight_shard_fn(mesh, cfg)).load(ckpt)
+    g = weights["moe_gate"]  # [L, E, H, I']
+    assert g.sharding.spec == jax.sharding.PartitionSpec(None, "tp", None, None)
+
+    # sharded MoE forward matches unsharded
+    base = _engine("qwen3_moe", ckpt)
+    shard = _engine("qwen3_moe", ckpt, mesh=mesh)
+    gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+    p = [1, 5, 9]
+    assert shard.generate(p, gc).output_token_ids == base.generate(p, gc).output_token_ids

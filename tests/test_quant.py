@@ -1,0 +1,94 @@
+"""Quantization tests (reference analog: model_loader quant-weight modules)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.engine_config import QuantConfig
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.models import ModelInputs, create_model
+from rtp_llm_tpu.quant import (
+    int4_pack,
+    int4_unpack,
+    int8_quantize,
+    make_quant_transform,
+    quantized_matmul,
+)
+from rtp_llm_tpu.quant.weight_only import int4_quantize_groupwise
+
+
+def test_int8_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 128)).astype(np.float32)
+    q, s = int8_quantize(w)
+    deq = q.astype(np.float32) * s[None, :]
+    # per-channel symmetric: max error <= scale/2 per channel
+    assert np.all(np.abs(deq - w) <= s[None, :] * 0.5 + 1e-7)
+
+
+def test_int8_matmul_matches_dequant():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    q, s = int8_quantize(w)
+    got = quantized_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    want = x @ (q.astype(np.float32) * s[None, :])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_int4_groupwise_matmul():
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((128, 32)).astype(np.float32)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    q, s = int4_quantize_groupwise(w, 32)  # scale [4, 32]
+    got = quantized_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s))
+    deq = q.astype(np.float32).reshape(4, 32, 32) * s[:, None, :]
+    want = x @ deq.reshape(128, 32)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_int4_pack_unpack_roundtrip():
+    rng = np.random.default_rng(3)
+    q = rng.integers(-7, 8, size=(2, 64, 32)).astype(np.int8)
+    p = int4_pack(q)
+    assert p.shape == (2, 32, 32) and p.dtype == np.uint8
+    u = int4_unpack(jnp.asarray(p))
+    np.testing.assert_array_equal(np.asarray(u), q)
+
+
+@pytest.mark.parametrize("method", ["int8", "int4"])
+def test_quantized_model_close_to_bf16(tmp_path, method):
+    cfg = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+    ckpt = write_fake_checkpoint(str(tmp_path / "q"), cfg)
+    cfg.dtype = "float32"
+    w_full = CheckpointLoader(cfg).load(ckpt)
+    qc = QuantConfig(method=method, group_size=32)
+    w_q = CheckpointLoader(cfg, transform=make_quant_transform(qc)).load(ckpt)
+    assert w_q["q_proj"].dtype == jnp.int8
+    assert "q_proj.scale" in w_q
+    assert w_q["input_norm"].dtype == jnp.bfloat16  # not quantized
+
+    model = create_model(cfg)
+    prompt = [1, 5, 9, 42, 7]
+    t = len(prompt)
+    inp = ModelInputs(
+        tokens=jnp.asarray([prompt], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None],
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        kv_lens=jnp.asarray([t], jnp.int32),
+        q_offsets=jnp.asarray([0], jnp.int32),
+    )
+    cache = model.init_cache(4, 16, jnp.float32)
+    out_full, _ = model.forward(w_full, cache, inp)
+    cache = model.init_cache(4, 16, jnp.float32)
+    out_q, _ = model.forward(w_q, cache, inp)
+    lf = np.asarray(out_full.logits)
+    lq = np.asarray(out_q.logits)
+    # quant noise bounded; ranking of the top token typically preserved
+    rel = np.abs(lq - lf).max() / (np.abs(lf).max() + 1e-9)
+    assert rel < (0.25 if method == "int8" else 0.45), rel
+    # top-1 agreement on this tiny model
+    assert np.argmax(lf) == np.argmax(lq)
