@@ -1,0 +1,38 @@
+"""CLI entrypoint: ``rtp-llm-tpu serve <model_path> [flags]``.
+
+Analog of the reference CLI (rtp_llm/cli/main.py:6, cli/serve.py:10).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmd = argv.pop(0) if argv and not argv[0].startswith("-") else "serve"
+    if cmd not in ("serve",):
+        # model path given directly: treat as serve target
+        argv.insert(0, cmd)
+        cmd = "serve"
+
+    from rtp_llm_tpu.config.server_args import parse_engine_config
+
+    config = parse_engine_config(argv)
+    logging.basicConfig(
+        level=getattr(logging, config.server.log_level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    if not config.server.model_path:
+        print("usage: rtp-llm-tpu serve <model_path> [flags]", file=sys.stderr)
+        return 2
+
+    from rtp_llm_tpu.server.server import serve
+
+    serve(config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,263 @@
+"""OpenAI-compatible HTTP API over aiohttp.
+
+Analog of the reference's FastAPI frontend + OpenaiEndpoint
+(rtp_llm/frontend/frontend_app.py:177-385, rtp_llm/openai/openai_endpoint.py:50)
+and the C++ HttpApiServer route set (cpp/api_server/HttpApiServer.cc:150-315):
+  POST /v1/chat/completions   (stream + non-stream)
+  POST /v1/completions
+  POST /chat/completions, /   (legacy aliases)
+  POST /tokenizer/encode
+  GET  /v1/models, /health, /status, /worker_status
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import web
+
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.frontend.chat_renderer import create_renderer
+from rtp_llm_tpu.frontend.token_processor import IncrementalDetokenizer
+from rtp_llm_tpu.server.engine_runner import EngineRunner
+
+logger = logging.getLogger(__name__)
+
+
+class OpenAIApp:
+    def __init__(
+        self,
+        runner: EngineRunner,
+        tokenizer,
+        model_name: str = "rtp-llm-tpu",
+        model_type: str = "",
+        max_concurrency: int = 256,
+    ):
+        self.runner = runner
+        self.tok = tokenizer
+        self.model_name = model_name
+        self.renderer = create_renderer(tokenizer, model_type)
+        self.sem = asyncio.Semaphore(max_concurrency)
+        self.start_time = time.time()
+        self.request_count = 0
+
+    # ---- helpers ----
+
+    def _build_config(self, body: dict) -> GenerateConfig:
+        cfg = GenerateConfig.from_dict(body)
+        return cfg
+
+    def _stop_sequences(self, cfg: GenerateConfig, extra_ids) -> list:
+        seqs = []
+        for s in cfg.stop_words:
+            ids = self.tok.encode(s, add_special_tokens=False)
+            if ids:
+                seqs.append(ids)
+        return seqs
+
+    async def _collect(self, stream, detok: IncrementalDetokenizer):
+        """Drain a stream to completion (non-streaming response)."""
+        loop = asyncio.get_running_loop()
+        while True:
+            out = await loop.run_in_executor(None, stream.next_output)
+            if out.error:
+                raise web.HTTPInternalServerError(text=out.error)
+            detok.push(out.new_tokens)
+            if out.finished:
+                return out
+
+    # ---- routes ----
+
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        messages = body.get("messages") or []
+        if not messages:
+            raise web.HTTPBadRequest(text='"messages" required')
+        rendered = self.renderer.render(
+            messages,
+            tools=body.get("tools"),
+            chat_template_kwargs=body.get("chat_template_kwargs"),
+        )
+        return await self._generate_http(
+            request, body, rendered.token_ids,
+            extra_stop_words=rendered.stop_words,
+            extra_stop_ids=rendered.stop_token_ids,
+            chat=True,
+        )
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        prompt = body.get("prompt")
+        if prompt is None:
+            raise web.HTTPBadRequest(text='"prompt" required')
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            ids = [int(t) for t in prompt]
+        else:
+            if isinstance(prompt, list):
+                prompt = prompt[0]
+            ids = self.tok.encode(prompt)
+        return await self._generate_http(request, body, ids, chat=False)
+
+    async def _generate_http(
+        self, request, body, token_ids, extra_stop_words=(), extra_stop_ids=(),
+        chat=True,
+    ):
+        cfg = self._build_config(body)
+        cfg.stop_words = list(cfg.stop_words) + [
+            w for w in extra_stop_words if w not in cfg.stop_words
+        ]
+        cfg.stop_token_ids = list(cfg.stop_token_ids) + [
+            t for t in extra_stop_ids if t not in cfg.stop_token_ids
+        ]
+        stop_seqs = self._stop_sequences(cfg, extra_stop_ids)
+        stream_mode = bool(body.get("stream", False))
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+        created = int(time.time())
+        self.request_count += 1
+
+        async with self.sem:
+            stream = self.runner.enqueue(token_ids, cfg, stop_token_sequences=stop_seqs)
+            detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
+            if not stream_mode:
+                out = await self._collect(stream, detok)
+                text = detok.full_text
+                usage = {
+                    "prompt_tokens": len(token_ids),
+                    "completion_tokens": len(stream.output_token_ids),
+                    "total_tokens": len(token_ids) + len(stream.output_token_ids),
+                }
+                finish = stream.finish_reason.value if stream.finish_reason else "stop"
+                if chat:
+                    payload = {
+                        "id": rid, "object": "chat.completion", "created": created,
+                        "model": self.model_name,
+                        "choices": [{
+                            "index": 0,
+                            "message": {"role": "assistant", "content": text},
+                            "finish_reason": finish,
+                        }],
+                        "usage": usage,
+                    }
+                else:
+                    payload = {
+                        "id": rid, "object": "text_completion", "created": created,
+                        "model": self.model_name,
+                        "choices": [{
+                            "index": 0, "text": text, "finish_reason": finish,
+                            "logprobs": None,
+                        }],
+                        "usage": usage,
+                    }
+                return web.json_response(payload)
+
+            # SSE streaming
+            resp = web.StreamResponse(
+                status=200,
+                headers={
+                    "Content-Type": "text/event-stream",
+                    "Cache-Control": "no-cache",
+                    "Connection": "keep-alive",
+                },
+            )
+            await resp.prepare(request)
+            loop = asyncio.get_running_loop()
+
+            def chunk(delta: dict, finish: Optional[str] = None):
+                if chat:
+                    d = {
+                        "id": rid, "object": "chat.completion.chunk",
+                        "created": created, "model": self.model_name,
+                        "choices": [{"index": 0, "delta": delta,
+                                     "finish_reason": finish}],
+                    }
+                else:
+                    d = {
+                        "id": rid, "object": "text_completion",
+                        "created": created, "model": self.model_name,
+                        "choices": [{"index": 0,
+                                     "text": delta.get("content", ""),
+                                     "finish_reason": finish}],
+                    }
+                return f"data: {json.dumps(d, ensure_ascii=False)}\n\n".encode()
+
+            try:
+                if chat:
+                    await resp.write(chunk({"role": "assistant", "content": ""}))
+                while True:
+                    out = await loop.run_in_executor(None, stream.next_output)
+                    if out.error:
+                        break
+                    text, _hit = detok.push(out.new_tokens)
+                    if out.finished:
+                        text += detok.finalize()
+                        if text:
+                            await resp.write(chunk({"content": text}))
+                        finish = (stream.finish_reason.value
+                                  if stream.finish_reason else "stop")
+                        await resp.write(chunk({}, finish=finish))
+                        await resp.write(b"data: [DONE]\n\n")
+                        break
+                    if text:
+                        await resp.write(chunk({"content": text}))
+            except (ConnectionResetError, asyncio.CancelledError):
+                stream.abort()  # client went away
+                raise
+            await resp.write_eof()
+            return resp
+
+    async def tokenizer_encode(self, request: web.Request):
+        body = await request.json()
+        text = body.get("prompt", body.get("text", ""))
+        ids = self.tok.encode(text)
+        return web.json_response({
+            "token_ids": ids,
+            "tokens": self.tok.convert_ids_to_tokens(ids),
+        })
+
+    async def models(self, request: web.Request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model",
+                      "created": int(self.start_time), "owned_by": "rtp-llm-tpu"}],
+        })
+
+    async def health(self, request: web.Request):
+        return web.json_response({"status": "ok"})
+
+    async def worker_status(self, request: web.Request):
+        eng = self.runner.engine
+        return web.json_response({
+            "available_concurrency": max(
+                0, eng.config.scheduler.max_batch_size - len(eng.scheduler.running)
+            ),
+            "running_query_len": len(eng.scheduler.running),
+            "waiting_query_len": eng.scheduler.pending,
+            "step_count": eng.step_count,
+            "tokens_generated": eng.tokens_generated,
+            "kv_free_blocks": eng.cache_mgr.pool.free_blocks,
+            "kv_total_blocks": eng.cache_mgr.pool.num_blocks,
+            "kv_cache_available": eng.cache_mgr.free_blocks,
+            "alive": True,
+        })
+
+    # ---- app ----
+
+    def build_app(self) -> web.Application:
+        app = web.Application()
+        app.add_routes([
+            web.post("/v1/chat/completions", self.chat_completions),
+            web.post("/chat/completions", self.chat_completions),
+            web.post("/v1/completions", self.completions),
+            web.post("/", self.completions),
+            web.post("/tokenizer/encode", self.tokenizer_encode),
+            web.get("/v1/models", self.models),
+            web.get("/health", self.health),
+            web.get("/status", self.health),
+            web.get("/worker_status", self.worker_status),
+        ])
+        return app

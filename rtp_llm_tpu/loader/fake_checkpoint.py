@@ -124,3 +124,38 @@ def write_fake_checkpoint(
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=1)
     return path
+
+
+def write_fake_tokenizer(path: str, vocab_size: int = 128) -> str:
+    """Write a tiny word-level HF tokenizer (+qwen-style chat template) so the
+    real TokenizerFactory/renderer path is exercised in tests.
+
+    Vocab: tokens "w0".."wN" map to their index; specials <|im_start|>,
+    <|im_end|>, <|endoftext|> at the top of the range.
+    """
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    os.makedirs(path, exist_ok=True)
+    n_special = 3
+    vocab = {f"w{i}": i for i in range(vocab_size - n_special)}
+    vocab["<|endoftext|>"] = vocab_size - 3
+    vocab["<|im_start|>"] = vocab_size - 2
+    vocab["<|im_end|>"] = vocab_size - 1
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="w0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        unk_token="w0",
+        eos_token="<|im_end|>",
+        pad_token="<|endoftext|>",
+        additional_special_tokens=["<|im_start|>", "<|im_end|>"],
+    )
+    fast.chat_template = (
+        "{% for message in messages %}"
+        "{{ '<|im_start|>' }}{{ message['content'] }}{{ '<|im_end|>' }}"
+        "{% endfor %}"
+        "{% if add_generation_prompt %}{{ '<|im_start|>' }}{% endif %}"
+    )
+    fast.save_pretrained(path)
+    return path

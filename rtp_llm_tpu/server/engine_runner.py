@@ -1,0 +1,74 @@
+"""Engine loop thread.
+
+Analog of the reference NormalEngine::loop (cpp/normal_engine/NormalEngine.cc:398):
+a dedicated thread steps the engine whenever streams exist; enqueue is
+thread-safe and wakes the loop. Consumers (HTTP handlers) block on each
+stream's output queue from their own threads/event loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import List, Optional
+
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.engine.engine import LlmEngine
+from rtp_llm_tpu.engine.stream import GenerateStream
+
+logger = logging.getLogger(__name__)
+
+
+class EngineRunner:
+    def __init__(self, engine: LlmEngine):
+        self.engine = engine
+        self._cond = threading.Condition()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self.steps = 0
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, name="engine-loop", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 10.0):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        if self._thread:
+            self._thread.join(timeout=timeout)
+
+    def enqueue(
+        self,
+        prompt_token_ids: List[int],
+        config: Optional[GenerateConfig] = None,
+        stop_token_sequences=None,
+    ) -> GenerateStream:
+        with self._cond:
+            stream = self.engine.enqueue(
+                prompt_token_ids, config, stop_token_sequences=stop_token_sequences
+            )
+            self._cond.notify_all()
+        return stream
+
+    def _loop(self):
+        logger.info("engine loop started")
+        while True:
+            with self._cond:
+                while not self._stop and not self.engine.has_work():
+                    self._cond.wait(timeout=0.5)
+                if self._stop:
+                    break
+            try:
+                self.engine.step()
+                self.steps += 1
+            except Exception:  # engine errors must not kill the loop silently
+                logger.exception("engine step failed; aborting running streams")
+                for s in list(self.engine.scheduler.running):
+                    s.abort("engine step error")
+                    self.engine._release_stream(s)
+                while self.engine.scheduler.waiting:
+                    s = self.engine.scheduler.waiting.popleft()
+                    s.abort("engine step error")
+        logger.info("engine loop stopped")

@@ -1,0 +1,77 @@
+"""Server assembly: config -> model -> engine -> HTTP app.
+
+Analog of the reference BackendManager + start_server wiring
+(rtp_llm/server/backend_manager.py:26, start_server.py:333), collapsed to one
+process: on TPU the XLA runtime already executes the jitted step async, so the
+frontend/backend process split of the reference is an option (gRPC split for
+multi-host, later), not a requirement.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+from rtp_llm_tpu.config.engine_config import EngineConfig
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.engine.engine import LlmEngine
+from rtp_llm_tpu.frontend.openai_api import OpenAIApp
+from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.models import create_model
+from rtp_llm_tpu.quant import make_quant_transform
+from rtp_llm_tpu.server.engine_runner import EngineRunner
+
+logger = logging.getLogger(__name__)
+
+
+def build_engine(
+    config: EngineConfig, model_config: Optional[ModelConfig] = None
+) -> LlmEngine:
+    model_path = config.server.model_path
+    if model_config is None:
+        model_config = ModelConfig.from_pretrained(
+            model_path, config.server.model_type
+        )
+    mesh = None
+    shard_fn = None
+    if config.parallel.tp_size * config.parallel.dp_size > 1:
+        from rtp_llm_tpu.parallel import make_mesh, make_weight_shard_fn
+
+        mesh = make_mesh(config.parallel)
+        shard_fn = make_weight_shard_fn(mesh, model_config)
+
+    transform = make_quant_transform(config.quant)
+    logger.info("loading weights from %s (quant=%s)", model_path,
+                config.quant.method.value)
+    weights = CheckpointLoader(
+        model_config, transform=transform, shard_fn=shard_fn
+    ).load(model_path)
+    model = create_model(model_config)
+    return LlmEngine(model, weights, config, mesh=mesh)
+
+
+def serve(config: EngineConfig):
+    """Blocking: build everything and run the HTTP server."""
+    from aiohttp import web
+
+    engine = build_engine(config)
+    runner = EngineRunner(engine).start()
+    tok_path = config.server.tokenizer_path or config.server.model_path
+    tokenizer = TokenizerFactory.create(tok_path)
+    api = OpenAIApp(
+        runner,
+        tokenizer,
+        model_name=config.server.served_model_name
+        or config.server.model_path.rstrip("/").rsplit("/", 1)[-1],
+        model_type=engine.model.cfg.model_type,
+    )
+    app = api.build_app()
+    logger.info("serving on %s:%d", config.server.host, config.server.port)
+    try:
+        web.run_app(
+            app, host=config.server.host, port=config.server.port,
+            print=None, access_log=None,
+        )
+    finally:
+        runner.stop()

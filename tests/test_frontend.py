@@ -1,0 +1,169 @@
+"""Frontend tests: incremental detokenizer, chat renderer, and a full HTTP
+smoke test of the OpenAI app over a real engine on a fake checkpoint
+(reference analog: rtp_llm/test/frontend_test/ + smoke/entry.py)."""
+
+import asyncio
+import json
+
+import pytest
+
+from rtp_llm_tpu.config.engine_config import CacheConfig, EngineConfig, SchedulerConfig
+from rtp_llm_tpu.engine.engine import LlmEngine
+from rtp_llm_tpu.frontend.chat_renderer import create_renderer
+from rtp_llm_tpu.frontend.openai_api import OpenAIApp
+from rtp_llm_tpu.frontend.token_processor import IncrementalDetokenizer
+from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import (
+    tiny_config,
+    write_fake_checkpoint,
+    write_fake_tokenizer,
+)
+from rtp_llm_tpu.models import create_model
+from rtp_llm_tpu.server.engine_runner import EngineRunner
+
+
+@pytest.fixture(scope="module")
+def fake_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fakemodel"))
+    cfg = tiny_config("qwen2")
+    write_fake_checkpoint(path, cfg)
+    write_fake_tokenizer(path, cfg.vocab_size)
+    return path
+
+
+@pytest.fixture(scope="module")
+def tokenizer(fake_dir):
+    return TokenizerFactory.create(fake_dir)
+
+
+class TestDetokenizer:
+    def test_incremental_equals_full(self, tokenizer):
+        ids = tokenizer.encode("w1 w2 w3 w4 w5", add_special_tokens=False)
+        d = IncrementalDetokenizer(tokenizer)
+        text = ""
+        for t in ids:
+            out, _ = d.push([t])
+            text += out
+        text += d.finalize()
+        assert text == tokenizer.decode(ids, skip_special_tokens=True)
+
+    def test_stop_string_never_leaks(self, tokenizer):
+        ids = tokenizer.encode("w1 w2 w3 w4", add_special_tokens=False)
+        d = IncrementalDetokenizer(tokenizer, stop_strings=["w3"])
+        text, hit = "", False
+        for t in ids:
+            out, h = d.push([t])
+            text += out
+            if h:
+                hit = True
+                break
+        assert hit
+        assert "w3" not in text
+        assert "w2" in text
+
+    def test_special_tokens_skipped(self, tokenizer):
+        eos = tokenizer.eos_token_id
+        ids = tokenizer.encode("w1 w2", add_special_tokens=False) + [eos]
+        d = IncrementalDetokenizer(tokenizer)
+        text = ""
+        for t in ids:
+            out, _ = d.push([t])
+            text += out
+        text += d.finalize()
+        assert "<|im_end|>" not in text
+
+
+class TestRenderer:
+    def test_chat_template_applied(self, tokenizer):
+        r = create_renderer(tokenizer, "qwen2")
+        out = r.render([
+            {"role": "user", "content": "w1 w2"},
+        ])
+        im_start = tokenizer.convert_tokens_to_ids("<|im_start|>")
+        im_end = tokenizer.convert_tokens_to_ids("<|im_end|>")
+        assert out.token_ids[0] == im_start
+        assert im_end in out.token_ids
+        assert out.token_ids[-1] == im_start  # generation prompt
+        assert im_end in out.stop_token_ids
+
+
+def _build_app(fake_dir):
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    # use the tokenizer's im_end as eos so generation can stop naturally
+    cfg.eos_token_id = [cfg.vocab_size - 1]
+    weights = CheckpointLoader(cfg).load(fake_dir)
+    model = create_model(cfg)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=128),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    engine = LlmEngine(model, weights, econf)
+    runner = EngineRunner(engine).start()
+    tok = TokenizerFactory.create(fake_dir)
+    api = OpenAIApp(runner, tok, model_name="tiny-qwen2", model_type="qwen2")
+    return api, runner
+
+
+def test_http_roundtrip(fake_dir):
+    asyncio.run(_http_roundtrip(fake_dir))
+
+
+async def _http_roundtrip(fake_dir):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            # health + models + worker_status
+            r = await client.get("/health")
+            assert r.status == 200
+            r = await client.get("/v1/models")
+            assert (await r.json())["data"][0]["id"] == "tiny-qwen2"
+            r = await client.get("/worker_status")
+            ws = await r.json()
+            assert ws["alive"] and ws["kv_total_blocks"] == 128
+
+            # tokenize
+            r = await client.post("/tokenizer/encode", json={"prompt": "w1 w2"})
+            assert (await r.json())["token_ids"] == [1, 2]
+
+            # non-streaming chat
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w1 w2 w3"}],
+                "max_tokens": 8, "temperature": 0.0,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert body["object"] == "chat.completion"
+            assert body["usage"]["completion_tokens"] >= 1
+            assert isinstance(body["choices"][0]["message"]["content"], str)
+
+            # streaming chat
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w5 w6"}],
+                "max_tokens": 6, "temperature": 0.0, "stream": True,
+            })
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            events = [l[6:] for l in raw.splitlines() if l.startswith("data: ")]
+            assert events[-1] == "[DONE]"
+            chunks = [json.loads(e) for e in events[:-1]]
+            assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+            # completions endpoint with token-id prompt
+            r = await client.post("/v1/completions", json={
+                "prompt": [1, 2, 3], "max_tokens": 4, "temperature": 0.0,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert body["object"] == "text_completion"
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
