@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Fixed-batch serving benchmark on the real TPU chip.
+
+Methodology mirrors the reference's perf harness
+(/root/reference/rtp_llm/test/perf_test/batch_decode_test.py + docs/benchmark):
+fill a fixed decode batch, run warmup steps, then timed decode steps through
+the REAL engine path (scheduler + fused decode+sample program + dispatch).
+
+The model is Qwen2-7B-shaped (BASELINE.json north star) with INT8 weight-only
+quantized random weights generated directly on device (no checkpoints ship in
+this environment; kernel/runtime performance is identical to real weights).
+
+vs_baseline is reported against the chip's bandwidth roofline for this model
+(weights+KV bytes per decode step / HBM GB/s) — i.e. fraction of
+speed-of-light, so >=1.0 would be perfect. Prints ONE json line.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+MODELS = {
+    # Qwen2-7B geometry (transformers Qwen2-7B config)
+    "qwen2-7b": dict(
+        hidden_size=3584, intermediate_size=18944, num_layers=28,
+        num_attention_heads=28, num_kv_heads=4, head_dim=128,
+        vocab_size=152064, attention_bias=True,
+    ),
+    # Qwen2-1.5B for quick runs
+    "qwen2-1.5b": dict(
+        hidden_size=1536, intermediate_size=8960, num_layers=28,
+        num_attention_heads=12, num_kv_heads=2, head_dim=128,
+        vocab_size=151936, attention_bias=True,
+    ),
+    "tiny": dict(
+        hidden_size=256, intermediate_size=512, num_layers=2,
+        num_attention_heads=4, num_kv_heads=2, head_dim=128,
+        vocab_size=1024, attention_bias=True,
+    ),
+}
+
+HBM_GBPS = {"v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1640.0}
+
+
+def build_device_weights(cfg, quant, mesh=None):
+    """Generate weights directly on device in ONE jitted program: int8 +
+    scales for matmul weights, bf16 elsewhere. Avoids shipping GBs through the
+    host tunnel and pays a single (remote) compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.loader.fake_checkpoint import _hf_shape
+    from rtp_llm_tpu.loader.weight_maps import get_weight_specs
+
+    quantize_int8 = quant == "int8"
+    plan = []  # (name, full_shape, kind)
+    for spec in get_weight_specs(cfg):
+        shape = _hf_shape(spec.name, cfg)
+        if spec.transpose:
+            shape = tuple(reversed(shape))
+        lead = ()
+        if spec.per_layer:
+            lead = (cfg.num_layers,)
+        if spec.per_expert:
+            lead = (cfg.num_layers, cfg.num_experts)
+        full = lead + tuple(shape)
+        is_mm = (
+            quantize_int8 and len(shape) >= 2
+            and spec.shard_axis in ("out", "in", "expert")
+            and spec.name != "lm_head"
+        )
+        kind = "int8" if is_mm else ("ones" if spec.name.endswith("_norm") else "bf16")
+        plan.append((spec.name, full, kind))
+
+    @jax.jit
+    def mk_all():
+        key = jax.random.PRNGKey(0)
+        out = {}
+        for name, full, kind in plan:
+            key, sub = jax.random.split(key)
+            if kind == "int8":
+                out[name] = jax.random.randint(sub, full, -127, 128, jnp.int8)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-1],), 2e-4, jnp.float32
+                )
+            elif kind == "ones":
+                out[name] = jnp.ones(full, jnp.bfloat16)
+            else:
+                out[name] = jax.random.normal(sub, full, jnp.bfloat16) * 0.02
+        return out
+
+    return mk_all()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
+    p.add_argument("--quant", default="int8", choices=["int8", "bf16"])
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--prompt-len", type=int, default=512)
+    p.add_argument("--decode-steps", type=int, default=64)
+    p.add_argument("--warmup-steps", type=int, default=8)
+    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
+    p.add_argument("--platform", default=None,
+                   help="force jax platform (e.g. cpu for local smoke)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, QuantConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.config.model_config import ModelConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.models import create_model
+
+    mc = ModelConfig(model_type="qwen2", **MODELS[args.model])
+    model = create_model(mc)
+    t0 = time.time()
+    weights = build_device_weights(mc, args.quant)
+    jax.block_until_ready(weights)
+    t_weights = time.time() - t0
+
+    max_seq = args.prompt_len + args.decode_steps + args.warmup_steps + 64
+    blocks_needed = args.batch * math.ceil(max_seq / args.block_size) + 8
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=args.block_size,
+                          test_num_blocks=blocks_needed,
+                          enable_prefix_cache=False),
+        scheduler=SchedulerConfig(
+            max_batch_size=args.batch,
+            max_seq_len=max_seq,
+            prefill_buckets=(args.prompt_len,),
+        ),
+        quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
+    )
+    engine = LlmEngine(model, weights, econf)
+
+    rng = np.random.default_rng(0)
+    gc = lambda: GenerateConfig(
+        max_new_tokens=args.decode_steps + args.warmup_steps + 32,
+        do_sample=False, ignore_eos=True,
+    )
+    streams = [
+        engine.enqueue(rng.integers(10, mc.vocab_size - 10,
+                                    size=args.prompt_len).tolist(), gc())
+        for _ in range(args.batch)
+    ]
+
+    # prefill phase (timed per request -> TTFT)
+    ttfts = []
+    t0 = time.time()
+    sr = engine.scheduler.schedule()
+    for s in sr.new_streams:
+        t1 = time.time()
+        engine._run_prefill(s)
+        ttfts.append(time.time() - t1)
+    prefill_time = time.time() - t0
+    assert all(s.slot >= 0 for s in streams), "not all streams admitted"
+
+    # warmup decode (compiles the decode program)
+    for _ in range(args.warmup_steps):
+        engine.step()
+
+    # timed decode
+    t0 = time.time()
+    for _ in range(args.decode_steps):
+        engine.step()
+    decode_time = time.time() - t0
+    decode_tps = args.batch * args.decode_steps / decode_time
+
+    # roofline for vs_baseline
+    bpe = 1 if args.quant == "int8" else 2
+    h, inter, L = mc.hidden_size, mc.intermediate_size, mc.num_layers
+    attn_bytes = (h * (mc.num_attention_heads + 2 * mc.num_kv_heads)
+                  * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe
+    mlp_bytes = 3 * h * inter * bpe
+    lm_head_bytes = mc.vocab_size * h * 2
+    kv_bytes = (args.batch * (args.prompt_len + args.decode_steps / 2)
+                * 2 * mc.num_kv_heads * mc.head_dim * 2 * L)
+    step_bytes = L * (attn_bytes + mlp_bytes) + lm_head_bytes + kv_bytes
+    ideal_step = step_bytes / (HBM_GBPS[args.hbm] * 1e9)
+    ideal_tps = args.batch / ideal_step
+
+    result = {
+        "metric": f"decode_tokens_per_sec_per_chip ({args.model} {args.quant}, "
+                  f"b={args.batch}, in={args.prompt_len})",
+        "value": round(decode_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(decode_tps / ideal_tps, 4),
+        "detail": {
+            "step_ms_p50": round(decode_time / args.decode_steps * 1e3, 2),
+            "ideal_step_ms": round(ideal_step * 1e3, 2),
+            "ttft_p50_ms": round(float(np.median(ttfts)) * 1e3, 1) if ttfts else None,
+            "prefill_total_s": round(prefill_time, 2),
+            "weight_init_s": round(t_weights, 1),
+            "roofline_tps": round(ideal_tps, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,13 +104,18 @@ class LlmEngine:
         self._slot_ban = [False] * sc.max_batch_size
 
         # jitted programs
-        self._decode_jit = jax.jit(self._decode_impl, donate_argnums=(1, 2))
+        self._decode_jit = jax.jit(
+            self._decode_impl, donate_argnums=(1, 2),
+            static_argnums=(3,),  # need_sampling
+        )
         self._prefill_jits = {}  # bucket_t -> fn
         self._insert_jit = jax.jit(ds.insert_slot, donate_argnums=(0,))
         self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
         self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
         self._set_ban_jit = jax.jit(ds.set_ban_eos, donate_argnums=(0,))
-        self._first_sample_jit = jax.jit(self._first_sample_impl)
+        self._first_sample_jit = jax.jit(
+            self._first_sample_impl, static_argnums=(4,)
+        )
 
         # metrics
         self.step_count = 0
@@ -142,7 +147,7 @@ class LlmEngine:
 
     # ---- device programs ----
 
-    def _decode_impl(self, weights, kv, state: ds.DecodeState):
+    def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True):
         active = state.kv_lens > 0
         kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
         inputs = ModelInputs(
@@ -156,7 +161,7 @@ class LlmEngine:
         rng, key = jax.random.split(state.rng)
         tokens, logprobs, new_counts = sample_tokens(
             out.logits, state.params, state.prompt_mask, state.output_counts,
-            self.eos_ids, key,
+            self.eos_ids, key, need_sampling=need_sampling,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
@@ -175,11 +180,13 @@ class LlmEngine:
         out, kv = self.model.forward(weights, kv, inputs)
         return kv, out.logits
 
-    def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng):
+    def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng,
+                           need_sampling=True):
         counts = jnp.zeros(logits.shape, jnp.int32)
         rng, key = jax.random.split(rng)
         tokens, logprobs, _ = sample_tokens(
-            logits, params, prompt_mask, counts, self.eos_ids, key
+            logits, params, prompt_mask, counts, self.eos_ids, key,
+            need_sampling=need_sampling,
         )
         return tokens, logprobs, rng
 
@@ -247,7 +254,7 @@ class LlmEngine:
         pmask[0, np.asarray(prompt, np.int64)] = True
         pmask_j = jnp.asarray(pmask)
         tokens, logprobs, rng = self._first_sample_jit(
-            logits, params, pmask_j, self.state.rng
+            logits, params, pmask_j, self.state.rng, bool(stream.config.do_sample)
         )
         self.state = self.state._replace(rng=rng)
         token = int(tokens[0])
@@ -288,10 +295,17 @@ class LlmEngine:
     # ---- the step ----
 
     def step(self) -> bool:
-        """One engine iteration. Returns True if any work was done."""
-        sr = self.scheduler.schedule()
+        """One engine iteration. Returns True if any work was done.
+
+        Per-phase timings land in METRICS histograms (reference analog:
+        RtpLLMExecutorMetrics per-phase µs, NormalExecutor.cc:226-250)."""
+        from rtp_llm_tpu.utils.metrics import METRICS, timed
+
+        with timed("engine.schedule_ms"):
+            sr = self.scheduler.schedule()
         for s in sr.new_streams:
-            self._run_prefill(s)
+            with timed("engine.prefill_ms"):
+                self._run_prefill(s)
 
         active = [s for s in self.scheduler.running if s.slot >= 0]
         if not active:
@@ -329,11 +343,17 @@ class LlmEngine:
             self.step_count += 1
             return True
 
-        self.kv, self.state, tokens, logprobs = self._decode_jit(
-            self.weights, self.kv, self.state
-        )
-        tokens_h = np.asarray(tokens)
-        logprobs_h = np.asarray(logprobs)
+        need_sampling = any(s.config.do_sample for s in active)
+        with timed("engine.decode_ms"):
+            self.kv, self.state, tokens, logprobs = self._decode_jit(
+                self.weights, self.kv, self.state, need_sampling
+            )
+            tokens_h = np.asarray(tokens)
+            logprobs_h = np.asarray(logprobs)
+        METRICS.set_gauge("engine.running_streams", len(active))
+        METRICS.set_gauge("engine.waiting_streams", self.scheduler.pending)
+        METRICS.set_gauge("engine.kv_free_blocks", self.cache_mgr.pool.free_blocks)
+        METRICS.inc("engine.tokens_generated", len(active))
 
         for s in active:
             tok = int(tokens_h[s.slot])

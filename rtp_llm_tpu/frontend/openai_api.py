@@ -25,6 +25,8 @@ from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.frontend.chat_renderer import create_renderer
 from rtp_llm_tpu.frontend.token_processor import IncrementalDetokenizer
 from rtp_llm_tpu.server.engine_runner import EngineRunner
+from rtp_llm_tpu.utils.access_logger import AccessLogger
+from rtp_llm_tpu.utils.metrics import METRICS
 
 logger = logging.getLogger(__name__)
 
@@ -37,6 +39,8 @@ class OpenAIApp:
         model_name: str = "rtp-llm-tpu",
         model_type: str = "",
         max_concurrency: int = 256,
+        access_log_path: Optional[str] = None,
+        enable_access_log: bool = True,
     ):
         self.runner = runner
         self.tok = tokenizer
@@ -45,6 +49,7 @@ class OpenAIApp:
         self.sem = asyncio.Semaphore(max_concurrency)
         self.start_time = time.time()
         self.request_count = 0
+        self.access = AccessLogger(access_log_path) if enable_access_log else None
 
     # ---- helpers ----
 
@@ -119,6 +124,14 @@ class OpenAIApp:
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
         created = int(time.time())
         self.request_count += 1
+        t_start = time.time()
+        route = "/v1/chat/completions" if chat else "/v1/completions"
+        if self.access:
+            self.access.log_query(rid, route, {
+                "prompt_tokens": len(token_ids), "stream": stream_mode,
+                "max_new_tokens": cfg.max_new_tokens,
+            })
+        METRICS.inc("frontend.requests")
 
         async with self.sem:
             stream = self.runner.enqueue(token_ids, cfg, stop_token_sequences=stop_seqs)
@@ -126,6 +139,7 @@ class OpenAIApp:
             if not stream_mode:
                 out = await self._collect(stream, detok)
                 text = detok.full_text
+                self._log_done(rid, route, stream, token_ids, t_start)
                 usage = {
                     "prompt_tokens": len(token_ids),
                     "completion_tokens": len(stream.output_token_ids),
@@ -201,6 +215,7 @@ class OpenAIApp:
                                   if stream.finish_reason else "stop")
                         await resp.write(chunk({}, finish=finish))
                         await resp.write(b"data: [DONE]\n\n")
+                        self._log_done(rid, route, stream, token_ids, t_start)
                         break
                     if text:
                         await resp.write(chunk({"content": text}))
@@ -209,6 +224,22 @@ class OpenAIApp:
                 raise
             await resp.write_eof()
             return resp
+
+    def _log_done(self, rid, route, stream, token_ids, t_start):
+        latency = (time.time() - t_start) * 1e3
+        ttft = None
+        if stream.first_token_time:
+            ttft = (stream.first_token_time - stream.enqueue_time) * 1e3
+            METRICS.observe("frontend.ttft_ms", ttft)
+        METRICS.observe("frontend.latency_ms", latency)
+        if self.access:
+            self.access.log_success(
+                rid, route, latency, len(token_ids),
+                len(stream.output_token_ids), first_token_ms=ttft,
+            )
+
+    async def metrics(self, request: web.Request):
+        return web.json_response(METRICS.snapshot())
 
     async def tokenizer_encode(self, request: web.Request):
         body = await request.json()
@@ -259,5 +290,6 @@ class OpenAIApp:
             web.get("/health", self.health),
             web.get("/status", self.health),
             web.get("/worker_status", self.worker_status),
+            web.get("/metrics", self.metrics),
         ])
         return app

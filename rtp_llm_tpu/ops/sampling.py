@@ -87,11 +87,14 @@ def sample_tokens(
     output_counts: jnp.ndarray,
     eos_token_ids: Sequence[int],
     key: jax.Array,
+    need_sampling: bool = True,
 ):
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
     Greedy rows take argmax of penalized logits; sampling rows draw from the
     temperature/top-k/top-p distribution via the Gumbel trick.
+    ``need_sampling=False`` (static) compiles the greedy-only fast path — the
+    engine uses it when no active stream samples, skipping the [B,V] sort.
     """
     logits = logits.astype(jnp.float32)
     logits = apply_penalties(logits, prompt_mask, output_counts, params)
@@ -104,13 +107,17 @@ def sample_tokens(
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(params.temperature, 1e-5)[:, None]
-    scaled = logits / temp
-    filtered = _topk_topp_mask(scaled, params)
-    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, filtered.shape) + 1e-20) + 1e-20)
-    sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
-
-    tokens = jnp.where(params.do_sample, sampled, greedy)
+    if need_sampling:
+        temp = jnp.maximum(params.temperature, 1e-5)[:, None]
+        scaled = logits / temp
+        filtered = _topk_topp_mask(scaled, params)
+        gumbel = -jnp.log(
+            -jnp.log(jax.random.uniform(key, filtered.shape) + 1e-20) + 1e-20
+        )
+        sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+        tokens = jnp.where(params.do_sample, sampled, greedy)
+    else:
+        tokens = greedy
 
     logprobs_full = jax.nn.log_softmax(logits, axis=-1)
     logprobs = jnp.take_along_axis(logprobs_full, tokens[:, None], axis=-1)[:, 0]
