@@ -91,6 +91,25 @@ class SchedulerConfig:
 
 
 @dataclasses.dataclass
+class SpeculativeConfig:
+    """Speculative decoding (analog of reference SpeculativeExecutionConfig,
+    ConfigModules.h:291 + docs/backend/speculative_decoding.md).
+
+    method: none | prompt_lookup (deterministic n-gram proposer; the
+    reference's 'deterministic' sp_type). Draft-model methods (vanilla /
+    MTP / EAGLE) plug into the same verify path in a later round."""
+
+    method: str = "none"
+    draft_tokens: int = 4  # K: proposals verified per step
+    ngram_min: int = 2
+    ngram_max: int = 4
+
+    @property
+    def enabled(self) -> bool:
+        return self.method != "none" and self.draft_tokens > 0
+
+
+@dataclasses.dataclass
 class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 8088
@@ -111,10 +130,11 @@ class EngineConfig:
     cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
     scheduler: SchedulerConfig = dataclasses.field(default_factory=SchedulerConfig)
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
+    speculative: SpeculativeConfig = dataclasses.field(default_factory=SpeculativeConfig)
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
     # runtime
     enable_profiling: bool = False
     warmup: bool = True
     seed: int = 0
 
-    GROUPS = ("parallel", "cache", "scheduler", "quant", "server")
+    GROUPS = ("parallel", "cache", "scheduler", "quant", "speculative", "server")

@@ -32,6 +32,7 @@ from rtp_llm_tpu.config.engine_config import EngineConfig
 from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.engine import device_state as ds
 from rtp_llm_tpu.engine.scheduler import FIFOScheduler
+from rtp_llm_tpu.engine.speculative import greedy_verify, propose_prompt_lookup
 from rtp_llm_tpu.engine.stream import FinishReason, GenerateStream
 from rtp_llm_tpu.models.batch import ModelInputs
 from rtp_llm_tpu.ops.sampling import SamplingParams, sample_tokens
@@ -116,6 +117,8 @@ class LlmEngine:
         self._first_sample_jit = jax.jit(
             self._first_sample_impl, static_argnums=(4,)
         )
+        self.spec = config.speculative
+        self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2))
 
         # metrics
         self.step_count = 0
@@ -170,6 +173,55 @@ class LlmEngine:
             output_counts=new_counts, rng=rng,
         )
         return kv, state, tokens, logprobs
+
+    def _verify_impl(self, weights, kv, state: ds.DecodeState, drafts):
+        """Speculative verify step: T = K+1 forward over [last_token, drafts],
+        greedy acceptance of the matching draft prefix. Penalties/eos-ban use
+        pre-step statistics broadcast over the window (one-step approximation,
+        matching the reference's per-step penalty application)."""
+        b, k = drafts.shape
+        t = k + 1
+        active = state.kv_lens > 0
+        tokens = jnp.concatenate([state.last_tokens[:, None], drafts], axis=1)
+        offs = jnp.arange(t, dtype=jnp.int32)[None, :]
+        positions = jnp.where(active[:, None], state.kv_lens[:, None] + offs, 0)
+        inputs = ModelInputs(
+            tokens=tokens,
+            positions=positions,
+            block_tables=state.block_tables,
+            kv_lens=jnp.where(active, state.kv_lens + t, 0),
+            q_offsets=state.kv_lens,
+        )
+        out, kv = self.model.forward(weights, kv, inputs, need_all_logits=True)
+        logits = out.all_logits  # [B, T, V] f32
+
+        from rtp_llm_tpu.ops.sampling import NEG_INF, apply_penalties
+
+        logits = jax.vmap(
+            lambda l: apply_penalties(
+                l, state.prompt_mask, state.output_counts, state.params
+            ),
+            in_axes=1, out_axes=1,
+        )(logits)
+        if self.eos_ids:
+            eos = jnp.array(list(self.eos_ids), dtype=jnp.int32)
+            ban_row = jnp.zeros((logits.shape[-1],), bool).at[eos].set(True)
+            ban = state.params.ban_eos[:, None, None] & ban_row[None, None, :]
+            logits = jnp.where(ban, NEG_INF, logits)
+
+        g, n_new = greedy_verify(logits, drafts)  # [B,T], [B]
+        n_new = jnp.where(active, n_new, 0)
+
+        rows = jnp.arange(b)
+        upd = (offs < n_new[:, None]).astype(jnp.int32)  # [B,T]
+        new_counts = state.output_counts.at[rows[:, None], g].add(upd, mode="drop")
+        last = g[rows, jnp.clip(n_new - 1, 0, t - 1)]
+        state = state._replace(
+            last_tokens=jnp.where(active, last, state.last_tokens),
+            kv_lens=jnp.where(active, state.kv_lens + n_new, 0),
+            output_counts=new_counts,
+        )
+        return kv, state, g, n_new
 
     def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
                       kv_lens, q_offsets):
@@ -312,9 +364,21 @@ class LlmEngine:
             self.step_count += 1
             return bool(sr.new_streams)
 
-        # grow block allocations for the token this step writes
+        # speculative mode: greedy-only batches with room for the draft window
+        use_spec = (
+            self.spec.enabled
+            and not any(s.config.do_sample for s in active)
+            and all(
+                s.total_len + self.spec.draft_tokens + 1
+                <= self.config.scheduler.max_seq_len
+                for s in active
+            )
+        )
+        extra = self.spec.draft_tokens if use_spec else 0
+
+        # grow block allocations for the token(s) this step writes
         for s in list(active):
-            if not self.scheduler.grow_for_decode(s):
+            if not self.scheduler.grow_for_decode(s, extra):
                 # preempted back to WAITING: clear its slot
                 slot = s.slot
                 if slot >= 0:
@@ -343,29 +407,66 @@ class LlmEngine:
             self.step_count += 1
             return True
 
-        need_sampling = any(s.config.do_sample for s in active)
-        with timed("engine.decode_ms"):
-            self.kv, self.state, tokens, logprobs = self._decode_jit(
-                self.weights, self.kv, self.state, need_sampling
-            )
-            tokens_h = np.asarray(tokens)
-            logprobs_h = np.asarray(logprobs)
+        if use_spec:
+            self._spec_decode_step(active)
+        else:
+            need_sampling = any(s.config.do_sample for s in active)
+            with timed("engine.decode_ms"):
+                self.kv, self.state, tokens, logprobs = self._decode_jit(
+                    self.weights, self.kv, self.state, need_sampling
+                )
+                tokens_h = np.asarray(tokens)
+                logprobs_h = np.asarray(logprobs)
+            METRICS.inc("engine.tokens_generated", len(active))
+
+            for s in active:
+                tok = int(tokens_h[s.slot])
+                self.tokens_generated += 1
+                finished = s.append_token(
+                    tok, self.eos_ids, float(logprobs_h[s.slot]),
+                    max_seq_len=self.config.scheduler.max_seq_len,
+                )
+                if finished:
+                    self._release_stream(s)
         METRICS.set_gauge("engine.running_streams", len(active))
         METRICS.set_gauge("engine.waiting_streams", self.scheduler.pending)
         METRICS.set_gauge("engine.kv_free_blocks", self.cache_mgr.pool.free_blocks)
-        METRICS.inc("engine.tokens_generated", len(active))
-
-        for s in active:
-            tok = int(tokens_h[s.slot])
-            self.tokens_generated += 1
-            finished = s.append_token(
-                tok, self.eos_ids, float(logprobs_h[s.slot]),
-                max_seq_len=self.config.scheduler.max_seq_len,
-            )
-            if finished:
-                self._release_stream(s)
         self.step_count += 1
         return True
+
+    def _spec_decode_step(self, active):
+        """One prompt-lookup speculative step over the whole decode batch."""
+        from rtp_llm_tpu.utils.metrics import METRICS, timed
+
+        k = self.spec.draft_tokens
+        drafts = np.zeros((len(self.slots), k), np.int32)
+        for s in active:
+            # all_token_ids already includes the pending (not-yet-written)
+            # last token, so drafts continue directly after it
+            drafts[s.slot] = propose_prompt_lookup(
+                s.all_token_ids, k, self.spec.ngram_min, self.spec.ngram_max
+            )
+        with timed("engine.spec_verify_ms"):
+            self.kv, self.state, g, n_new = self._verify_jit(
+                self.weights, self.kv, self.state, jnp.asarray(drafts)
+            )
+            g_h = np.asarray(g)
+            n_h = np.asarray(n_new)
+        total = int(n_h.sum())
+        METRICS.inc("engine.tokens_generated", total)
+        METRICS.observe("engine.spec_accepted", float(total) / max(len(active), 1) - 1)
+
+        for s in active:
+            n = int(n_h[s.slot])
+            self.tokens_generated += n
+            for j in range(n):
+                finished = s.append_token(
+                    int(g_h[s.slot, j]), self.eos_ids, None,
+                    max_seq_len=self.config.scheduler.max_seq_len,
+                )
+                if finished:
+                    self._release_stream(s)
+                    break
 
     # ---- public API ----
 

@@ -103,10 +103,11 @@ class FIFOScheduler:
 
     # ---- decode-time growth ----
 
-    def grow_for_decode(self, stream: GenerateStream) -> bool:
-        """Ensure stream's allocation covers one more token; on OOM, preempt it
-        back to WAITING (freeing blocks). Returns False if preempted."""
-        ok = self.cache.extend(stream.alloc, stream.total_len)
+    def grow_for_decode(self, stream: GenerateStream, extra: int = 0) -> bool:
+        """Ensure stream's allocation covers this step's writes (+``extra``
+        speculative draft positions); on OOM, preempt it back to WAITING
+        (freeing blocks). Returns False if preempted."""
+        ok = self.cache.extend(stream.alloc, stream.total_len + extra)
         if ok:
             return True
         # preempt: release blocks, requeue at the front (will re-prefill)

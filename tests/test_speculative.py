@@ -1,0 +1,124 @@
+"""Speculative decoding tests.
+
+Key invariant: speculative output must be IDENTICAL to normal greedy decode
+(speculation changes speed, never results)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.engine_config import (
+    CacheConfig, EngineConfig, SchedulerConfig, SpeculativeConfig,
+)
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.engine import LlmEngine
+from rtp_llm_tpu.engine.speculative import propose_prompt_lookup
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.models import create_model
+
+
+class TestPromptLookup:
+    def test_finds_repeated_ngram(self):
+        toks = [1, 2, 3, 4, 9, 9, 1, 2, 3]
+        # trailing 3-gram [1,2,3] occurred at 0; continuation 4, 9, 9
+        assert propose_prompt_lookup(toks, 3) == [4, 9, 9]
+
+    def test_prefers_longest_ngram(self):
+        toks = [5, 1, 2, 7, 0, 1, 2, 7, 8, 1, 2, 7]
+        # 3-gram [1,2,7] most recent earlier occurrence at index 5 -> next is 8
+        assert propose_prompt_lookup(toks, 2)[0] == 8
+
+    def test_no_match_pads_with_last(self):
+        assert propose_prompt_lookup([1, 2, 3], 3) == [3, 3, 3]
+
+    def test_short_continuation_padded(self):
+        toks = [1, 2, 1, 2]
+        # 2-gram [1,2] at 0, continuation [1,2] (2 tokens) then pad
+        assert propose_prompt_lookup(toks, 4) == [1, 2, 2, 2]
+
+
+def _build_engine(ckpt, cfg, spec: bool):
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(ckpt)
+    model = create_model(cfg)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=256),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+        speculative=SpeculativeConfig(
+            method="prompt_lookup" if spec else "none", draft_tokens=3
+        ),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    return LlmEngine(model, weights, econf)
+
+
+def test_spec_matches_normal_greedy(tmp_path):
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "s"), cfg)
+    # repetitive prompt so prompt-lookup actually accepts drafts
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8]
+    gc = lambda: GenerateConfig(max_new_tokens=16, do_sample=False, ignore_eos=True)
+
+    normal = _build_engine(ckpt, tiny_config("qwen2"), spec=False)
+    expect = normal.generate(prompt, gc()).output_token_ids
+
+    spec = _build_engine(ckpt, tiny_config("qwen2"), spec=True)
+    s = spec.generate(prompt, gc())
+    assert s.output_token_ids == expect
+    # speculation must actually compress steps (fewer engine steps than tokens)
+    assert spec.step_count < len(expect) + 2
+
+
+def test_spec_batch_matches(tmp_path):
+    cfg = tiny_config("qwen3")
+    ckpt = write_fake_checkpoint(str(tmp_path / "s3"), cfg)
+    prompts = [[1, 2, 3, 1, 2, 3], [9, 9, 9, 9], [4, 5, 4, 5, 4]]
+    gc = lambda: GenerateConfig(max_new_tokens=10, do_sample=False, ignore_eos=True)
+
+    normal = _build_engine(ckpt, tiny_config("qwen3"), spec=False)
+    expect = [normal.generate(p, gc()).output_token_ids for p in prompts]
+
+    spec = _build_engine(ckpt, tiny_config("qwen3"), spec=True)
+    streams = [spec.enqueue(p, gc()) for p in prompts]
+    for _ in range(100):
+        if all(s.is_finished() for s in streams):
+            break
+        spec.step()
+    for s, e in zip(streams, expect):
+        assert s.output_token_ids == e
+
+
+def test_spec_with_eos_stops_correctly(tmp_path):
+    """A stream hitting eos mid-window must stop exactly at eos."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "se"), cfg)
+    base = _build_engine(ckpt, tiny_config("qwen2"), spec=False)
+    prompt = [3, 1, 4, 3, 1, 4]
+    full = base.generate(
+        prompt, GenerateConfig(max_new_tokens=12, do_sample=False, ignore_eos=True)
+    ).output_token_ids
+    # pick the 5th generated token as a stop token
+    stop_tok = full[4]
+    gc = lambda: GenerateConfig(max_new_tokens=12, do_sample=False,
+                                ignore_eos=True, stop_token_ids=[stop_tok])
+    normal_out = _build_engine(ckpt, tiny_config("qwen2"), spec=False).generate(
+        prompt, gc()).output_token_ids
+    spec_out = _build_engine(ckpt, tiny_config("qwen2"), spec=True).generate(
+        prompt, gc()).output_token_ids
+    assert spec_out == normal_out
+    assert spec_out[-1] == stop_tok
+
+
+def test_sampling_streams_fall_back(tmp_path):
+    """do_sample streams must not go through greedy verify."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "sf"), cfg)
+    eng = _build_engine(ckpt, tiny_config("qwen2"), spec=True)
+    s = eng.generate([1, 2, 3, 1, 2], GenerateConfig(
+        max_new_tokens=6, do_sample=True, top_k=1, ignore_eos=True))
+    assert len(s.output_token_ids) == 6
+    # no step compression: prefill step emits 1 token + decodes 1/step after
+    assert eng.step_count >= len(s.output_token_ids) - 1
