@@ -123,6 +123,12 @@ class LlmEngine:
         # metrics
         self.step_count = 0
         self.tokens_generated = 0
+        # serializes device-state mutation between the engine loop thread and
+        # auxiliary executors (embedding) — reference analog: single engine
+        # loop thread owning the executor (NormalEngine.cc:398)
+        import threading
+
+        self.device_lock = threading.Lock()
 
     # ---- sizing ----
 
@@ -351,6 +357,10 @@ class LlmEngine:
 
         Per-phase timings land in METRICS histograms (reference analog:
         RtpLLMExecutorMetrics per-phase µs, NormalExecutor.cc:226-250)."""
+        with self.device_lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         from rtp_llm_tpu.utils.metrics import METRICS, timed
 
         with timed("engine.schedule_ms"):

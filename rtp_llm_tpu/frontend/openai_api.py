@@ -225,6 +225,42 @@ class OpenAIApp:
             await resp.write_eof()
             return resp
 
+    async def embeddings(self, request: web.Request):
+        """OpenAI /v1/embeddings (reference: EmbeddingService,
+        embedding/embedding_endpoint.py)."""
+        body = await request.json()
+        inputs = body.get("input")
+        if inputs is None:
+            raise web.HTTPBadRequest(text='"input" required')
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        prompts = [
+            i if isinstance(i, list) else self.tok.encode(i) for i in inputs
+        ]
+        from rtp_llm_tpu.engine.embedding import EmbeddingEngine
+
+        if not hasattr(self, "_embed_engine"):
+            self._embed_engine = EmbeddingEngine(self.runner.engine)
+        loop = asyncio.get_running_loop()
+        vecs = await loop.run_in_executor(
+            None, self._embed_engine.embed, prompts,
+            body.get("pooling", "last"),
+        )
+        return web.json_response({
+            "object": "list",
+            "model": self.model_name,
+            "data": [
+                {"object": "embedding", "index": i, "embedding": v.tolist()}
+                for i, v in enumerate(vecs)
+            ],
+            "usage": {
+                "prompt_tokens": sum(len(p) for p in prompts),
+                "total_tokens": sum(len(p) for p in prompts),
+            },
+        })
+
     def _log_done(self, rid, route, stream, token_ids, t_start):
         latency = (time.time() - t_start) * 1e3
         ttft = None
@@ -285,6 +321,7 @@ class OpenAIApp:
             web.post("/chat/completions", self.chat_completions),
             web.post("/v1/completions", self.completions),
             web.post("/", self.completions),
+            web.post("/v1/embeddings", self.embeddings),
             web.post("/tokenizer/encode", self.tokenizer_encode),
             web.get("/v1/models", self.models),
             web.get("/health", self.health),

@@ -51,8 +51,11 @@ class ModelOutputs(NamedTuple):
     """logits: [B, V] f32 — at each row's last valid token.
     hidden:  optional [B, H] — same rows (for embeddings / MTP).
     all_logits: optional [B, T, V] (need_all_logits analog, e.g. ppl eval).
+    all_hidden: optional [B, T, H] (embedding pooling / MTP input —
+    reference GptModelOutputs.all_hidden_states, OpData.h:102).
     """
 
     logits: jnp.ndarray
     hidden: Optional[jnp.ndarray] = None
     all_logits: Optional[jnp.ndarray] = None
+    all_hidden: Optional[jnp.ndarray] = None

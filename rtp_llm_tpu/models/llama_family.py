@@ -68,6 +68,7 @@ class LlamaFamilyModel:
         cache: jnp.ndarray,
         inputs: ModelInputs,
         need_all_logits: bool = False,
+        need_all_hidden: bool = False,
     ) -> tuple[ModelOutputs, jnp.ndarray]:
         cfg = self.cfg
         b, t = inputs.tokens.shape
@@ -102,7 +103,10 @@ class LlamaFamilyModel:
         all_logits = None
         if need_all_logits:
             all_logits = (x @ lm_head).astype(jnp.float32)
-        return ModelOutputs(logits=logits, hidden=hidden_last, all_logits=all_logits), cache
+        return ModelOutputs(
+            logits=logits, hidden=hidden_last, all_logits=all_logits,
+            all_hidden=x if need_all_hidden else None,
+        ), cache
 
     # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
 

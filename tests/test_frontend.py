@@ -167,3 +167,45 @@ async def _http_roundtrip(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_embeddings_endpoint(fake_dir):
+    asyncio.run(_embeddings_roundtrip(fake_dir))
+
+
+async def _embeddings_roundtrip(fake_dir):
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/embeddings", json={
+                "input": ["w1 w2 w3", "w4 w5"],
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert len(body["data"]) == 2
+            v0 = np.asarray(body["data"][0]["embedding"])
+            v1 = np.asarray(body["data"][1]["embedding"])
+            assert v0.shape == (64,)
+            np.testing.assert_allclose(np.linalg.norm(v0), 1.0, rtol=1e-5)
+            # same input embeds identically, different inputs differ
+            r2 = await client.post("/v1/embeddings", json={"input": "w1 w2 w3"})
+            v0b = np.asarray((await r2.json())["data"][0]["embedding"])
+            np.testing.assert_allclose(v0, v0b, rtol=1e-5)
+            assert np.abs(v0 - v1).max() > 1e-3
+            # mean pooling differs from last pooling
+            r3 = await client.post("/v1/embeddings", json={
+                "input": "w1 w2 w3", "pooling": "mean"})
+            vm = np.asarray((await r3.json())["data"][0]["embedding"])
+            assert np.abs(vm - v0).max() > 1e-4
+            # KV pool not leaked
+            eng = runner.engine
+            assert eng.cache_mgr.pool.used_blocks == 0
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
