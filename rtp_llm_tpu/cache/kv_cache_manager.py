@@ -30,10 +30,30 @@ class BlockAllocation:
 
 
 class KVCacheManager:
-    def __init__(self, num_blocks: int, block_size: int, enable_prefix_cache: bool = True):
+    def __init__(self, num_blocks: int, block_size: int,
+                 enable_prefix_cache: bool = True, backend: str = "auto"):
+        """backend: auto | native | python — 'native' uses the C++ block pool
+        + prefix cache (csrc/block_cache.cc) via ctypes; 'auto' picks native
+        when the library is available."""
         self.block_size = block_size
-        self.pool = BlockPool(num_blocks)
-        self.prefix_cache = PrefixBlockCache() if enable_prefix_cache else None
+        use_native = False
+        if backend in ("auto", "native"):
+            from rtp_llm_tpu.cache import native as _native
+
+            use_native = _native.available()
+            if backend == "native" and not use_native:
+                raise RuntimeError("native cache library unavailable")
+        self.backend = "native" if use_native else "python"
+        if use_native:
+            from rtp_llm_tpu.cache.native import (
+                NativeBlockPool, NativePrefixBlockCache,
+            )
+
+            self.pool = NativeBlockPool(num_blocks)
+            self.prefix_cache = NativePrefixBlockCache() if enable_prefix_cache else None
+        else:
+            self.pool = BlockPool(num_blocks)
+            self.prefix_cache = PrefixBlockCache() if enable_prefix_cache else None
 
     # ---- sizing / admission ----
 
@@ -50,9 +70,7 @@ class KVCacheManager:
 
     def _reclaimable(self) -> int:
         # cache-held blocks with refcount 1 (only the cache holds them)
-        return sum(
-            1 for b in list(self.prefix_cache._by_block) if self.pool.refcount(b) == 1
-        )
+        return self.prefix_cache.reclaimable(self.pool)
 
     # ---- allocation ----
 

@@ -75,3 +75,7 @@ class PrefixBlockCache:
 
     def holds(self, block: int) -> bool:
         return block in self._by_block
+
+    def reclaimable(self, pool) -> int:
+        """Cache-held blocks whose only reference is the cache's own."""
+        return sum(1 for b in self._by_block if pool.refcount(b) == 1)

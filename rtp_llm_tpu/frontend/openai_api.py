@@ -133,6 +133,48 @@ class OpenAIApp:
             })
         METRICS.inc("frontend.requests")
 
+        # num_return_sequences fan-out (reference: beam/num-return fanout in
+        # GenerateStream; independent sampled streams, one choice each)
+        n = max(1, cfg.num_return_sequences)
+        if n > 1 and not stream_mode:
+            cfg.num_return_sequences = 1
+            async with self.sem:
+                streams, detoks = [], []
+                for _ in range(n):
+                    s = self.runner.enqueue(
+                        token_ids, cfg, stop_token_sequences=stop_seqs
+                    )
+                    streams.append(s)
+                    detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
+                for s, d in zip(streams, detoks):
+                    await self._collect(s, d)
+                self._log_done(rid, route, streams[0], token_ids, t_start)
+                choices = []
+                for i, (s, d) in enumerate(zip(streams, detoks)):
+                    fin = s.finish_reason.value if s.finish_reason else "stop"
+                    if chat:
+                        choices.append({
+                            "index": i,
+                            "message": {"role": "assistant", "content": d.full_text},
+                            "finish_reason": fin,
+                        })
+                    else:
+                        choices.append({"index": i, "text": d.full_text,
+                                        "finish_reason": fin, "logprobs": None})
+                comp = sum(len(s.output_token_ids) for s in streams)
+                payload = {
+                    "id": rid,
+                    "object": "chat.completion" if chat else "text_completion",
+                    "created": created, "model": self.model_name,
+                    "choices": choices,
+                    "usage": {
+                        "prompt_tokens": len(token_ids),
+                        "completion_tokens": comp,
+                        "total_tokens": len(token_ids) + comp,
+                    },
+                }
+                return web.json_response(payload)
+
         async with self.sem:
             stream = self.runner.enqueue(token_ids, cfg, stop_token_sequences=stop_seqs)
             detok = IncrementalDetokenizer(self.tok, cfg.stop_words)

@@ -1,10 +1,24 @@
 """Unit tests for the host-side KV-cache layer (reference analogs:
-cpp/cache/test/BlockPoolTest, BlockCacheTest, KVCacheManagerTest)."""
+cpp/cache/test/BlockPoolTest, BlockCacheTest, KVCacheManagerTest).
+
+The KVCacheManager suite runs against BOTH the Python and the native C++
+(csrc/block_cache.cc) backends — same contract, one test body.
+"""
+
+import functools
 
 import pytest
 
 from rtp_llm_tpu.cache import BlockPool, KVCacheManager, PrefixBlockCache
+from rtp_llm_tpu.cache.native import available as native_available
 from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+
+BACKENDS = ["python"] + (["native"] if native_available() else [])
+
+
+@pytest.fixture(params=BACKENDS)
+def make_manager(request):
+    return functools.partial(KVCacheManager, backend=request.param)
 
 
 class TestBlockPool:
@@ -71,15 +85,15 @@ class TestPrefixCache:
 
 
 class TestKVCacheManager:
-    def test_allocate_and_free(self):
-        m = KVCacheManager(num_blocks=9, block_size=4)
+    def test_allocate_and_free(self, make_manager):
+        m = make_manager(num_blocks=9, block_size=4)
         a = m.allocate(list(range(10)))  # 3 blocks
         assert a is not None and len(a.blocks) == 3 and a.reuse_len == 0
         m.free(a)
         assert m.pool.free_blocks == 8  # cache retains refs but pool frees to rc>0
 
-    def test_prefix_reuse_roundtrip(self):
-        m = KVCacheManager(num_blocks=9, block_size=4)
+    def test_prefix_reuse_roundtrip(self, make_manager):
+        m = make_manager(num_blocks=9, block_size=4)
         toks = list(range(8))
         a = m.allocate(toks)
         blocks = list(a.blocks)
@@ -88,8 +102,8 @@ class TestKVCacheManager:
         assert b.blocks[:2] == blocks[:2]
         assert b.reuse_len == 8
 
-    def test_extend(self):
-        m = KVCacheManager(num_blocks=6, block_size=4, enable_prefix_cache=False)
+    def test_extend(self, make_manager):
+        m = make_manager(num_blocks=6, block_size=4, enable_prefix_cache=False)
         a = m.allocate([1, 2, 3])
         assert len(a.blocks) == 1
         assert m.extend(a, 5)
@@ -99,8 +113,8 @@ class TestKVCacheManager:
         # exhaust: needs ceil(21/4)=6 blocks > 5 usable -> False
         assert m.extend(a, 21) is False
 
-    def test_eviction_on_pressure(self):
-        m = KVCacheManager(num_blocks=5, block_size=4)  # 4 usable
+    def test_eviction_on_pressure(self, make_manager):
+        m = make_manager(num_blocks=5, block_size=4)  # 4 usable
         toks = list(range(8))
         a = m.allocate(toks)
         m.free(a, token_ids=toks)  # 2 blocks cached
@@ -110,17 +124,17 @@ class TestKVCacheManager:
         assert b is not None and len(b.blocks) == 4
         m.free(b)
 
-    def test_allocate_oom_returns_none(self):
-        m = KVCacheManager(num_blocks=3, block_size=4)
+    def test_allocate_oom_returns_none(self, make_manager):
+        m = make_manager(num_blocks=3, block_size=4)
         a = m.allocate(list(range(8)))
         assert a is not None
         assert m.allocate(list(range(100, 108))) is None
         m.free(a)
 
-    def test_reused_blocks_survive_owner_free(self):
+    def test_reused_blocks_survive_owner_free(self, make_manager):
         """A reused block freed by the original owner must stay valid for the
         second stream (refcount semantics)."""
-        m = KVCacheManager(num_blocks=9, block_size=4)
+        m = make_manager(num_blocks=9, block_size=4)
         toks = list(range(8))
         a = m.allocate(toks)
         m.free(a, token_ids=toks)
@@ -138,6 +152,6 @@ class TestKVCacheManager:
         assert big is not None and len(big.blocks) == 6
         m.free(big)
 
-    def test_estimate(self):
-        m = KVCacheManager(num_blocks=9, block_size=4)
+    def test_estimate(self, make_manager):
+        m = make_manager(num_blocks=9, block_size=4)
         assert m.estimate_peak_blocks(5, 10) == 4

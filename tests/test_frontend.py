@@ -209,3 +209,30 @@ async def _embeddings_roundtrip(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_n_return_sequences(fake_dir):
+    asyncio.run(_n_roundtrip(fake_dir))
+
+
+async def _n_roundtrip(fake_dir):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w1 w2"}],
+                "max_tokens": 5, "n": 3, "temperature": 0.9, "seed": 1,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert len(body["choices"]) == 3
+            assert [c["index"] for c in body["choices"]] == [0, 1, 2]
+            assert body["usage"]["completion_tokens"] >= 3
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
