@@ -30,10 +30,11 @@ from rtp_llm_tpu.quant.weight_only import quantized_matmul
 class LlamaFamilyModel:
     """Static model metadata + pure forward.
 
-    The KV cache is one array ``[L, 2, Hkv, num_blocks * block_size, D]``
-    (head-major flat-slot pool — see ops/kv_cache.py for why this layout);
-    each layer statically slices its slab (XLA fuses the slice into the
-    gather / scatter, no copy). Block 0 is the null block for padding tokens.
+    The KV cache is one array ``[L, 2, num_blocks * block_size, Hkv * D]``
+    (flat-slot rows with heads folded into lanes — see ops/kv_cache.py for
+    why this layout); each layer statically slices its slab (XLA fuses the
+    slice into the gather / scatter, no copy). Block 0 is the null block for
+    padding tokens.
     """
 
     def __init__(self, cfg: ModelConfig):
@@ -52,7 +53,8 @@ class LlamaFamilyModel:
 
     def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
         c = self.cfg
-        return (c.num_layers, 2, c.num_kv_heads, num_blocks * block_size, c.head_dim)
+        return (c.num_layers, 2, num_blocks * block_size,
+                c.num_kv_heads * c.head_dim)
 
     def init_cache(
         self, num_blocks: int, block_size: int, dtype=jnp.bfloat16

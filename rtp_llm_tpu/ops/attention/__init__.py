@@ -26,7 +26,7 @@ def default_backend() -> str:
 
 def paged_attention(
     q: jnp.ndarray,  # [B, T, Hq, D]
-    k_cache: jnp.ndarray,  # [Hkv, slots, D]
+    k_cache: jnp.ndarray,  # [slots, Hkv*D]
     v_cache: jnp.ndarray,
     block_tables: jnp.ndarray,  # [B, MB]
     kv_lens: jnp.ndarray,  # [B]
@@ -38,7 +38,7 @@ def paged_attention(
     backend: str = "auto",
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
-    hkv = k_cache.shape[0]
+    hkv = k_cache.shape[1] // d
     if backend == "auto":
         backend = default_backend()
     use_pallas = (

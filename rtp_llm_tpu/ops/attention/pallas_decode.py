@@ -2,26 +2,31 @@
 
 The hot serving kernel — TPU-native replacement for the reference's decode
 FMHA backends (flashinfer decode / XQA, rtp_llm/models_py/modules/factory/
-attention/attn_factory.py:200). One grid program per (batch row, kv head):
-KV blocks stream HBM->VMEM with double-buffered DMA driven by the
-scalar-prefetched block table, so HBM traffic is proportional to each row's
-*actual* kv length — unlike a gather over the padded block table. Online
-(flash) softmax in fp32.
+attention/attn_factory.py:200).
+
+Design notes (v2):
+  * pallas grid steps execute SERIALLY on a TensorCore, so the unit of work
+    must be large enough to hide DMA latency: one grid step = one batch row,
+    ALL kv heads;
+  * the pool layout [num_slots, Hkv*D] (ops/kv_cache.py) makes one block's
+    slab a contiguous [block_size, Hkv*D] region (e.g. 32 KiB) — large
+    aligned DMAs instead of per-head strided 8 KiB reads;
+  * a 4-deep DMA pipeline (k and v issued together) keeps the HBM streams
+    busy while the VPU/MXU does the online-softmax math of earlier blocks;
+  * scores/softmax in fp32; per-head state is a small pytree carried through
+    the block loop.
 
 Layouts:
-  q          [B, Hq, D]                 (T = 1)
-  k/v cache  [Hkv, NB*BS, D]            (head-major flat-slot pool, in HBM;
-                                         head axis untiled => aligned DMA)
-  block_tables [B, MB] i32 (scalar-prefetch)
-  kv_lens      [B] i32     (scalar-prefetch; counts tokens already written,
-                            including this step's token)
-  out        [B, Hq, D]
+  q            [B, Hq, D]           (T = 1)
+  k/v cache    [NS, Hkv*D]          (paged pool, stays in HBM)
+  block_tables [B, MB] i32          (scalar-prefetch)
+  kv_lens      [B] i32              (scalar-prefetch; includes current token)
+  out          [B, Hq, D]
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+NBUF = 4  # DMA pipeline depth (blocks in flight per stream)
 
 
 def _decode_kernel(
@@ -36,29 +42,31 @@ def _decode_kernel(
     block_tables_ref,  # [B, MB] i32 (SMEM)
     kv_lens_ref,  # [B] i32 (SMEM)
     # inputs
-    q_ref,  # [1, 1, G, D] VMEM block
-    k_hbm,  # [Hkv, NB*BS, D] ANY/HBM
-    v_hbm,  # [Hkv, NB*BS, D] ANY/HBM
+    q_ref,  # [1, Hq, D] VMEM block
+    k_hbm,  # [NS, Hkv*D] ANY/HBM
+    v_hbm,  # [NS, Hkv*D] ANY/HBM
     # output
-    o_ref,  # [1, 1, G, D] VMEM block
+    o_ref,  # [1, Hq, D] VMEM block
     # scratch
-    k_buf,  # [2, BS, D] VMEM
-    v_buf,  # [2, BS, D] VMEM
-    sem,  # DMA sems [2, 2]
+    k_buf,  # [NBUF, BS, Hkv*D] VMEM
+    v_buf,  # [NBUF, BS, Hkv*D] VMEM
+    sem,  # DMA sems [NBUF, 2]
     *,
     bs: int,
+    hkv: int,
+    d: int,
     sm_scale: float,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    g, d = q_ref.shape[2], q_ref.shape[3]
+    hq = q_ref.shape[1]
+    g = hq // hkv
 
     kv_len = kv_lens_ref[b]
     num_blocks = jax.lax.div(kv_len + bs - 1, bs)
 
     def slab(hbm, i):
         start = pl.multiple_of(block_tables_ref[b, i] * bs, bs)
-        return hbm.at[h, pl.ds(start, bs), :]
+        return hbm.at[pl.ds(start, bs), :]
 
     def start_dma(slot, i):
         pltpu.make_async_copy(slab(k_hbm, i), k_buf.at[slot], sem.at[slot, 0]).start()
@@ -68,48 +76,68 @@ def _decode_kernel(
         pltpu.make_async_copy(slab(k_hbm, i), k_buf.at[slot], sem.at[slot, 0]).wait()
         pltpu.make_async_copy(slab(v_hbm, i), v_buf.at[slot], sem.at[slot, 1]).wait()
 
-    @pl.when(num_blocks > 0)
-    def _():
-        start_dma(0, 0)
+    # warm the pipeline
+    for j in range(NBUF):
+        @pl.when(j < num_blocks)
+        def _(j=j):
+            start_dma(j, j)
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [G, D]
+    q = q_ref[0].astype(jnp.float32) * sm_scale  # [Hq, D]
 
     def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < num_blocks)
-        def _():
-            start_dma(jax.lax.rem(i + 1, 2), i + 1)
-
+        m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,D]
+        slot = jax.lax.rem(i, NBUF)
         wait_dma(slot, i)
-        k = k_buf[slot].astype(jnp.float32)  # [BS, D]
-        v = v_buf[slot].astype(jnp.float32)  # [BS, D]
+        k = k_buf[slot]  # [BS, Hkv*D]
+        v = v_buf[slot]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [G, BS]
         pos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        s = jnp.where(pos < kv_len, s, NEG_INF)
+        invalid = pos >= kv_len  # [1, BS]
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))  # [G,1]
+        # per-kv-head scores; q rows h*g:(h+1)*g share kv head h
+        s_parts = []
+        for h in range(hkv):
+            kh = k[:, h * d : (h + 1) * d].astype(jnp.float32)  # [BS, D]
+            qh = q[h * g : (h + 1) * g]  # [G, D]
+            s_h = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, BS]
+            s_parts.append(s_h)
+        s = jnp.concatenate(s_parts, axis=0) if hkv > 1 else s_parts[0]  # [Hq, BS]
+        s = jnp.where(invalid, NEG_INF, s)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)  # [G, BS]
+        p = jnp.exp(s - m_new)  # [Hq, BS]
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+
+        o_parts = []
+        for h in range(hkv):
+            vh = v[:, h * d : (h + 1) * d].astype(jnp.float32)  # [BS, D]
+            ph = p[h * g : (h + 1) * g]  # [G, BS]
+            o_h = jax.lax.dot_general(
+                ph, vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, D]
+            o_parts.append(o_h)
+        pv = jnp.concatenate(o_parts, axis=0) if hkv > 1 else o_parts[0]  # [Hq, D]
+        acc_new = acc * alpha + pv
+
+        @pl.when(i + NBUF < num_blocks)
+        def _():
+            start_dma(slot, i + NBUF)
+
         return m_new, l_new, acc_new
 
-    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((g, 1), jnp.float32)
-    acc0 = jnp.zeros((g, d), jnp.float32)
+    m0 = jnp.full((hq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((hq, 1), jnp.float32)
+    acc0 = jnp.zeros((hq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
 
     out = acc / jnp.maximum(l, 1e-20)
-    # inactive rows (kv_len == 0): return zeros
-    out = jnp.where(kv_len > 0, out, 0.0)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    out = jnp.where(kv_len > 0, out, 0.0)  # inactive rows -> zeros
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -117,8 +145,8 @@ def _decode_kernel(
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, Hq, D]
-    k_cache: jnp.ndarray,  # [Hkv, NB*BS, D]
-    v_cache: jnp.ndarray,  # [Hkv, NB*BS, D]
+    k_cache: jnp.ndarray,  # [NS, Hkv*D]
+    v_cache: jnp.ndarray,  # [NS, Hkv*D]
     block_tables: jnp.ndarray,  # [B, MB] i32
     kv_lens: jnp.ndarray,  # [B] i32
     sm_scale: float,
@@ -126,35 +154,32 @@ def paged_decode_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
-    hkv = k_cache.shape[0]
+    hkv = k_cache.shape[1] // d
     bs = block_size
-    g = hq // hkv
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, hkv),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, g, d), lambda i, j, *_: (i, j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, g, d), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, bs, d), k_cache.dtype),
-            pltpu.VMEM((2, bs, d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((NBUF, bs, hkv * d), k_cache.dtype),
+            pltpu.VMEM((NBUF, bs, hkv * d), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, 2)),
         ],
     )
-    q4 = q.reshape(b, hkv, g, d)
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, bs=bs, sm_scale=sm_scale),
+        functools.partial(
+            _decode_kernel, bs=bs, hkv=hkv, d=d, sm_scale=sm_scale
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
-    )(block_tables, kv_lens, q4, k_cache, v_cache)
-    return out.reshape(b, hq, d)
+    )(block_tables, kv_lens, q, k_cache, v_cache)
+    return out

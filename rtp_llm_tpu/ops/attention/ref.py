@@ -20,8 +20,8 @@ _HI = jax.lax.Precision.HIGHEST
 
 def paged_attention_ref(
     q: jnp.ndarray,  # [B, T, Hq, D]
-    k_cache: jnp.ndarray,  # [Hkv, num_slots, D] (num_slots = NB * block_size)
-    v_cache: jnp.ndarray,  # [Hkv, num_slots, D]
+    k_cache: jnp.ndarray,  # [num_slots, Hkv*D] (num_slots = NB * block_size)
+    v_cache: jnp.ndarray,  # [num_slots, Hkv*D]
     block_tables: jnp.ndarray,  # [B, max_blocks] int32
     kv_lens: jnp.ndarray,  # [B] int32 — total valid kv length per row
     q_offsets: jnp.ndarray,  # [B] int32 — absolute position of first query token
@@ -31,7 +31,7 @@ def paged_attention_ref(
     soft_cap: float = 0.0,
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
-    hkv = k_cache.shape[0]
+    hkv = k_cache.shape[1] // d
     g = hq // hkv  # GQA group size
     s = block_tables.shape[1] * block_size  # padded kv length
 
@@ -40,8 +40,8 @@ def paged_attention_ref(
         block_tables[:, :, None] * block_size
         + jnp.arange(block_size, dtype=jnp.int32)[None, None, :]
     ).reshape(b, s)
-    k = jnp.moveaxis(k_cache[:, idx], 0, 2)  # [B, S, Hkv, D]
-    v = jnp.moveaxis(v_cache[:, idx], 0, 2)
+    k = k_cache[idx].reshape(b, s, hkv, d)
+    v = v_cache[idx].reshape(b, s, hkv, d)
 
     qf = q.reshape(b, t, hkv, g, d).astype(jnp.float32)
     kf = k.astype(jnp.float32)

@@ -3,11 +3,17 @@
 TPU-native equivalent of the reference's KV-cache write kernels
 (models_py/bindings/common/kernels/kv_cache_kernels.cu).
 
-Pool layout (per layer, per k/v): ``[Hkv, num_blocks * block_size, D]`` —
-head-major with a flat slot axis. This ordering is chosen for the TPU memory
-system: the tiled (sublane, lane) dims are (slots, D), so the Pallas decode
-kernel can DMA one block's slab ``[block_size, D]`` for one head with aligned
-slices (head axis is untiled), and a block's tokens are contiguous in HBM.
+Pool layout (per layer, per k/v): ``[num_blocks * block_size, Hkv * D]`` —
+flat slot-major rows with all kv heads folded into the lane dimension. Chosen
+for the TPU memory system:
+
+  * one block's slab is ``[block_size, Hkv*D]`` — fully contiguous in HBM
+    (e.g. 32 x 512 x 2B = 32 KiB), so the Pallas decode kernel streams whole
+    blocks with large aligned DMAs instead of per-head 8 KiB strided reads;
+  * the tiled (sublane, lane) dims are (slots, Hkv*D): block-aligned slices
+    on the slot dim satisfy Mosaic's tiling rules, and per-head access inside
+    a kernel is a cheap lane slice at multiples of 128 (head_dim);
+  * a token's KV write is a plain row scatter ``cache.at[slots]``.
 
 A token at absolute position ``p`` of a request with block table ``bt`` lives
 at flat slot ``bt[p // block_size] * block_size + p % block_size``. Block 0 is
@@ -49,13 +55,14 @@ def write_kv(
 ):
     """Scatter new KV rows into the paged cache.
 
-    k_cache/v_cache: [Hkv, num_slots, D] (num_slots = num_blocks * block_size)
-    k_new/v_new: [T, Hkv, D]; slots: [T] flat slots (out-of-bounds = drop).
-    Returns updated (k_cache, v_cache). Under jit with donated caches this is an
-    in-place scatter.
+    k_cache/v_cache: [num_slots, Hkv*D] (num_slots = num_blocks * block_size)
+    k_new/v_new: [T, Hkv, D] (or [T, Hkv*D]); slots: [T] flat slots
+    (out-of-bounds = drop). Under jit with donated caches this is an in-place
+    row scatter.
     """
-    kt = jnp.swapaxes(k_new, 0, 1).astype(k_cache.dtype)  # [Hkv, T, D]
-    vt = jnp.swapaxes(v_new, 0, 1).astype(v_cache.dtype)
-    k_cache = k_cache.at[:, slots].set(kt, mode="drop")
-    v_cache = v_cache.at[:, slots].set(vt, mode="drop")
+    t = k_new.shape[0]
+    kt = k_new.reshape(t, -1).astype(k_cache.dtype)
+    vt = v_new.reshape(t, -1).astype(v_cache.dtype)
+    k_cache = k_cache.at[slots].set(kt, mode="drop")
+    v_cache = v_cache.at[slots].set(vt, mode="drop")
     return k_cache, v_cache

@@ -57,11 +57,11 @@ def make_weight_shard_fn(mesh: Mesh, model_config: ModelConfig):
 
 
 def cache_sharding(mesh: Mesh, model_config: ModelConfig) -> NamedSharding:
-    """KV cache [L, 2, Hkv, slots, D]: kv heads over tp (same split as k/v
-    projections so attention is fully local per shard)."""
+    """KV cache [L, 2, slots, Hkv*D]: kv heads (lane dim) over tp — the same
+    split as the k/v projections so attention is fully local per shard."""
     tp = mesh.shape["tp"]
     if model_config.num_kv_heads % tp == 0:
-        return NamedSharding(mesh, P(None, None, "tp", None, None))
+        return NamedSharding(mesh, P(None, None, None, "tp"))
     return NamedSharding(mesh, P())
 
 

@@ -25,7 +25,7 @@ def dense_attention(q, k, v, causal_offset, kv_len, sliding_window=0):
 
 
 def build_cache(k_tokens, v_tokens, block_table, block_size, num_blocks, hkv, d):
-    k_cache = jnp.zeros((hkv, num_blocks * block_size, d), jnp.float32)
+    k_cache = jnp.zeros((num_blocks * block_size, hkv * d), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     t = k_tokens.shape[0]
     pos = jnp.arange(t, dtype=jnp.int32)
@@ -61,7 +61,7 @@ def test_paged_decode_matches_dense_batch():
     hq, hkv, d, bsz = 8, 4, 16, 4
     num_blocks, max_blocks = 16, 4
     lens = [7, 13]  # two sequences mid-decode
-    k_cache = jnp.zeros((hkv, num_blocks * bsz, d), jnp.float32)
+    k_cache = jnp.zeros((num_blocks * bsz, hkv * d), jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     tables, ks, vs = [], [], []
     next_block = 1  # 0 = null block
@@ -95,7 +95,7 @@ def test_paged_decode_matches_dense_batch():
 
 
 def test_inactive_row_produces_zeros_not_nan():
-    k_cache = jnp.zeros((2, 16, 8), jnp.float32)
+    k_cache = jnp.zeros((16, 2 * 8), jnp.float32)
     q = jnp.ones((1, 1, 4, 8), jnp.float32)
     out = paged_attention_ref(
         q,

@@ -72,8 +72,8 @@ def test_rope_scaling_variants_run():
 
 def test_token_slots_and_write_kv():
     bs = 4
-    k_cache = jnp.zeros((2, 3 * bs, 8))
-    v_cache = jnp.zeros((2, 3 * bs, 8))
+    k_cache = jnp.zeros((3 * bs, 2 * 8))
+    v_cache = jnp.zeros((3 * bs, 2 * 8))
     block_table = jnp.array([2, 1, 0], dtype=jnp.int32)
     positions = jnp.array([0, 1, 4, 5], dtype=jnp.int32)  # block 2 offs 0,1; block 1 offs 0,1
     valid = jnp.array([True, True, True, False])
@@ -83,10 +83,10 @@ def test_token_slots_and_write_kv():
 
     k_new = jnp.arange(4 * 2 * 8, dtype=jnp.float32).reshape(4, 2, 8)
     k2, v2 = write_kv(k_cache, v_cache, k_new, k_new, slots)
-    # cache layout [Hkv, slots, D]: token i head h at k2[h, slot_i]
-    np.testing.assert_allclose(np.asarray(k2[:, 8]), np.asarray(k_new[0]))
-    np.testing.assert_allclose(np.asarray(k2[:, 9]), np.asarray(k_new[1]))
-    np.testing.assert_allclose(np.asarray(k2[:, 4]), np.asarray(k_new[2]))
+    # cache layout [slots, Hkv*D]: token i occupies row slot_i
+    np.testing.assert_allclose(np.asarray(k2[8]), np.asarray(k_new[0]).reshape(-1))
+    np.testing.assert_allclose(np.asarray(k2[9]), np.asarray(k_new[1]).reshape(-1))
+    np.testing.assert_allclose(np.asarray(k2[4]), np.asarray(k_new[2]).reshape(-1))
     # invalid token dropped: nothing else written
     assert float(jnp.sum(k2)) == pytest.approx(
         float(jnp.sum(k_new[0]) + jnp.sum(k_new[1]) + jnp.sum(k_new[2]))

@@ -17,8 +17,8 @@ def _setup(b=4, hq=8, hkv=2, d=128, nb=32, bs=BS, max_blocks=8, seed=0,
            kv_lens=None):
     rng = np.random.default_rng(seed)
     q = rng.standard_normal((b, 1, hq, d)).astype(np.float32)
-    k_cache = rng.standard_normal((hkv, nb * bs, d)).astype(np.float32)
-    v_cache = rng.standard_normal((hkv, nb * bs, d)).astype(np.float32)
+    k_cache = rng.standard_normal((nb * bs, hkv * d)).astype(np.float32)
+    v_cache = rng.standard_normal((nb * bs, hkv * d)).astype(np.float32)
     if kv_lens is None:
         kv_lens = rng.integers(1, max_blocks * bs, size=(b,))
     kv_lens = np.asarray(kv_lens, np.int32)
