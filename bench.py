@@ -148,6 +148,9 @@ def main():
         quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
     )
     engine = LlmEngine(model, weights, econf)
+    t0 = time.time()
+    engine.warmup()
+    t_warmup = time.time() - t0
 
     rng = np.random.default_rng(0)
     gc = lambda: GenerateConfig(
@@ -207,6 +210,7 @@ def main():
             "ttft_p50_ms": round(float(np.median(ttfts)) * 1e3, 1) if ttfts else None,
             "prefill_total_s": round(prefill_time, 2),
             "weight_init_s": round(t_weights, 1),
+            "warmup_s": round(t_warmup, 1),
             "roofline_tps": round(ideal_tps, 1),
             "device": str(jax.devices()[0]),
         },

@@ -478,6 +478,59 @@ class LlmEngine:
                     self._release_stream(s)
                     break
 
+    # ---- warmup ----
+
+    def warmup(self):
+        """Compile every device program ahead of serving (reference:
+        NormalEngine::warmUp, NormalEngine.cc:208): all prefill buckets, the
+        decode program (both sampling variants), slot ops, and the verify
+        program. Dummy rows target the null block with kv_len=0 so no real
+        state is touched."""
+        t0 = time.time()
+        b = self.config.scheduler.max_batch_size
+        mb = self.max_blocks_per_seq
+        with self.device_lock:
+            for bucket in self.config.scheduler.prefill_buckets:
+                fn = self._get_prefill_fn(bucket)
+                self.kv, _ = fn(
+                    self.weights, self.kv,
+                    jnp.zeros((1, bucket), jnp.int32),
+                    jnp.zeros((1, bucket), jnp.int32),
+                    jnp.zeros((1, mb), jnp.int32),
+                    jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1,), jnp.int32),
+                )
+            for need_sampling in (False, True):
+                self.kv, self.state, _, _ = self._decode_jit(
+                    self.weights, self.kv, self.state, need_sampling
+                )
+            if self.spec.enabled:
+                self.kv, self.state, _, _ = self._verify_jit(
+                    self.weights, self.kv, self.state,
+                    jnp.zeros((b, self.spec.draft_tokens), jnp.int32),
+                )
+            # slot ops + first-token sampler
+            v = self.model.cfg.vocab_size
+            params1 = SamplingParams.zeros(1)
+            for need in (False, True):
+                self._first_sample_jit(
+                    jnp.zeros((1, v), jnp.float32), params1,
+                    jnp.zeros((1, v), bool), self.state.rng, need,
+                )
+            self.state = self._insert_jit(
+                self.state, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                jnp.zeros((mb,), jnp.int32), jnp.zeros((v,), bool),
+                np.float32(1.0), np.int32(0), np.float32(1.0), False,
+                np.float32(1.0), np.float32(0.0), np.float32(0.0), False,
+            )
+            self.state = self._clear_jit(self.state, jnp.int32(0))
+            self.state = self._set_blocks_jit(
+                self.state, jnp.int32(0), jnp.zeros((mb,), jnp.int32)
+            )
+            self.state = self._set_ban_jit(self.state, jnp.zeros((b,), bool))
+            jax.block_until_ready(self.state)
+        logger.info("engine warmup done in %.1fs", time.time() - t0)
+
     # ---- public API ----
 
     def enqueue(

@@ -234,3 +234,10 @@ class TestSampling:
         else:
             # chain may not revisit within 10 steps; at minimum it ran
             assert pen == base
+
+
+def test_warmup_compiles_without_state_change():
+    eng = make_engine()
+    eng.warmup()
+    s = eng.generate([1, 2, 3], greedy(6))
+    assert s.output_token_ids == expected_chain([1, 2, 3], 6)
