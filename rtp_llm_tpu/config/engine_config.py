@@ -119,6 +119,10 @@ class ServerConfig:
     served_model_name: Optional[str] = None
     log_level: str = "INFO"
     access_log: bool = True
+    # static LoRA adapters merged at load: "name=path[,name2=path2...]"
+    # (reference: static lora merge, rtp_llm/lora/; dynamic adapters are
+    # registered at runtime through the LoraManager)
+    lora_adapters: str = ""
 
 
 @dataclasses.dataclass

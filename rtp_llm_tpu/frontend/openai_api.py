@@ -319,6 +319,35 @@ class OpenAIApp:
     async def metrics(self, request: web.Request):
         return web.json_response(METRICS.snapshot())
 
+    async def start_profile(self, request: web.Request):
+        """Start a jax.profiler trace window (reference: StartProfile RPC,
+        proto :696 + /start_profile route, frontend_app.py:291)."""
+        import jax
+
+        body = await request.json() if request.can_read_body else {}
+        trace_dir = body.get("dir", "/tmp/rtp_llm_trace")
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except RuntimeError as e:
+            raise web.HTTPConflict(text=str(e))
+        return web.json_response({"status": "started", "dir": trace_dir})
+
+    async def stop_profile(self, request: web.Request):
+        import jax
+
+        try:
+            jax.profiler.stop_trace()
+        except RuntimeError as e:
+            raise web.HTTPConflict(text=str(e))
+        return web.json_response({"status": "stopped"})
+
+    async def set_log_level(self, request: web.Request):
+        """Reference: /set_log_level (HttpApiServer.cc:150-315)."""
+        body = await request.json()
+        level = str(body.get("level", "INFO")).upper()
+        logging.getLogger().setLevel(getattr(logging, level, logging.INFO))
+        return web.json_response({"status": "ok", "level": level})
+
     async def tokenizer_encode(self, request: web.Request):
         body = await request.json()
         text = body.get("prompt", body.get("text", ""))
@@ -370,5 +399,8 @@ class OpenAIApp:
             web.get("/status", self.health),
             web.get("/worker_status", self.worker_status),
             web.get("/metrics", self.metrics),
+            web.post("/start_profile", self.start_profile),
+            web.post("/stop_profile", self.stop_profile),
+            web.post("/set_log_level", self.set_log_level),
         ])
         return app

@@ -4,17 +4,21 @@ The hot serving kernel — TPU-native replacement for the reference's decode
 FMHA backends (flashinfer decode / XQA, rtp_llm/models_py/modules/factory/
 attention/attn_factory.py:200).
 
-Design notes (v2):
-  * pallas grid steps execute SERIALLY on a TensorCore, so the unit of work
-    must be large enough to hide DMA latency: one grid step = one batch row,
-    ALL kv heads;
+Design notes (v3):
+  * pallas grid steps execute SERIALLY on a TensorCore, so one grid step = one
+    batch row with ALL kv heads, and each loop iteration covers a CHUNK of
+    KV blocks (C x block_size tokens) to amortize loop/DMA overhead;
   * the pool layout [num_slots, Hkv*D] (ops/kv_cache.py) makes one block's
     slab a contiguous [block_size, Hkv*D] region (e.g. 32 KiB) — large
-    aligned DMAs instead of per-head strided 8 KiB reads;
-  * a 4-deep DMA pipeline (k and v issued together) keeps the HBM streams
-    busy while the VPU/MXU does the online-softmax math of earlier blocks;
-  * scores/softmax in fp32; per-head state is a small pytree carried through
-    the block loop.
+    aligned DMAs, no per-head strides;
+  * GQA is expressed as ONE MXU matmul per chunk by zero-expanding the query:
+    q_exp[h*G+g] holds q[h*G+g] in kv-head-h's lane segment and zeros
+    elsewhere, so scores = q_exp @ chunk^T sums over exactly the right
+    segment — no sublane-misaligned per-head slicing inside the loop.
+    The PV product is one matmul into [Hq, Hkv*D] followed by an aligned
+    per-segment select-accumulate;
+  * double-buffered chunk DMAs (k and v in flight together), fp32 online
+    softmax.
 
 Layouts:
   q            [B, Hq, D]           (T = 1)
@@ -34,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-NBUF = 4  # DMA pipeline depth (blocks in flight per stream)
+NBUF = 2  # chunk buffers in flight
+CHUNK_BLOCKS = 4  # KV blocks fetched per loop iteration
 
 
 def _decode_kernel(
@@ -42,98 +47,105 @@ def _decode_kernel(
     block_tables_ref,  # [B, MB] i32 (SMEM)
     kv_lens_ref,  # [B] i32 (SMEM)
     # inputs
-    q_ref,  # [1, Hq, D] VMEM block
+    qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
     k_hbm,  # [NS, Hkv*D] ANY/HBM
     v_hbm,  # [NS, Hkv*D] ANY/HBM
     # output
-    o_ref,  # [1, Hq, D] VMEM block
+    o_ref,  # [1, Hq, Hkv*D] VMEM block (per-segment partial outputs)
     # scratch
-    k_buf,  # [NBUF, BS, Hkv*D] VMEM
-    v_buf,  # [NBUF, BS, Hkv*D] VMEM
-    sem,  # DMA sems [NBUF, 2]
+    k_buf,  # [NBUF, C*BS, Hkv*D] VMEM
+    v_buf,  # [NBUF, C*BS, Hkv*D] VMEM
+    sem,  # DMA sems [NBUF, C, 2]
     *,
     bs: int,
-    hkv: int,
-    d: int,
+    c: int,
     sm_scale: float,
 ):
     b = pl.program_id(0)
-    hq = q_ref.shape[1]
-    g = hq // hkv
+    hq = qe_ref.shape[1]
+    hd = qe_ref.shape[2]
 
     kv_len = kv_lens_ref[b]
     num_blocks = jax.lax.div(kv_len + bs - 1, bs)
+    num_chunks = jax.lax.div(num_blocks + c - 1, c)
 
-    def slab(hbm, i):
-        start = pl.multiple_of(block_tables_ref[b, i] * bs, bs)
+    def slab(hbm, blk_idx):
+        # clamp overhang blocks of the last chunk to a valid table entry —
+        # their rows are position-masked, but must hold finite values
+        # (0 * NaN = NaN in the PV matmul otherwise)
+        safe = jax.lax.min(blk_idx, jax.lax.max(num_blocks - 1, 0))
+        start = pl.multiple_of(block_tables_ref[b, safe] * bs, bs)
         return hbm.at[pl.ds(start, bs), :]
 
-    def start_dma(slot, i):
-        pltpu.make_async_copy(slab(k_hbm, i), k_buf.at[slot], sem.at[slot, 0]).start()
-        pltpu.make_async_copy(slab(v_hbm, i), v_buf.at[slot], sem.at[slot, 1]).start()
+    def start_chunk(slot, ci):
+        for j in range(c):
+            blk = ci * c + j
+            pltpu.make_async_copy(
+                slab(k_hbm, blk),
+                k_buf.at[slot, pl.ds(j * bs, bs), :],
+                sem.at[slot, j, 0],
+            ).start()
+            pltpu.make_async_copy(
+                slab(v_hbm, blk),
+                v_buf.at[slot, pl.ds(j * bs, bs), :],
+                sem.at[slot, j, 1],
+            ).start()
 
-    def wait_dma(slot, i):
-        pltpu.make_async_copy(slab(k_hbm, i), k_buf.at[slot], sem.at[slot, 0]).wait()
-        pltpu.make_async_copy(slab(v_hbm, i), v_buf.at[slot], sem.at[slot, 1]).wait()
+    def wait_chunk(slot, ci):
+        for j in range(c):
+            blk = ci * c + j
+            pltpu.make_async_copy(
+                slab(k_hbm, blk),
+                k_buf.at[slot, pl.ds(j * bs, bs), :],
+                sem.at[slot, j, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                slab(v_hbm, blk),
+                v_buf.at[slot, pl.ds(j * bs, bs), :],
+                sem.at[slot, j, 1],
+            ).wait()
 
-    # warm the pipeline
     for j in range(NBUF):
-        @pl.when(j < num_blocks)
+        @pl.when(j < num_chunks)
         def _(j=j):
-            start_dma(j, j)
+            start_chunk(j, j)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale  # [Hq, D]
+    qe = qe_ref[0].astype(jnp.float32) * sm_scale  # [Hq, HD]
 
-    def body(i, carry):
-        m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,D]
-        slot = jax.lax.rem(i, NBUF)
-        wait_dma(slot, i)
-        k = k_buf[slot]  # [BS, Hkv*D]
+    def body(ci, carry):
+        m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,HD]
+        slot = jax.lax.rem(ci, NBUF)
+        wait_chunk(slot, ci)
+        k = k_buf[slot]  # [C*BS, HD]
         v = v_buf[slot]
 
-        pos = i * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        invalid = pos >= kv_len  # [1, BS]
-
-        # per-kv-head scores; q rows h*g:(h+1)*g share kv head h
-        s_parts = []
-        for h in range(hkv):
-            kh = k[:, h * d : (h + 1) * d].astype(jnp.float32)  # [BS, D]
-            qh = q[h * g : (h + 1) * g]  # [G, D]
-            s_h = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, BS]
-            s_parts.append(s_h)
-        s = jnp.concatenate(s_parts, axis=0) if hkv > 1 else s_parts[0]  # [Hq, BS]
-        s = jnp.where(invalid, NEG_INF, s)
+        s = jax.lax.dot_general(
+            qe, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, C*BS]
+        pos = ci * (c * bs) + jax.lax.broadcasted_iota(jnp.int32, (1, c * bs), 1)
+        s = jnp.where(pos >= kv_len, NEG_INF, s)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)  # [Hq, BS]
+        p = jnp.exp(s - m_new)  # [Hq, C*BS]
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-        o_parts = []
-        for h in range(hkv):
-            vh = v[:, h * d : (h + 1) * d].astype(jnp.float32)  # [BS, D]
-            ph = p[h * g : (h + 1) * g]  # [G, BS]
-            o_h = jax.lax.dot_general(
-                ph, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [G, D]
-            o_parts.append(o_h)
-        pv = jnp.concatenate(o_parts, axis=0) if hkv > 1 else o_parts[0]  # [Hq, D]
+        pv = jax.lax.dot_general(
+            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, HD]
         acc_new = acc * alpha + pv
 
-        @pl.when(i + NBUF < num_blocks)
+        @pl.when(ci + NBUF < num_chunks)
         def _():
-            start_dma(slot, i + NBUF)
+            start_chunk(slot, ci + NBUF)
 
         return m_new, l_new, acc_new
 
     m0 = jnp.full((hq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((hq, 1), jnp.float32)
-    acc0 = jnp.zeros((hq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_blocks, body, (m0, l0, acc0))
+    acc0 = jnp.zeros((hq, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
 
     out = acc / jnp.maximum(l, 1e-20)
     out = jnp.where(kv_len > 0, out, 0.0)  # inactive rows -> zeros
@@ -154,32 +166,42 @@ def paged_decode_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
-    hkv = k_cache.shape[1] // d
+    hd = k_cache.shape[1]
+    hkv = hd // d
+    g = hq // hkv
     bs = block_size
+    c = CHUNK_BLOCKS
+
+    # zero-expand: q_exp[b, h*G+g, :] = q row placed in kv-head h's segment
+    q4 = q.reshape(b, hkv, g, d)
+    eye = jnp.eye(hkv, dtype=q.dtype)  # [Hkv(source), Hkv(segment)]
+    q_exp = jnp.einsum("bkgd,kh->bkghd", q4, eye).reshape(b, hq, hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, bs, hkv * d), k_cache.dtype),
-            pltpu.VMEM((NBUF, bs, hkv * d), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
+            pltpu.VMEM((NBUF, c * bs, hd), k_cache.dtype),
+            pltpu.VMEM((NBUF, c * bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((NBUF, c, 2)),
         ],
     )
-    out = pl.pallas_call(
-        functools.partial(
-            _decode_kernel, bs=bs, hkv=hkv, d=d, sm_scale=sm_scale
-        ),
+    out_full = pl.pallas_call(
+        functools.partial(_decode_kernel, bs=bs, c=c, sm_scale=sm_scale),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
         interpret=interpret,
-    )(block_tables, kv_lens, q, k_cache, v_cache)
-    return out
+    )(block_tables, kv_lens, q_exp, k_cache, v_cache)
+
+    # collapse segments: head h*G+g's output lives in segment h
+    of = out_full.reshape(b, hkv, g, hkv, d)
+    out = jnp.einsum("bkghd,kh->bkgd", of, eye.astype(out_full.dtype))
+    return out.reshape(b, hq, d)

@@ -47,6 +47,19 @@ def build_engine(
     weights = CheckpointLoader(
         model_config, transform=transform, shard_fn=shard_fn
     ).load(model_path)
+
+    if config.server.lora_adapters:
+        from rtp_llm_tpu.lora import load_peft_adapter, merge_lora
+
+        for spec in config.server.lora_adapters.split(","):
+            name, _, path = spec.partition("=")
+            adapter = load_peft_adapter(
+                path or name, model_config.num_layers,
+                name if path else None,
+            )
+            logger.info("merging static LoRA adapter %r", adapter.name)
+            weights = merge_lora(weights, adapter)
+
     model = create_model(model_config)
     return LlmEngine(model, weights, config, mesh=mesh)
 
