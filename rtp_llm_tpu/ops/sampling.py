@@ -59,20 +59,31 @@ def apply_penalties(
     return logits
 
 
+# Candidate cap for top-k/top-p filtering: a full [B, V] sort is ~the cost of
+# an extra decode layer at V=150k; restricting to the top TOPK_CAP candidates
+# (lax.top_k, O(V log cap)) is exact for top_k <= cap and, for top-p, exact
+# whenever the nucleus fits in the cap (p mass outside the top-64 of an LLM
+# distribution is negligible). Reference analog: the CUDA sampler's two-pass
+# top-k kernels (sampling_topk_kernels).
+TOPK_CAP = 64
+
+
 def _topk_topp_mask(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
     """Mask logits outside the per-row top-k / top-p nucleus with NEG_INF."""
     v = logits.shape[-1]
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]  # desc
-    # top-k threshold: value of the k-th largest (k=0 -> keep all)
-    k = jnp.where(params.top_k > 0, jnp.clip(params.top_k, 1, v), v)
+    cap = min(TOPK_CAP, v)
+    sorted_logits, _ = jax.lax.top_k(logits, cap)  # [B, cap] desc
+    # top-k threshold: value of the k-th largest (k=0 -> cap)
+    k = jnp.where(params.top_k > 0, jnp.clip(params.top_k, 1, cap), cap)
     kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
     keep_k = logits >= kth
-    # top-p: smallest prefix of sorted probs with cumsum >= top_p
-    probs_sorted = jax.nn.softmax(sorted_logits, axis=-1)
+    # top-p over the candidate set: smallest prefix with cumsum >= top_p
+    # (softmax over the full row so probabilities are exact)
+    lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+    probs_sorted = jnp.exp(sorted_logits - lse)  # [B, cap]
     cum = jnp.cumsum(probs_sorted, axis=-1)
     # keep sorted idx i if cum[i] - p_i < top_p  (always keeps the first token)
     keep_sorted = (cum - probs_sorted) < params.top_p[:, None]
-    # threshold = min kept prob value
     thresh = jnp.min(
         jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
