@@ -45,6 +45,8 @@ class ModelConfig:
     moe_router_score_fn: str = "softmax"  # softmax | sigmoid
     # dtypes
     dtype: str = "bfloat16"
+    # pre-quantized checkpoint info (HF quantization_config: gptq/awq)
+    quantization: Optional[dict] = None
     # special tokens
     bos_token_id: Optional[int] = None
     eos_token_id: Any = None  # int or list[int]
@@ -108,6 +110,14 @@ class ModelConfig:
             cfg.use_qk_norm = True
         if mt == "llama":
             cfg.attention_bias = hf.get("attention_bias", False)
+        qc = hf.get("quantization_config")
+        if qc and qc.get("quant_method") in ("gptq", "awq"):
+            cfg.quantization = {
+                "method": qc.get("quant_method"),
+                "bits": qc.get("bits", 4),
+                "group_size": qc.get("group_size", 128),
+                "desc_act": qc.get("desc_act", False),
+            }
         sw = hf.get("sliding_window")
         if sw and hf.get("use_sliding_window", False):
             cfg.sliding_window = int(sw)

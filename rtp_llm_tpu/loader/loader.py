@@ -153,6 +153,10 @@ class CheckpointLoader:
         available = set(src.names())
         for spec in get_weight_specs(cfg):
             entries = hf_names_for(spec, cfg.num_layers, cfg.num_experts)
+            if self._is_packed_quant(spec, available, entries):
+                for suffix, arr in self._assemble_packed(spec, src, entries).items():
+                    weights[spec.name + suffix] = self._place(spec, arr)
+                continue
             missing = [n for (_, _, n) in entries if n not in available]
             if missing:
                 if spec.optional:
@@ -168,6 +172,45 @@ class CheckpointLoader:
             # forward uses embed_tokens.T; no duplicate storage
             pass
         return weights
+
+    # ---- packed GPTQ/AWQ checkpoints (reference analog:
+    # model_loader/group_wise_quant_weight.py) ----
+
+    def _is_packed_quant(self, spec: WeightSpec, available, entries) -> bool:
+        q = self.cfg.quantization
+        if not q or q.get("method") not in ("gptq", "awq"):
+            return False
+        if spec.shard_axis not in ("out", "in", "expert"):
+            return False
+        first = entries[0][2]
+        return first.endswith(".weight") and (
+            first[: -len(".weight")] + ".qweight" in available
+        )
+
+    def _assemble_packed(self, spec: WeightSpec, src: _TensorSource, entries) -> dict:
+        from rtp_llm_tpu.quant.gptq_awq import awq_to_canonical, gptq_to_canonical
+
+        method = self.cfg.quantization["method"]
+        vals, scales, zeros = [], [], []
+        for (_l, _e, name) in entries:
+            base = name[: -len(".weight")]
+            qw = np.asarray(src.get(base + ".qweight"))
+            qz = np.asarray(src.get(base + ".qzeros"))
+            sc = np.asarray(src.get(base + ".scales"))
+            if method == "gptq":
+                gi = None
+                try:
+                    gi = np.asarray(src.get(base + ".g_idx"))
+                except KeyError:
+                    pass
+                v, s, z = gptq_to_canonical(qw, qz, sc, gi)
+            else:
+                v, s, z = awq_to_canonical(qw, qz, sc)
+            vals.append(v)
+            scales.append(s)
+            zeros.append(z)
+        stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
+        return {"": stack(vals), ".scale": stack(scales), ".zero": stack(zeros)}
 
     def _assemble(self, spec: WeightSpec, src: _TensorSource, entries) -> np.ndarray:
         def fetch(name: str) -> np.ndarray:

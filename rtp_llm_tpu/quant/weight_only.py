@@ -105,28 +105,35 @@ def make_quant_transform(quant: QuantConfig):
 
 def quantized_matmul(
     x: jnp.ndarray, w: jnp.ndarray, scale: Optional[jnp.ndarray],
+    zero: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """y = x @ dequant(w). Handles bf16 (scale None), int8 per-channel
-    ([out] scale) and int4 groupwise ([in/G, out] scale).
+    ([out] scale), symmetric int4 groupwise ([in/G, out] scale) and
+    asymmetric GPTQ/AWQ int4 (scale + zero [in/G, out]: W = (q - z) * s).
 
     XLA keeps w int8 in HBM and fuses the convert into the matmul operand —
     HBM reads are the quantized bytes, which is the whole point on a
-    bandwidth-bound decode step.
+    bandwidth-bound decode step. The asymmetric zero term factors out of the
+    contraction: y = (x @ q)·s - (sum_g x)·(z·s).
     """
     if scale is None:
         return x @ w
     if scale.ndim == w.ndim - 1:  # per-out-channel int8
         y = jnp.matmul(x, w.astype(x.dtype))
         return y * scale.astype(x.dtype)
-    # groupwise int4: scale [in/G, out]
+    # groupwise: scale [in/G, out]
     k = w.shape[-2]
     g = scale.shape[-2]
     group = k // g
     xg = x.reshape(*x.shape[:-1], g, group)
     wg = w.reshape(*w.shape[:-2], g, group, w.shape[-1])
-    # per-group partial matmuls, scaled then summed (einsum fuses on MXU)
     y = jnp.einsum(
         "...gk,gkn,gn->...n",
         xg, wg.astype(x.dtype), scale.astype(x.dtype),
     )
+    if zero is not None:
+        xsum = jnp.sum(xg, axis=-1)  # [..., g]
+        y = y - jnp.einsum(
+            "...g,gn->...n", xsum, (zero * scale).astype(x.dtype)
+        )
     return y

@@ -1,0 +1,192 @@
+"""GPTQ / AWQ packed-checkpoint ingestion tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.loader.weight_maps import get_weight_specs, hf_names_for
+from rtp_llm_tpu.models import ModelInputs, create_model
+from rtp_llm_tpu.quant.gptq_awq import (
+    AWQ_ORDER,
+    dequant_reference,
+    unpack_awq_qweight,
+    unpack_gptq_qweight,
+    unpack_gptq_qzeros,
+)
+from rtp_llm_tpu.quant.weight_only import quantized_matmul
+
+
+def pack_gptq_qweight(q: np.ndarray) -> np.ndarray:
+    k, n = q.shape
+    q = q.astype(np.uint32).reshape(k // 8, 8, n)
+    out = np.zeros((k // 8, n), np.uint32)
+    for j in range(8):
+        out |= q[:, j, :] << (4 * j)
+    return out.view(np.int32)
+
+
+def pack_gptq_qzeros(z: np.ndarray) -> np.ndarray:
+    g, n = z.shape
+    z = z.astype(np.uint32).reshape(g, n // 8, 8)
+    out = np.zeros((g, n // 8), np.uint32)
+    for j in range(8):
+        out |= z[:, :, j] << (4 * j)
+    return out.view(np.int32)
+
+
+def pack_awq(vals: np.ndarray) -> np.ndarray:
+    k, n = vals.shape
+    v = vals.astype(np.uint32).reshape(k, n // 8, 8)
+    out = np.zeros((k, n // 8), np.uint32)
+    for j in range(8):
+        out |= v[:, :, AWQ_ORDER[j]] << (4 * j)
+    return out.view(np.int32)
+
+
+def test_gptq_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 16, (64, 16)).astype(np.uint8)
+    np.testing.assert_array_equal(unpack_gptq_qweight(pack_gptq_qweight(q)), q)
+    z = rng.integers(0, 16, (4, 16)).astype(np.uint8)
+    np.testing.assert_array_equal(unpack_gptq_qzeros(pack_gptq_qzeros(z)), z)
+
+
+def test_awq_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 16, (8, 32)).astype(np.uint8)
+    np.testing.assert_array_equal(unpack_awq_qweight(pack_awq(q)), q)
+
+
+def test_asymmetric_matmul_matches_dequant():
+    rng = np.random.default_rng(2)
+    k, n, g = 64, 32, 2
+    group = k // g
+    q = rng.integers(0, 16, (k, n)).astype(np.int8)
+    z = rng.integers(6, 10, (g, n)).astype(np.float32)
+    s = (rng.random((g, n)).astype(np.float32) + 0.5) * 0.1
+    x = rng.standard_normal((4, k)).astype(np.float32)
+    want = x @ dequant_reference(q.astype(np.uint8), z, s, group)
+    got = quantized_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def _quantize_and_pack(w, group_size, method):
+    """fp32 [out, in] HF-layout -> packed gptq/awq tensors dict + dequant [in, out]."""
+    wt = w.T  # [in, out]
+    k, n = wt.shape
+    g = k // group_size
+    wg = wt.reshape(g, group_size, n)
+    wmin, wmax = wg.min(axis=1), wg.max(axis=1)
+    s = ((wmax - wmin) / 15.0).clip(1e-8)
+    z = np.clip(np.round(-wmin / s), 0, 15)
+    q = np.clip(
+        np.round(wg / s[:, None, :]) + z[:, None, :], 0, 15
+    ).astype(np.uint8).reshape(k, n)
+    deq = dequant_reference(q, z, s, group_size)
+    if method == "gptq":
+        packed = {
+            "qweight": pack_gptq_qweight(q),
+            "qzeros": pack_gptq_qzeros(np.clip(z - 1, 0, 15).astype(np.uint8)),
+            "scales": s.astype(np.float16),
+        }
+    else:
+        packed = {
+            "qweight": pack_awq(q),
+            "qzeros": pack_awq(z.astype(np.uint8)),
+            "scales": s.astype(np.float16),
+        }
+    # safetensors writes raw buffers: every tensor must be C-contiguous
+    packed = {k: np.ascontiguousarray(v) for k, v in packed.items()}
+    return packed, deq
+
+
+@pytest.mark.parametrize("method", ["gptq", "awq"])
+def test_packed_checkpoint_forward(tmp_path, method):
+    """Write a fake GPTQ/AWQ checkpoint, load through the real loader, and
+    compare the forward against the dense model built from the dequantized
+    weights."""
+    from safetensors.numpy import load_file, save_file
+
+    cfg = tiny_config("qwen2", intermediate_size=64)  # dims divisible by 8
+    ckpt = write_fake_checkpoint(str(tmp_path / method), cfg)
+    group_size = 16
+
+    # rewrite matmul weights as packed tensors; keep a dequantized copy.
+    # (copy: load_file returns mmap-backed arrays that would be invalidated
+    # when we overwrite the file below)
+    st = {
+        k: np.array(v)
+        for k, v in load_file(os.path.join(ckpt, "model.safetensors")).items()
+    }
+    deq_st = dict(st)
+    new_st = {}
+    quant_names = set()
+    for spec in get_weight_specs(cfg):
+        if spec.shard_axis in ("out", "in") and spec.name != "lm_head" \
+                and not spec.name.endswith("_bias"):
+            for (_l, _e, name) in hf_names_for(spec, cfg.num_layers, 0):
+                quant_names.add(name)
+    for name, w in st.items():
+        if name in quant_names:
+            packed, deq = _quantize_and_pack(w, group_size, method)
+            base = name[: -len(".weight")]
+            for k2, v2 in packed.items():
+                new_st[f"{base}.{k2}"] = v2
+            # back to HF [out, in]; ascontiguousarray because safetensors
+            # writes the raw buffer (an F-ordered .T view would scramble)
+            deq_st[name] = np.ascontiguousarray(deq.T.astype(np.float32))
+        else:
+            new_st[name] = w
+    save_file(new_st, os.path.join(ckpt, "model.safetensors"))
+    with open(os.path.join(ckpt, "config.json")) as f:
+        hf_cfg = json.load(f)
+    hf_cfg["quantization_config"] = {
+        "quant_method": method, "bits": 4, "group_size": group_size,
+    }
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        json.dump(hf_cfg, f)
+
+    # dense reference checkpoint from dequantized weights
+    dense_dir = str(tmp_path / (method + "_dense"))
+    os.makedirs(dense_dir, exist_ok=True)
+    save_file(deq_st, os.path.join(dense_dir, "model.safetensors"))
+    with open(os.path.join(dense_dir, "config.json"), "w") as f:
+        cfg_plain = dict(hf_cfg)
+        cfg_plain.pop("quantization_config")
+        json.dump(cfg_plain, f)
+
+    from rtp_llm_tpu.config.model_config import ModelConfig
+
+    qcfg = ModelConfig.from_pretrained(ckpt)
+    qcfg.dtype = "float32"
+    assert qcfg.quantization and qcfg.quantization["method"] == method
+    wq = CheckpointLoader(qcfg).load(ckpt)
+    assert wq["q_proj"].dtype == jnp.int8
+    assert "q_proj.zero" in wq and "q_proj.scale" in wq
+
+    dcfg = ModelConfig.from_pretrained(dense_dir)
+    dcfg.dtype = "float32"
+    wd = CheckpointLoader(dcfg).load(dense_dir)
+
+    model = create_model(qcfg)
+    prompt = [1, 5, 9, 42, 7]
+    t = len(prompt)
+    inp = ModelInputs(
+        tokens=jnp.asarray([prompt], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None],
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        kv_lens=jnp.asarray([t], jnp.int32),
+        q_offsets=jnp.asarray([0], jnp.int32),
+    )
+    out_q, _ = model.forward(wq, model.init_cache(4, 16, jnp.float32), inp)
+    model_d = create_model(dcfg)
+    out_d, _ = model_d.forward(wd, model_d.init_cache(4, 16, jnp.float32), inp)
+    np.testing.assert_allclose(
+        np.asarray(out_q.logits), np.asarray(out_d.logits), rtol=2e-3, atol=2e-3
+    )
