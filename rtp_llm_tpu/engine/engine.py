@@ -65,8 +65,15 @@ class LlmEngine:
         )
         self.scheduler = FIFOScheduler(sc, self.cache_mgr)
 
-        kv_dtype = jnp.dtype(config.quant.kv_cache_dtype) \
-            if config.quant.kv_cache_dtype != "bfloat16" else jnp.bfloat16
+        # KV cache storage dtype (reference: fp8 KV, KVCacheConfig
+        # ConfigModules.h:146-208). fp8 e4m3 is storage-only: written values
+        # are downcast, attention upcasts to fp32 — no scales needed.
+        kv_dtype = {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "fp8": jnp.float8_e4m3fn,
+            "float8_e4m3": jnp.float8_e4m3fn,
+        }.get(config.quant.kv_cache_dtype) or jnp.dtype(config.quant.kv_cache_dtype)
         self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype)
         self.state = ds.DecodeState.init(
             sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size, config.seed

@@ -86,3 +86,31 @@ def test_engine_batched_matches_sequential(tmp_path):
         eng.step()
     for s, expect in zip(streams, seq_outputs):
         assert s.output_token_ids == expect
+
+
+def test_fp8_kv_cache_quality(tmp_path):
+    """fp8 KV cache must generate nearly the same tokens as fp32 KV
+    (reference: fp8 kv cache option, KVCacheConfig)."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "f8"), cfg)
+
+    def build(kv_dtype):
+        c = tiny_config("qwen2")
+        c.dtype = "float32"
+        weights = CheckpointLoader(c).load(ckpt)
+        model = create_model(c)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=256,
+                                      prefill_buckets=(16, 64)),
+        )
+        econf.quant.kv_cache_dtype = kv_dtype
+        return LlmEngine(model, weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False, ignore_eos=True)
+    ref = build("float32").generate(prompt, gc()).output_token_ids
+    fp8 = build("fp8").generate(prompt, gc()).output_token_ids
+    # tiny random model: tolerate small divergence tail after many steps
+    agree = sum(a == b for a, b in zip(ref, fp8))
+    assert agree >= len(ref) - 2, (ref, fp8)
