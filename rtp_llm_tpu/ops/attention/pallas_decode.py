@@ -38,8 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-NBUF = 2  # chunk buffers in flight
-CHUNK_BLOCKS = 4  # KV blocks fetched per loop iteration
+NBUF = 2  # default chunk buffers in flight
+CHUNK_BLOCKS = 4  # default KV blocks fetched per loop iteration
 
 
 def _decode_kernel(
@@ -53,12 +53,13 @@ def _decode_kernel(
     # output
     o_ref,  # [1, Hq, Hkv*D] VMEM block (per-segment partial outputs)
     # scratch
-    k_buf,  # [NBUF, C*BS, Hkv*D] VMEM
-    v_buf,  # [NBUF, C*BS, Hkv*D] VMEM
-    sem,  # DMA sems [NBUF, C, 2]
+    k_buf,  # [nbuf, C*BS, Hkv*D] VMEM
+    v_buf,  # [nbuf, C*BS, Hkv*D] VMEM
+    sem,  # DMA sems [nbuf, C, 2]
     *,
     bs: int,
     c: int,
+    nbuf: int,
     sm_scale: float,
 ):
     b = pl.program_id(0)
@@ -92,6 +93,7 @@ def _decode_kernel(
             ).start()
 
     def wait_chunk(slot, ci):
+        # symmetric with start_chunk: every issued DMA is waited exactly once
         for j in range(c):
             blk = ci * c + j
             pltpu.make_async_copy(
@@ -105,7 +107,7 @@ def _decode_kernel(
                 sem.at[slot, j, 1],
             ).wait()
 
-    for j in range(NBUF):
+    for j in range(nbuf):
         @pl.when(j < num_chunks)
         def _(j=j):
             start_chunk(j, j)
@@ -114,7 +116,7 @@ def _decode_kernel(
 
     def body(ci, carry):
         m, l, acc = carry  # [Hq,1], [Hq,1], [Hq,HD]
-        slot = jax.lax.rem(ci, NBUF)
+        slot = jax.lax.rem(ci, nbuf)
         wait_chunk(slot, ci)
         k = k_buf[slot]  # [C*BS, HD]
         v = v_buf[slot]
@@ -136,9 +138,9 @@ def _decode_kernel(
         )  # [Hq, HD]
         acc_new = acc * alpha + pv
 
-        @pl.when(ci + NBUF < num_chunks)
+        @pl.when(ci + nbuf < num_chunks)
         def _():
-            start_chunk(slot, ci + NBUF)
+            start_chunk(slot, ci + nbuf)
 
         return m_new, l_new, acc_new
 
@@ -153,7 +155,8 @@ def _decode_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "block_size", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "block_size", "chunk_blocks", "nbuf", "interpret"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, Hq, D]
@@ -163,6 +166,8 @@ def paged_decode_attention(
     kv_lens: jnp.ndarray,  # [B] i32
     sm_scale: float,
     block_size: int,
+    chunk_blocks: int = CHUNK_BLOCKS,
+    nbuf: int = NBUF,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
@@ -170,7 +175,7 @@ def paged_decode_attention(
     hkv = hd // d
     g = hq // hkv
     bs = block_size
-    c = CHUNK_BLOCKS
+    c = chunk_blocks
 
     # zero-expand: q_exp[b, h*G+g, :] = q row placed in kv-head h's segment
     q4 = q.reshape(b, hkv, g, d)
@@ -189,13 +194,15 @@ def paged_decode_attention(
         out_specs=pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, c * bs, hd), k_cache.dtype),
-            pltpu.VMEM((NBUF, c * bs, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, c, 2)),
+            pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),
+            pltpu.VMEM((nbuf, c * bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, c, 2)),
         ],
     )
     out_full = pl.pallas_call(
-        functools.partial(_decode_kernel, bs=bs, c=c, sm_scale=sm_scale),
+        functools.partial(
+            _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
         interpret=interpret,
