@@ -154,6 +154,107 @@ def _decode_kernel(
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _fullrow_kernel(
+    # scalar prefetch
+    block_tables_ref,  # [B, MB] i32 (SMEM)
+    kv_lens_ref,  # [B] i32 (SMEM)
+    # inputs
+    qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
+    k_hbm,  # [NS, Hkv*D] ANY/HBM
+    v_hbm,  # [NS, Hkv*D] ANY/HBM
+    # output
+    o_ref,  # [1, Hq, Hkv*D] VMEM block
+    # scratch (persists across the sequential grid -> cross-row pipelining)
+    k_buf,  # [2, MB*BS, Hkv*D] VMEM
+    v_buf,  # [2, MB*BS, Hkv*D] VMEM
+    sem,  # DMA sems [2, MB, 2]
+    *,
+    bs: int,
+    mb: int,
+    sm_scale: float,
+):
+    """Whole-row variant: each grid step computes one batch row's attention in
+    two MXU calls over the full (bucketed) context, with the NEXT row's KV
+    streamed while this row computes. Used when MB*BS is small enough for
+    VMEM; the engine buckets MB to the batch's max context."""
+    b = pl.program_id(0)
+    nrows = pl.num_programs(0)
+
+    def start_row(row):
+        slot = jax.lax.rem(row, 2)
+        kv_len = kv_lens_ref[row]
+        nblk = jax.lax.div(kv_len + bs - 1, bs)
+        for j in range(mb):
+            safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
+            start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(start, bs), :],
+                k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
+            ).start()
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(start, bs), :],
+                v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
+            ).start()
+
+    def wait_row(row):
+        slot = jax.lax.rem(row, 2)
+        kv_len = kv_lens_ref[row]
+        nblk = jax.lax.div(kv_len + bs - 1, bs)
+        for j in range(mb):
+            safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
+            start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
+            pltpu.make_async_copy(
+                k_hbm.at[pl.ds(start, bs), :],
+                k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds(start, bs), :],
+                v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
+            ).wait()
+
+    @pl.when(b == 0)
+    def _():
+        start_row(0)
+        @pl.when(nrows > 1)
+        def _():
+            start_row(1)
+
+    wait_row(b)
+    slot = jax.lax.rem(b, 2)
+    kv_len = kv_lens_ref[b]
+
+    qe = qe_ref[0].astype(jnp.float32) * sm_scale  # [Hq, HD]
+    k = k_buf[slot]
+    v = v_buf[slot]
+    s = jax.lax.dot_general(
+        qe, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Hq, MB*BS]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, mb * bs), 1)
+    s = jnp.where(pos >= kv_len, NEG_INF, s)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Hq, HD]
+    out = pv / jnp.maximum(l, 1e-20)
+    out = jnp.where(kv_len > 0, out, 0.0)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+    # prefetch row b+2 into this slot (safe: this row's reads are done); it
+    # overlaps row b+1's wait/compute on the other slot
+    @pl.when(b + 2 < nrows)
+    def _():
+        start_row(b + 2)
+
+
+# whole-row mode is used when the bucketed context fits comfortably in VMEM:
+# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB
+FULLROW_MAX_TOKENS = 2048
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_size", "chunk_blocks", "nbuf", "interpret"),
@@ -182,6 +283,27 @@ def paged_decode_attention(
     eye = jnp.eye(hkv, dtype=q.dtype)  # [Hkv(source), Hkv(segment)]
     q_exp = jnp.einsum("bkgd,kh->bkghd", q4, eye).reshape(b, hq, hd)
 
+    mb = block_tables.shape[1]
+    fullrow = mb * bs <= FULLROW_MAX_TOKENS
+
+    if fullrow:
+        kernel = functools.partial(
+            _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale
+        )
+        scratch = [
+            pltpu.VMEM((2, mb * bs, hd), k_cache.dtype),
+            pltpu.VMEM((2, mb * bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, mb, 2)),
+        ]
+    else:
+        kernel = functools.partial(
+            _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale
+        )
+        scratch = [
+            pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),
+            pltpu.VMEM((nbuf, c * bs, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((nbuf, c, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
@@ -193,16 +315,10 @@ def paged_decode_attention(
         ],
         out_specs=pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),
-            pltpu.VMEM((nbuf, c * bs, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((nbuf, c, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out_full = pl.pallas_call(
-        functools.partial(
-            _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale
-        ),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
         interpret=interpret,

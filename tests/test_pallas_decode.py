@@ -78,3 +78,16 @@ def test_bf16_cache():
         np.asarray(got, np.float32), np.asarray(expect[:, 0], np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+def test_chunked_path_matches_reference():
+    """Force the chunked (long-context) kernel path via a wide block table."""
+    q, k, v, bt, lens = _setup(b=2, max_blocks=8, kv_lens=[40, 100])
+    wide = jnp.zeros((2, 256), jnp.int32).at[:, :8].set(bt[:, :8])
+    sm = 1.0 / np.sqrt(q.shape[-1])
+    expect = paged_attention_ref(q, k, v, wide, lens, lens - 1, sm, block_size=BS)
+    got = paged_decode_attention(q[:, 0], k, v, wide, lens, sm, block_size=BS,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
