@@ -1,0 +1,61 @@
+"""Perplexity harness tests on the fake checkpoint: int8 ppl must be close to
+bf16 ppl, and garbage-token streams must score worse than model-preferred
+streams (sanity that the harness measures something real)."""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from benchmarks.ppl_eval import build, compute_ppl
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+
+
+def test_quant_ppl_delta_small(tmp_path):
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, 600).tolist()
+
+    model, w_bf16 = build(ckpt, "none", dtype="float32")
+    ppl_base, _, n = compute_ppl(model, w_bf16, tokens, seq_len=128, block_size=16)
+    assert n > 0 and np.isfinite(ppl_base)
+
+    model_q, w_int8 = build(ckpt, "int8", dtype="float32")
+    ppl_q, _, _ = compute_ppl(model_q, w_int8, tokens, seq_len=128, block_size=16)
+    # int8 per-channel on a tiny random model: ppl shift well under 5%
+    assert abs(ppl_q - ppl_base) / ppl_base < 0.05, (ppl_base, ppl_q)
+
+
+def test_greedy_continuation_scores_better(tmp_path):
+    """A stream generated greedily by the model must have much lower ppl than
+    random tokens."""
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "g"), cfg)
+    model, weights = build(ckpt, "none", dtype="float32")
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=16, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=256,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(model, weights, econf)
+    s = eng.generate([1, 2, 3], GenerateConfig(
+        max_new_tokens=180, do_sample=False, ignore_eos=True))
+    greedy_stream = [1, 2, 3] + s.output_token_ids
+
+    rng = np.random.default_rng(1)
+    random_stream = rng.integers(0, cfg.vocab_size, len(greedy_stream)).tolist()
+
+    ppl_greedy, _, _ = compute_ppl(model, weights, greedy_stream, 64, 16)
+    ppl_random, _, _ = compute_ppl(model, weights, random_stream, 64, 16)
+    assert ppl_greedy < ppl_random * 0.8, (ppl_greedy, ppl_random)
