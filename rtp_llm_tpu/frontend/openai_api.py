@@ -341,6 +341,28 @@ class OpenAIApp:
             raise web.HTTPConflict(text=str(e))
         return web.json_response({"status": "stopped"})
 
+    async def pause(self, request: web.Request):
+        """Reference: pause RPC for RL weight swap (RtpLLMOp.cc:384-392)."""
+        self.runner.pause()
+        return web.json_response({"status": "paused"})
+
+    async def restart(self, request: web.Request):
+        self.runner.resume()
+        return web.json_response({"status": "running"})
+
+    async def update_weights(self, request: web.Request):
+        """Reference: UpdateWeights RPC (model_rpc_service.proto:700)."""
+        body = await request.json()
+        path = body.get("model_path")
+        if not path:
+            raise web.HTTPBadRequest(text='"model_path" required')
+        loop = asyncio.get_running_loop()
+        try:
+            await loop.run_in_executor(None, self.runner.update_weights, path)
+        except Exception as e:
+            raise web.HTTPInternalServerError(text=str(e))
+        return web.json_response({"status": "updated", "model_path": path})
+
     async def set_log_level(self, request: web.Request):
         """Reference: /set_log_level (HttpApiServer.cc:150-315)."""
         body = await request.json()
@@ -402,5 +424,8 @@ class OpenAIApp:
             web.post("/start_profile", self.start_profile),
             web.post("/stop_profile", self.stop_profile),
             web.post("/set_log_level", self.set_log_level),
+            web.post("/pause", self.pause),
+            web.post("/restart", self.restart),
+            web.post("/update_weights", self.update_weights),
         ])
         return app

@@ -24,6 +24,7 @@ class EngineRunner:
         self.engine = engine
         self._cond = threading.Condition()
         self._stop = False
+        self._paused = False
         self._thread: Optional[threading.Thread] = None
         self.steps = 0
 
@@ -52,11 +53,51 @@ class EngineRunner:
             self._cond.notify_all()
         return stream
 
+    def pause(self):
+        """Stop stepping (in-flight step completes); streams stay queued.
+        Reference: engine pause() for RL weight swap (RtpLLMOp.cc:384)."""
+        with self._cond:
+            self._paused = True
+
+    def resume(self):
+        with self._cond:
+            self._paused = False
+            self._cond.notify_all()
+
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    def update_weights(self, model_path: str):
+        """Swap model weights in place without restarting (reference:
+        UpdateWeights RPC, proto :700 + WeightsLoader). Engine must be paused
+        or idle; KV cache contents remain valid only if the model is the same
+        architecture — in-flight streams keep generating with the new weights,
+        matching the reference's RL semantics."""
+        from rtp_llm_tpu.loader import CheckpointLoader
+        from rtp_llm_tpu.quant import make_quant_transform
+
+        eng = self.engine
+        transform = make_quant_transform(eng.config.quant)
+        shard_fn = None
+        if eng.mesh is not None:
+            from rtp_llm_tpu.parallel import make_weight_shard_fn
+
+            shard_fn = make_weight_shard_fn(eng.mesh, eng.model.cfg)
+        new_weights = CheckpointLoader(
+            eng.model.cfg, transform=transform, shard_fn=shard_fn
+        ).load(model_path)
+        with eng.device_lock:
+            eng.weights = new_weights
+        logger.info("weights updated from %s", model_path)
+
     def _loop(self):
         logger.info("engine loop started")
         while True:
             with self._cond:
-                while not self._stop and not self.engine.has_work():
+                while not self._stop and (
+                    self._paused or not self.engine.has_work()
+                ):
                     self._cond.wait(timeout=0.5)
                 if self._stop:
                     break

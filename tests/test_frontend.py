@@ -236,3 +236,48 @@ async def _n_roundtrip(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_pause_update_weights_restart(fake_dir, tmp_path):
+    asyncio.run(_rl_roundtrip(fake_dir, tmp_path))
+
+
+async def _rl_roundtrip(fake_dir, tmp_path):
+    import numpy as np
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w1 w2"}],
+                "max_tokens": 4, "temperature": 0.0,
+            })
+            before = (await r.json())["choices"][0]["message"]["content"]
+
+            assert (await client.post("/pause")).status == 200
+            assert runner.paused
+
+            # different weights (new seed), same architecture
+            ckpt2 = write_fake_checkpoint(
+                str(tmp_path / "new"), tiny_config("qwen2"), seed=99
+            )
+            r = await client.post("/update_weights", json={"model_path": ckpt2})
+            assert r.status == 200
+
+            assert (await client.post("/restart")).status == 200
+            assert not runner.paused
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w1 w2"}],
+                "max_tokens": 4, "temperature": 0.0,
+            })
+            after = (await r.json())["choices"][0]["message"]["content"]
+            assert after != before  # new weights actually serving
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
