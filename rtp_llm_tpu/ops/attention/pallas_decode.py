@@ -251,8 +251,11 @@ def _fullrow_kernel(
 
 
 # whole-row mode is used when the bucketed context fits comfortably in VMEM:
-# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB
-FULLROW_MAX_TOKENS = 2048
+# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB. RTP_DISABLE_FULLROW=1 forces the
+# chunked kernel (escape hatch).
+import os as _os
+
+FULLROW_MAX_TOKENS = 0 if _os.environ.get("RTP_DISABLE_FULLROW") else 2048
 
 
 @functools.partial(
