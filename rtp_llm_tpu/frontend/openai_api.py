@@ -189,12 +189,22 @@ class OpenAIApp:
                 }
                 finish = stream.finish_reason.value if stream.finish_reason else "stop"
                 if chat:
+                    from rtp_llm_tpu.frontend.output_parsers import parse_output
+
+                    parsed = parse_output(text)
+                    message = {"role": "assistant", "content": parsed.content}
+                    if parsed.reasoning_content:
+                        message["reasoning_content"] = parsed.reasoning_content
+                    if parsed.tool_calls:
+                        message["tool_calls"] = parsed.tool_calls
+                        message["content"] = parsed.content or None
+                        finish = "tool_calls"
                     payload = {
                         "id": rid, "object": "chat.completion", "created": created,
                         "model": self.model_name,
                         "choices": [{
                             "index": 0,
-                            "message": {"role": "assistant", "content": text},
+                            "message": message,
                             "finish_reason": finish,
                         }],
                         "usage": usage,

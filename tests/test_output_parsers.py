@@ -1,0 +1,70 @@
+"""Tool-call + reasoning parsing tests (reference analog:
+rtp_llm/test frontend renderer/tool parsing suites)."""
+
+import json
+
+from rtp_llm_tpu.frontend.output_parsers import (
+    parse_output,
+    parse_reasoning,
+    parse_tool_calls,
+)
+
+
+class TestReasoning:
+    def test_extracts_think_block(self):
+        r, rest = parse_reasoning("<think>step 1\nstep 2</think>The answer is 4.")
+        assert r == "step 1\nstep 2"
+        assert rest == "The answer is 4."
+
+    def test_unclosed_think(self):
+        r, rest = parse_reasoning("prefix<think>still going")
+        assert r == "still going"
+        assert rest == "prefix"
+
+    def test_no_think(self):
+        r, rest = parse_reasoning("plain answer")
+        assert r is None and rest == "plain answer"
+
+    def test_multiple_blocks(self):
+        r, rest = parse_reasoning("<think>a</think>mid<think>b</think>end")
+        assert r == "a\nb"
+        assert rest == "midend"
+
+
+class TestToolCalls:
+    def test_single_call(self):
+        text = ('I will check the weather.\n<tool_call>\n'
+                '{"name": "get_weather", "arguments": {"city": "Paris"}}\n'
+                '</tool_call>')
+        calls, rest = parse_tool_calls(text)
+        assert len(calls) == 1
+        fc = calls[0]["function"]
+        assert fc["name"] == "get_weather"
+        assert json.loads(fc["arguments"]) == {"city": "Paris"}
+        assert rest == "I will check the weather."
+
+    def test_multiple_calls(self):
+        text = ('<tool_call>{"name": "a", "arguments": {}}</tool_call>'
+                '<tool_call>{"name": "b", "arguments": {"x": 1}}</tool_call>')
+        calls, rest = parse_tool_calls(text)
+        assert [c["function"]["name"] for c in calls] == ["a", "b"]
+        assert rest == ""
+
+    def test_malformed_json_skipped(self):
+        calls, rest = parse_tool_calls("<tool_call>not json</tool_call>ok")
+        assert calls is None
+        assert rest == "ok"
+
+    def test_no_calls(self):
+        calls, rest = parse_tool_calls("hello")
+        assert calls is None and rest == "hello"
+
+
+def test_parse_output_combined():
+    text = ('<think>user wants weather</think>Checking.'
+            '<tool_call>{"name": "w", "arguments": {}}</tool_call>')
+    out = parse_output(text)
+    assert out.reasoning_content == "user wants weather"
+    assert out.content == "Checking."
+    assert out.tool_calls[0]["function"]["name"] == "w"
+    assert out.finish_reason == "tool_calls"
