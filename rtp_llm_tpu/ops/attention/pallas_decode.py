@@ -251,11 +251,12 @@ def _fullrow_kernel(
 
 
 # whole-row mode is used when the bucketed context fits comfortably in VMEM:
-# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB. RTP_DISABLE_FULLROW=1 forces the
-# chunked kernel (escape hatch).
+# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB. Opt-in (RTP_ENABLE_FULLROW=1)
+# until its Mosaic compile behavior is validated on hardware — the chunked
+# kernel is the proven default.
 import os as _os
 
-FULLROW_MAX_TOKENS = 0 if _os.environ.get("RTP_DISABLE_FULLROW") else 2048
+FULLROW_MAX_TOKENS = 2048 if _os.environ.get("RTP_ENABLE_FULLROW") else 0
 
 
 @functools.partial(
