@@ -91,3 +91,20 @@ def test_chunked_path_matches_reference():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_fullrow_path_matches(monkeypatch):
+    """Opt-in whole-row kernel path parity (distinct shapes to avoid jit-cache
+    collision with the chunked-path tests)."""
+    import rtp_llm_tpu.ops.attention.pallas_decode as pd
+
+    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    q, k, v, bt, lens = _setup(b=3, hq=8, hkv=2, max_blocks=6,
+                               kv_lens=[3, 50, 96])
+    sm = 1.0 / np.sqrt(q.shape[-1])
+    expect = paged_attention_ref(q, k, v, bt, lens, lens - 1, sm, block_size=BS)
+    got = pd.paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS,
+                                    interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
