@@ -9,12 +9,17 @@ which is also the CPU-backend path in tests.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from rtp_llm_tpu.ops.attention.ref import paged_attention_ref
 
 _TPU_PLATFORMS = ("tpu", "axon")
+# prefill kernel is opt-in until validated on hardware (see pallas_decode's
+# fullrow gate for the same policy)
+_ENABLE_PALLAS_PREFILL = bool(os.environ.get("RTP_ENABLE_PALLAS_PREFILL"))
 
 
 def default_backend() -> str:
@@ -58,6 +63,26 @@ def paged_attention(
             block_size=block_size,
         )
         return out[:, None]
+    use_pallas_prefill = (
+        _ENABLE_PALLAS_PREFILL
+        and backend == "pallas"
+        and b == 1
+        and t > 1
+        and d % 128 == 0
+        and block_size % 8 == 0
+        and hq % hkv == 0
+        and sliding_window == 0
+        and soft_cap == 0.0
+        and t % min(128, t) == 0
+    )
+    if use_pallas_prefill:
+        from rtp_llm_tpu.ops.attention.pallas_prefill import paged_prefill_attention
+
+        out = paged_prefill_attention(
+            q[0], k_cache, v_cache, block_tables[0], q_offsets[0], kv_lens[0],
+            sm_scale, block_size,
+        )
+        return out[None]
     return paged_attention_ref(
         q, k_cache, v_cache, block_tables, kv_lens, q_offsets, sm_scale,
         block_size=block_size, sliding_window=sliding_window, soft_cap=soft_cap,
