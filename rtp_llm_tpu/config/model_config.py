@@ -43,6 +43,18 @@ class ModelConfig:
     moe_layer_freq: int = 1  # every Nth layer is MoE
     first_moe_layer: int = 0  # dense layers before MoE starts
     moe_router_score_fn: str = "softmax"  # softmax | sigmoid
+    # deepseek-v3 group-limited routing + scaling
+    moe_n_group: int = 0
+    moe_topk_group: int = 0
+    moe_routed_scaling_factor: float = 1.0
+    moe_router_bias: bool = False  # e_score_correction_bias
+    # MLA (deepseek v2/v3); 0 = standard attention
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    rope_interleave: bool = False
     # dtypes
     dtype: str = "bfloat16"
     # pre-quantized checkpoint info (HF quantization_config: gptq/awq)
@@ -110,6 +122,28 @@ class ModelConfig:
             cfg.use_qk_norm = True
         if mt == "llama":
             cfg.attention_bias = hf.get("attention_bias", False)
+        if mt in ("deepseek_v2", "deepseek_v3"):
+            cfg.q_lora_rank = hf.get("q_lora_rank") or 0
+            cfg.kv_lora_rank = hf.get("kv_lora_rank", 512)
+            cfg.qk_nope_head_dim = hf.get("qk_nope_head_dim", 128)
+            cfg.qk_rope_head_dim = hf.get("qk_rope_head_dim", 64)
+            cfg.v_head_dim = hf.get("v_head_dim", 128)
+            cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+            cfg.rope_interleave = hf.get("rope_interleave", True)
+            cfg.num_experts = hf.get("n_routed_experts", 0) or 0
+            cfg.num_experts_per_tok = hf.get("num_experts_per_tok", 8)
+            cfg.moe_intermediate_size = hf.get("moe_intermediate_size", 0)
+            cfg.num_shared_experts = hf.get("n_shared_experts", 0) or 0
+            cfg.first_moe_layer = hf.get("first_k_dense_replace", 0)
+            cfg.moe_norm_topk_prob = hf.get("norm_topk_prob", True)
+            cfg.moe_router_score_fn = (
+                "sigmoid" if mt == "deepseek_v3"
+                else hf.get("scoring_func", "softmax")
+            )
+            cfg.moe_n_group = hf.get("n_group", 0) or 0
+            cfg.moe_topk_group = hf.get("topk_group", 0) or 0
+            cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
+            cfg.moe_router_bias = mt == "deepseek_v3"
         qc = hf.get("quantization_config")
         if qc and qc.get("quant_method") in ("gptq", "awq"):
             cfg.quantization = {

@@ -37,6 +37,28 @@ def tiny_config(model_type: str = "qwen2", **overrides) -> ModelConfig:
         base["use_qk_norm"] = True
     if model_type.endswith("_moe"):
         base.update(num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32)
+    if model_type.startswith("deepseek"):
+        base.update(
+            num_kv_heads=4,
+            q_lora_rank=24,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            head_dim=24,
+            rope_interleave=True,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            num_shared_experts=1,
+            first_moe_layer=1,
+            moe_router_score_fn="sigmoid" if model_type == "deepseek_v3" else "softmax",
+            moe_n_group=2,
+            moe_topk_group=1,
+            moe_routed_scaling_factor=1.5,
+            moe_router_bias=model_type == "deepseek_v3",
+            moe_norm_topk_prob=True,
+        )
     base.update(overrides)
     return ModelConfig(**base)
 
@@ -74,6 +96,24 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
         "shared_down": (h, i),
         "shared_expert_gate": (1, h),
     }
+    if cfg.model_type.startswith("deepseek"):
+        dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+        kvl, ql = cfg.kv_lora_rank, cfg.q_lora_rank
+        si = mi * max(cfg.num_shared_experts, 1)
+        shapes.update({
+            "q_proj": (hq * (dn + dr), h),
+            "q_a_proj": (ql, h),
+            "q_a_norm": (ql,),
+            "q_b_proj": (hq * (dn + dr), ql),
+            "kv_a_proj": (kvl + dr, h),
+            "kv_a_norm": (kvl,),
+            "kv_b_proj": (hq * (dn + dv), kvl),
+            "o_proj": (h, hq * dv),
+            "router_bias": (e,),
+            "shared_gate": (si, h),
+            "shared_up": (si, h),
+            "shared_down": (h, si),
+        })
     return shapes[spec_name]
 
 
@@ -89,7 +129,9 @@ def write_fake_checkpoint(
     tensors: dict[str, np.ndarray] = {}
     for spec in get_weight_specs(cfg):
         shape = _hf_shape(spec.name, cfg)
-        for (_l, _e, hf_name) in hf_names_for(spec, cfg.num_layers, cfg.num_experts):
+        for (_l, _e, hf_name) in hf_names_for(
+            spec, cfg.num_layers, cfg.num_experts, cfg
+        ):
             if spec.name.endswith("_norm"):
                 t = np.ones(shape, np.float32)
             else:
@@ -113,7 +155,26 @@ def write_fake_checkpoint(
         "eos_token_id": cfg.eos_token_ids or None,
         "attention_bias": cfg.attention_bias,
     }
-    if cfg.num_experts:
+    if cfg.model_type.startswith("deepseek"):
+        hf_cfg.update(
+            q_lora_rank=cfg.q_lora_rank or None,
+            kv_lora_rank=cfg.kv_lora_rank,
+            qk_nope_head_dim=cfg.qk_nope_head_dim,
+            qk_rope_head_dim=cfg.qk_rope_head_dim,
+            v_head_dim=cfg.v_head_dim,
+            rope_interleave=cfg.rope_interleave,
+            n_routed_experts=cfg.num_experts,
+            num_experts_per_tok=cfg.num_experts_per_tok,
+            moe_intermediate_size=cfg.moe_intermediate_size,
+            n_shared_experts=cfg.num_shared_experts or None,
+            first_k_dense_replace=cfg.first_moe_layer,
+            norm_topk_prob=cfg.moe_norm_topk_prob,
+            n_group=cfg.moe_n_group,
+            topk_group=cfg.moe_topk_group,
+            routed_scaling_factor=cfg.moe_routed_scaling_factor,
+        )
+        hf_cfg.pop("head_dim", None)
+    elif cfg.num_experts:
         hf_cfg.update(
             num_experts=cfg.num_experts,
             num_experts_per_tok=cfg.num_experts_per_tok,

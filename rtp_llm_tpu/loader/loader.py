@@ -152,7 +152,7 @@ class CheckpointLoader:
         weights: dict[str, jax.Array] = {}
         available = set(src.names())
         for spec in get_weight_specs(cfg):
-            entries = hf_names_for(spec, cfg.num_layers, cfg.num_experts)
+            entries = hf_names_for(spec, cfg.num_layers, cfg.num_experts, cfg)
             if self._is_packed_quant(spec, available, entries):
                 for suffix, arr in self._assemble_packed(spec, src, entries).items():
                     weights[spec.name + suffix] = self._place(spec, arr)

@@ -53,6 +53,10 @@ class WeightSpec:
     optional: bool = False
     # present only when this predicate on ModelConfig holds
     when: Optional[Callable[[ModelConfig], bool]] = None
+    # restrict stacking to a subset of layers (e.g. deepseek's dense-first-K /
+    # MoE-rest split); None = all layers. The model maps global layer index ->
+    # stack position itself.
+    layers_fn: Optional[Callable[[ModelConfig], list]] = None
 
 
 def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
@@ -147,6 +151,92 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _dense_layers(cfg: ModelConfig) -> list:
+    return [i for i in range(cfg.num_layers) if not cfg.is_moe_layer(i)]
+
+
+def _moe_layers(cfg: ModelConfig) -> list:
+    return [i for i in range(cfg.num_layers) if cfg.is_moe_layer(i)]
+
+
+def _deepseek_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """DeepSeek V2/V3 (MLA + first-K-dense MoE). Reference name maps:
+    rtp_llm/models/deepseek_v2_weight.py; HF modeling_deepseek_v3."""
+    L = "model.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True, shard_axis="out"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        # MLA
+        WeightSpec("kv_a_proj", L + "self_attn.kv_a_proj_with_mqa.weight",
+                   per_layer=True, transpose=True),
+        WeightSpec("kv_a_norm", L + "self_attn.kv_a_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("kv_b_proj", L + "self_attn.kv_b_proj.weight",
+                   per_layer=True, transpose=True, shard_axis="out"),
+        WeightSpec("o_proj", L + "self_attn.o_proj.weight",
+                   per_layer=True, transpose=True, shard_axis="in"),
+    ]
+    if cfg.q_lora_rank > 0:
+        specs += [
+            WeightSpec("q_a_proj", L + "self_attn.q_a_proj.weight",
+                       per_layer=True, transpose=True),
+            WeightSpec("q_a_norm", L + "self_attn.q_a_layernorm.weight",
+                       per_layer=True),
+            WeightSpec("q_b_proj", L + "self_attn.q_b_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out"),
+        ]
+    else:
+        specs.append(
+            WeightSpec("q_proj", L + "self_attn.q_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out")
+        )
+    # dense MLP on non-MoE layers
+    specs += [
+        WeightSpec("gate_proj", L + "mlp.gate_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_dense_layers),
+        WeightSpec("up_proj", L + "mlp.up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_dense_layers),
+        WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in", layers_fn=_dense_layers),
+    ]
+    if cfg.num_experts > 0:
+        specs += [
+            WeightSpec("router", L + "mlp.gate.weight", per_layer=True,
+                       transpose=True, layers_fn=_moe_layers),
+            WeightSpec("moe_gate", L + "mlp.experts.{e}.gate_proj.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+            WeightSpec("moe_up", L + "mlp.experts.{e}.up_proj.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+            WeightSpec("moe_down", L + "mlp.experts.{e}.down_proj.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+        ]
+        if cfg.moe_router_bias:
+            specs.append(
+                WeightSpec("router_bias", L + "mlp.gate.e_score_correction_bias",
+                           per_layer=True, layers_fn=_moe_layers)
+            )
+        if cfg.num_shared_experts > 0:
+            specs += [
+                WeightSpec("shared_gate", L + "mlp.shared_experts.gate_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out",
+                           layers_fn=_moe_layers),
+                WeightSpec("shared_up", L + "mlp.shared_experts.up_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out",
+                           layers_fn=_moe_layers),
+                WeightSpec("shared_down", L + "mlp.shared_experts.down_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="in",
+                           layers_fn=_moe_layers),
+            ]
+    return specs
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
     "mistral": _llama_family_specs,
@@ -154,6 +244,8 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3": _llama_family_specs,
     "qwen2_moe": _llama_family_specs,
     "qwen3_moe": _llama_family_specs,
+    "deepseek_v2": _deepseek_specs,
+    "deepseek_v3": _deepseek_specs,
 }
 
 
@@ -179,11 +271,15 @@ _LAYER_RE = re.compile(r"\{l\}")
 _EXPERT_RE = re.compile(r"\{e\}")
 
 
-def hf_names_for(spec: WeightSpec, num_layers: int, num_experts: int):
+def hf_names_for(spec: WeightSpec, num_layers: int, num_experts: int,
+                 cfg: Optional[ModelConfig] = None):
     """Enumerate the concrete HF tensor names a spec expands to, as
     (layer, expert, hf_name) tuples (layer/expert are -1 when not applicable)."""
     out = []
-    layers = range(num_layers) if spec.per_layer else [-1]
+    if spec.per_layer and spec.layers_fn is not None and cfg is not None:
+        layers = list(spec.layers_fn(cfg))
+    else:
+        layers = range(num_layers) if spec.per_layer else [-1]
     experts = range(num_experts) if spec.per_expert else [-1]
     for l in layers:
         for e in experts:

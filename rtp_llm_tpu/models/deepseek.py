@@ -1,0 +1,256 @@
+"""DeepSeek V2/V3 family: MLA attention with a paged latent KV cache.
+
+TPU-native counterpart of the reference's deepseek model descs + MLA kernels
+(rtp_llm/models_py/model_desc/ deepseek family, FlashMLA/flashinfer-MLA
+backends — attn_factory.py:200 'cuda_mla_impl').
+
+MLA design (the point of the architecture — cache the LATENT, not K/V):
+  * per token the cache stores ``[c_kv (kv_lora_rank) ; k_rope (d_rope)]``
+    padded to a 128 multiple — one row of the standard [slots, lanes] pool;
+  * scores use the absorption identity
+        q_nope_h . (W_uk_h c_kv) = (W_uk_h^T q_nope_h) . c_kv
+    so the query becomes ``[q_abs (kv_lora) ; q_rope]`` and attention is
+    MQA over the latent rows — the SAME paged-attention kernels as the dense
+    family (Hkv=1, head_dim = padded lanes), with the latent array passed as
+    both K and V (the PV product over the first kv_lora lanes yields
+    sum_t p_t c_kv_t);
+  * the output context is expanded per head with W_uv afterwards:
+        o_h = (sum_t p_t c_kv_t) @ W_uv_h.
+
+Routing (V3): sigmoid scores, e_score_correction_bias added for expert
+CHOICE only, group-limited top-k (n_group / topk_group), weights from raw
+scores, optional normalization, x routed_scaling_factor — matching HF
+DeepseekV3TopkRouter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
+from rtp_llm_tpu.ops.attention import paged_attention
+from rtp_llm_tpu.ops.kv_cache import token_slots
+from rtp_llm_tpu.ops.norms import rms_norm
+from rtp_llm_tpu.ops.rope import apply_rope, apply_rope_interleave, compute_rope_freqs
+from rtp_llm_tpu.quant.weight_only import quantized_matmul
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+class DeepseekModel:
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.cos, self.sin = compute_rope_freqs(
+            cfg.qk_rope_head_dim,
+            cfg.max_position_embeddings,
+            cfg.rope_theta,
+            cfg.rope_scaling,
+        )
+        scale = (cfg.qk_nope_head_dim + cfg.qk_rope_head_dim) ** -0.5
+        if cfg.rope_scaling:
+            mscale_all_dim = cfg.rope_scaling.get("mscale_all_dim", 0)
+            factor = float(cfg.rope_scaling.get("factor", 1.0))
+            if mscale_all_dim and factor > 1:
+                mscale = 0.1 * mscale_all_dim * math.log(factor) + 1.0
+                scale = scale * mscale * mscale
+        self.sm_scale = scale
+        self.lanes = _round_up(cfg.kv_lora_rank + cfg.qk_rope_head_dim, 128)
+        self.block_size = 16
+        self.attn_backend = "auto"
+
+    # ---- cache: latent rows ----
+
+    def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
+        return (self.cfg.num_layers, 1, num_blocks * block_size, self.lanes)
+
+    def init_cache(self, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
+        self.block_size = block_size
+        return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
+
+    # ---- layer index mapping (dense-first-K / MoE-rest stacks) ----
+
+    def _stack_pos(self, i: int) -> int:
+        cfg = self.cfg
+        if cfg.is_moe_layer(i):
+            return len([j for j in range(i) if cfg.is_moe_layer(j)])
+        return len([j for j in range(i) if not cfg.is_moe_layer(j)])
+
+    @staticmethod
+    def _linear(w, name, i, x):
+        W = w[name][i]
+        s = w.get(name + ".scale")
+        z = w.get(name + ".zero")
+        return quantized_matmul(
+            x, W, None if s is None else s[i], None if z is None else z[i]
+        )
+
+    # ---- forward ----
+
+    def forward(self, weights, cache, inputs: ModelInputs,
+                need_all_logits=False, need_all_hidden=False):
+        cfg = self.cfg
+        b, t = inputs.tokens.shape
+        x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)
+
+        valid = (inputs.q_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+                 ) < inputs.kv_lens[:, None]
+        slots = token_slots(
+            inputs.positions, inputs.block_tables, self.block_size, valid
+        ).reshape(-1)
+
+        for i in range(cfg.num_layers):
+            x, cache = self._layer(weights, cache, i, x, inputs, slots)
+
+        x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps)
+        lm_head = (weights["embed_tokens"].T if cfg.tie_word_embeddings
+                   else weights["lm_head"])
+        last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)
+        hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+        logits = (hidden_last @ lm_head).astype(jnp.float32)
+        all_logits = (x @ lm_head).astype(jnp.float32) if need_all_logits else None
+        return ModelOutputs(
+            logits=logits, hidden=hidden_last, all_logits=all_logits,
+            all_hidden=x if need_all_hidden else None,
+        ), cache
+
+    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
+        cfg = self.cfg
+        b, t, h = x.shape
+        hq = cfg.num_attention_heads
+        dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+        kvl = cfg.kv_lora_rank
+
+        res = x
+        x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
+
+        # ---- q path ----
+        if cfg.q_lora_rank > 0:
+            qa = self._linear(w, "q_a_proj", i, x)
+            qa = rms_norm(qa, w["q_a_norm"][i], cfg.rms_norm_eps)
+            q = self._linear(w, "q_b_proj", i, qa)
+        else:
+            q = self._linear(w, "q_proj", i, x)
+        q = q.reshape(b, t, hq, dn + dr)
+        q_nope, q_rope = q[..., :dn], q[..., dn:]
+
+        # ---- latent kv ----
+        ckv_full = self._linear(w, "kv_a_proj", i, x)  # [B,T,kvl+dr]
+        c_kv = rms_norm(ckv_full[..., :kvl], w["kv_a_norm"][i], cfg.rms_norm_eps)
+        k_rope = ckv_full[..., kvl:]  # [B,T,dr] single head
+
+        rope_fn = apply_rope_interleave if cfg.rope_interleave else apply_rope
+        q_rope = rope_fn(q_rope, inputs.positions, self.cos, self.sin)
+        k_rope = rope_fn(k_rope[:, :, None, :], inputs.positions,
+                         self.cos, self.sin)[:, :, 0]
+
+        # absorption: q_abs[..., h, kvl] = q_nope_h @ W_uk_h
+        kv_b = w["kv_b_proj"][i].reshape(kvl, hq, dn + dv)
+        w_uk = kv_b[..., :dn]  # [kvl, Hq, dn]
+        w_uv = kv_b[..., dn:]  # [kvl, Hq, dv]
+        q_abs = jnp.einsum("bthd,khd->bthk", q_nope, w_uk)  # [B,T,Hq,kvl]
+
+        # cache write: latent row [c_kv ; k_rope ; pad]
+        lane_pad = self.lanes - (kvl + dr)
+        latent_row = jnp.concatenate(
+            [c_kv, k_rope] + (
+                [jnp.zeros(c_kv.shape[:-1] + (lane_pad,), c_kv.dtype)]
+                if lane_pad else []
+            ),
+            axis=-1,
+        )  # [B,T,lanes]
+        latent = cache[i, 0]
+        latent = latent.at[slots].set(
+            latent_row.reshape(-1, self.lanes).astype(latent.dtype), mode="drop"
+        )
+        cache = cache.at[i, 0].set(latent)
+
+        # query in latent space: [q_abs ; q_rope ; pad]
+        q_cat = jnp.concatenate(
+            [q_abs, q_rope] + (
+                [jnp.zeros(q_abs.shape[:-1] + (lane_pad,), q_abs.dtype)]
+                if lane_pad else []
+            ),
+            axis=-1,
+        )  # [B,T,Hq,lanes]
+
+        ctx = paged_attention(
+            q_cat.astype(latent.dtype), latent, latent,
+            inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
+            self.sm_scale, block_size=self.block_size,
+            backend=self.attn_backend,
+        )[..., :kvl]  # [B,T,Hq,kvl]
+
+        # expand context per head with W_uv, then o_proj
+        attn = jnp.einsum("bthk,khd->bthd", ctx, w_uv)  # [B,T,Hq,dv]
+        x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * dv))
+        x = res + x
+
+        res = x
+        x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
+        p = self._stack_pos(i)
+        if cfg.is_moe_layer(i):
+            x = self._moe_mlp(w, p, x)
+        else:
+            x = self._dense_mlp(w, p, x)
+        return res + x, cache
+
+    def _dense_mlp(self, w, p, x):
+        gate = self._linear(w, "gate_proj", p, x)
+        up = self._linear(w, "up_proj", p, x)
+        return self._linear(w, "down_proj", p, jax.nn.silu(gate) * up)
+
+    def _moe_mlp(self, w, p, x):
+        cfg = self.cfg
+        b, t, h = x.shape
+        xt = x.reshape(-1, h)
+        n = xt.shape[0]
+        e = cfg.num_experts
+        scores = jax.nn.sigmoid(
+            xt.astype(jnp.float32) @ w["router"][p].astype(jnp.float32)
+        ) if cfg.moe_router_score_fn == "sigmoid" else jax.nn.softmax(
+            xt.astype(jnp.float32) @ w["router"][p].astype(jnp.float32), axis=-1
+        )
+        choice = scores
+        if "router_bias" in w:
+            choice = scores + w["router_bias"][p][None, :].astype(jnp.float32)
+        # group-limited routing (V3): keep topk_group groups by top-2-sum score
+        if cfg.moe_n_group > 1 and 0 < cfg.moe_topk_group < cfg.moe_n_group:
+            g = cfg.moe_n_group
+            per = e // g
+            grp = choice.reshape(n, g, per)
+            top2 = jax.lax.top_k(grp, min(2, per))[0].sum(axis=-1)  # [n,g]
+            _, gidx = jax.lax.top_k(top2, cfg.moe_topk_group)
+            gmask = jnp.zeros((n, g), bool).at[
+                jnp.arange(n)[:, None], gidx
+            ].set(True)
+            choice = jnp.where(
+                jnp.repeat(gmask, per, axis=1), choice, 0.0
+            )
+        topk = cfg.num_experts_per_tok
+        _, idx = jax.lax.top_k(choice, topk)  # [n,k]
+        tw = jnp.take_along_axis(scores, idx, axis=-1)  # weights from RAW scores
+        if cfg.moe_norm_topk_prob:
+            tw = tw / (jnp.sum(tw, axis=-1, keepdims=True) + 1e-20)
+        tw = tw * cfg.moe_routed_scaling_factor
+        comb = jnp.zeros((n, e), jnp.float32).at[
+            jnp.arange(n)[:, None], idx
+        ].add(tw)
+
+        gate = jnp.einsum("nh,ehi->eni", xt, w["moe_gate"][p])
+        up = jnp.einsum("nh,ehi->eni", xt, w["moe_up"][p])
+        down = jnp.einsum("eni,eih->enh", jax.nn.silu(gate) * up, w["moe_down"][p])
+        out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
+
+        if "shared_gate" in w:
+            sg = self._linear(w, "shared_gate", p, xt)
+            su = self._linear(w, "shared_up", p, xt)
+            out = out + self._linear(
+                w, "shared_down", p, jax.nn.silu(sg) * su
+            ).astype(jnp.float32)
+        return out.astype(x.dtype).reshape(b, t, h)

@@ -23,6 +23,16 @@ for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe", "mix
     register_model(_mt, LlamaFamilyModel)
 
 
+def _make_deepseek(cfg: ModelConfig):
+    from rtp_llm_tpu.models.deepseek import DeepseekModel
+
+    return DeepseekModel(cfg)
+
+
+for _mt in ("deepseek_v2", "deepseek_v3"):
+    register_model(_mt, _make_deepseek)
+
+
 def create_model(cfg: ModelConfig):
     try:
         factory = _REGISTRY[cfg.model_type]

@@ -86,6 +86,18 @@ def _llama3_inv_freq(inv_freq, rope_scaling):
     return np.where(is_mid, smoothed, out)
 
 
+def apply_rope_interleave(
+    x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """Interleaved (GPT-J pair) rotary, deepseek style: de-interleave pairs
+    into halves, then neox rotation. Matches HF apply_rotary_pos_emb_interleave
+    (output stays in the permuted order — consistent across q and k, so
+    attention scores are unaffected)."""
+    half = x.shape[-1] // 2
+    x_perm = jnp.concatenate([x[..., 0::2], x[..., 1::2]], axis=-1)
+    return apply_rope(x_perm, positions, cos, sin)
+
+
 def apply_rope(
     x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

@@ -1,0 +1,123 @@
+"""DeepSeek V3 (MLA + group-routed MoE) parity tests vs HF transformers."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.models import ModelInputs, create_model
+
+
+def _prefill_inputs(prompt, max_blocks=4, bs=16):
+    t = len(prompt)
+    return ModelInputs(
+        tokens=jnp.asarray([prompt], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None, :],
+        block_tables=jnp.asarray([[j + 1 for j in range(max_blocks)]], jnp.int32),
+        kv_lens=jnp.asarray([t], jnp.int32),
+        q_offsets=jnp.asarray([0], jnp.int32),
+    )
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = tiny_config("deepseek_v3")
+    ckpt = write_fake_checkpoint(str(tmp_path / "d"), cfg)
+    back = ModelConfig.from_pretrained(ckpt)
+    assert back.kv_lora_rank == cfg.kv_lora_rank
+    assert back.q_lora_rank == cfg.q_lora_rank
+    assert back.first_moe_layer == 1
+    assert back.moe_router_score_fn == "sigmoid"
+    assert back.moe_router_bias
+    assert back.head_dim == cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+
+
+def test_forward_matches_hf(tmp_path):
+    cfg = tiny_config("deepseek_v3")
+    ckpt = write_fake_checkpoint(
+        str(tmp_path / "d3"), cfg,
+        extra_config={"architectures": ["DeepseekV3ForCausalLM"]},
+    )
+    cfg2 = ModelConfig.from_pretrained(ckpt)
+    cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    model = create_model(cfg2)
+    cache = model.init_cache(8, 16, jnp.float32)
+
+    prompt = [1, 5, 9, 42, 7, 100, 3]
+    out, _ = model.forward(weights, cache, _prefill_inputs(prompt),
+                           need_all_logits=True)
+    ours = np.asarray(out.all_logits[0])
+
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    m = AutoModelForCausalLM.from_pretrained(ckpt, torch_dtype=torch.float32)
+    m.eval()
+    with torch.no_grad():
+        theirs = m(torch.tensor([prompt])).logits[0].numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=3e-4, atol=3e-4)
+
+
+def test_decode_matches_prefill(tmp_path):
+    cfg = tiny_config("deepseek_v3")
+    ckpt = write_fake_checkpoint(str(tmp_path / "dd"), cfg)
+    cfg2 = ModelConfig.from_pretrained(ckpt)
+    cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    model = create_model(cfg2)
+
+    prompt = [1, 5, 9, 42, 7, 100, 3, 55]
+    cache = model.init_cache(8, 16, jnp.float32)
+    out_full, _ = model.forward(
+        weights, cache, _prefill_inputs(prompt), need_all_logits=True
+    )
+    full = np.asarray(out_full.all_logits[0])
+
+    cache = model.init_cache(8, 16, jnp.float32)
+    out, cache = model.forward(weights, cache, _prefill_inputs(prompt[:4]))
+    np.testing.assert_allclose(np.asarray(out.logits[0]), full[3],
+                               rtol=1e-5, atol=1e-5)
+    for i in range(4, len(prompt)):
+        inp = ModelInputs(
+            tokens=jnp.asarray([[prompt[i]]], jnp.int32),
+            positions=jnp.asarray([[i]], jnp.int32),
+            block_tables=jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+            kv_lens=jnp.asarray([i + 1], jnp.int32),
+            q_offsets=jnp.asarray([i], jnp.int32),
+        )
+        out, cache = model.forward(weights, cache, inp)
+        np.testing.assert_allclose(np.asarray(out.logits[0]), full[i],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_engine_e2e_deepseek(tmp_path):
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+
+    cfg = tiny_config("deepseek_v3")
+    ckpt = write_fake_checkpoint(str(tmp_path / "de"), cfg)
+    cfg2 = ModelConfig.from_pretrained(ckpt)
+    cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    model = create_model(cfg2)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=16, test_num_blocks=32),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(model, weights, econf)
+    s = eng.generate([1, 5, 9], GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True))
+    assert len(s.output_token_ids) == 6
+    # greedy continuation consistent with a fresh engine
+    eng2 = LlmEngine(model, weights, econf)
+    s2 = eng2.generate([1, 5, 9], GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True))
+    assert s.output_token_ids == s2.output_token_ids
