@@ -99,7 +99,7 @@ def build_device_weights(cfg, quant, mesh=None):
     return mk_all()
 
 
-def main():
+def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8", choices=["int8", "bf16"])
@@ -111,7 +111,14 @@ def main():
     p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
-    args = p.parse_args()
+    p.add_argument("--watchdog", type=int, default=1500,
+                   help="overall seconds before emitting a failure line "
+                        "(device hangs must not hang the harness); 0=off")
+    return p.parse_args()
+
+
+def main():
+    args = _parse_args()
 
     import jax
 
@@ -218,5 +225,34 @@ def main():
     print(json.dumps(result))
 
 
+def _run_with_watchdog():
+    """Run the bench in a child process; if the device wedges (remote claim
+    hangs are possible in tunneled environments), emit a failure JSON line
+    instead of hanging the harness."""
+    import multiprocessing as mp
+    import os
+    import signal
+
+    args = _parse_args()
+    if not args.watchdog:
+        return main()
+    ctx = mp.get_context("fork")
+    child = ctx.Process(target=main)
+    child.start()
+    child.join(timeout=args.watchdog)
+    if child.is_alive():
+        os.kill(child.pid, signal.SIGKILL)
+        child.join(5)
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "error": f"bench timed out after {args.watchdog}s (device hang)",
+        }))
+        sys.exit(0)
+    sys.exit(child.exitcode or 0)
+
+
 if __name__ == "__main__":
-    main()
+    _run_with_watchdog()
