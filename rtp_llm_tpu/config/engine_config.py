@@ -88,6 +88,11 @@ class SchedulerConfig:
     watermark_frac: float = 0.01
     # chunked prefill chunk size (0 = disabled, whole-prompt prefill)
     prefill_chunk_size: int = 0
+    # pipeline decode steps: dispatch step N+1 before reading back step N's
+    # tokens (reference analog: the C++ engine's async execution; hides host
+    # scheduling + readback latency under device compute). Streams observe
+    # results one step later; stop conditions are evaluated on resolve.
+    async_decode: bool = True
 
 
 @dataclasses.dataclass

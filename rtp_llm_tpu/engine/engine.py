@@ -127,6 +127,11 @@ class LlmEngine:
         self.spec = config.speculative
         self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2))
 
+        # async decode pipelining: device step N+1 is dispatched before step
+        # N's tokens are read back (reference analog: C++ engine async exec)
+        self.async_decode = sc.async_decode
+        self._pending = None  # (tokens_dev, logprobs_dev, streams)
+
         # metrics
         self.step_count = 0
         self.tokens_generated = 0
@@ -367,9 +372,41 @@ class LlmEngine:
         with self.device_lock:
             return self._step_locked()
 
+    def _resolve_pending(self):
+        """Read back the last dispatched decode step and run stream dispatch
+        (stop checks, releases). Overlaps with the device executing the step
+        dispatched after it."""
+        if self._pending is None:
+            return
+        pending, self._pending = self._pending, None
+        self._resolve_tuple(*pending)
+
+    def _resolve_tuple(self, tokens_dev, logprobs_dev, streams):
+        tokens_h = np.asarray(tokens_dev)
+        logprobs_h = np.asarray(logprobs_dev)
+        from rtp_llm_tpu.utils.metrics import METRICS
+
+        n = 0
+        for s in streams:
+            if s.is_finished() or s.slot < 0:
+                continue  # released after dispatch: its extra token is garbage
+            tok = int(tokens_h[s.slot])
+            self.tokens_generated += 1
+            n += 1
+            finished = s.append_token(
+                tok, self.eos_ids, float(logprobs_h[s.slot]),
+                max_seq_len=self.config.scheduler.max_seq_len,
+            )
+            if finished:
+                self._release_stream(s)
+        METRICS.inc("engine.tokens_generated", n)
+
     def _step_locked(self) -> bool:
         from rtp_llm_tpu.utils.metrics import METRICS, timed
 
+        # prefill admission needs resolved slot/block state; idle steps flush
+        if self.scheduler.waiting or not self.scheduler.running:
+            self._resolve_pending()
         with timed("engine.schedule_ms"):
             sr = self.scheduler.schedule()
         for s in sr.new_streams:
@@ -378,6 +415,7 @@ class LlmEngine:
 
         active = [s for s in self.scheduler.running if s.slot >= 0]
         if not active:
+            self._resolve_pending()
             self.step_count += 1
             return bool(sr.new_streams)
 
@@ -391,7 +429,16 @@ class LlmEngine:
                 for s in active
             )
         )
-        extra = self.spec.draft_tokens if use_spec else 0
+        if use_spec:
+            # spec proposals depend on the latest tokens: stay synchronous
+            self._resolve_pending()
+            active = [s for s in self.scheduler.running if s.slot >= 0]
+            if not active:
+                self.step_count += 1
+                return True
+        extra = self.spec.draft_tokens if use_spec else (
+            1 if (self.async_decode and self._pending is not None) else 0
+        )
 
         # grow block allocations for the token(s) this step writes
         for s in list(active):
@@ -432,19 +479,14 @@ class LlmEngine:
                 self.kv, self.state, tokens, logprobs = self._decode_jit(
                     self.weights, self.kv, self.state, need_sampling
                 )
-                tokens_h = np.asarray(tokens)
-                logprobs_h = np.asarray(logprobs)
-            METRICS.inc("engine.tokens_generated", len(active))
-
-            for s in active:
-                tok = int(tokens_h[s.slot])
-                self.tokens_generated += 1
-                finished = s.append_token(
-                    tok, self.eos_ids, float(logprobs_h[s.slot]),
-                    max_seq_len=self.config.scheduler.max_seq_len,
-                )
-                if finished:
-                    self._release_stream(s)
+            if self.async_decode:
+                prev = self._pending
+                self._pending = (tokens, logprobs, active)
+                if prev is not None:
+                    # resolve the PREVIOUS step while the device runs this one
+                    self._resolve_tuple(*prev)
+            else:
+                self._resolve_tuple(tokens, logprobs, active)
         METRICS.set_gauge("engine.running_streams", len(active))
         METRICS.set_gauge("engine.waiting_streams", self.scheduler.pending)
         METRICS.set_gauge("engine.kv_free_blocks", self.cache_mgr.pool.free_blocks)
@@ -554,7 +596,7 @@ class LlmEngine:
         return stream
 
     def has_work(self) -> bool:
-        return self.scheduler.has_work()
+        return self.scheduler.has_work() or self._pending is not None
 
     def generate(
         self,
