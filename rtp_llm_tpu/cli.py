@@ -12,7 +12,7 @@ import sys
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = argv.pop(0) if argv and not argv[0].startswith("-") else "serve"
-    if cmd not in ("serve",):
+    if cmd not in ("serve", "launch"):
         # model path given directly: treat as serve target
         argv.insert(0, cmd)
         cmd = "serve"
@@ -27,6 +27,11 @@ def main(argv=None):
     if not config.server.model_path:
         print("usage: rtp-llm-tpu serve <model_path> [flags]", file=sys.stderr)
         return 2
+
+    if cmd == "launch":
+        from rtp_llm_tpu.server.launcher import launch
+
+        return launch(config)
 
     from rtp_llm_tpu.server.server import serve
 
