@@ -132,6 +132,16 @@ class LlmEngine:
         self.async_decode = sc.async_decode
         self._pending = None  # (tokens_dev, logprobs_dev, streams)
 
+        # beam search groups (engine/beam.py); processed synchronously per step
+        self._beam_groups = []
+        self._beam_jits = {}  # num_beams -> logits fn
+        self._copy_blocks_jit = jax.jit(
+            self._copy_blocks_impl, donate_argnums=(0,), static_argnums=(3,)
+        )
+        self._logsoftmax_jit = jax.jit(
+            lambda logits: jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        )
+
         # metrics
         self.step_count = 0
         self.tokens_generated = 0
@@ -273,11 +283,202 @@ class LlmEngine:
                 return b
         return self.config.scheduler.prefill_buckets[-1]
 
+    # ---- beam search (engine/beam.py) ----
+
+    @staticmethod
+    def _copy_blocks_impl(kv, src_blocks, dst_blocks, block_size):
+        """Copy whole KV blocks (all layers): paged copy-on-fork for beams
+        (reference analog: kv_cache_update_mapping block copies,
+        NormalExecutor.cc:166). src/dst: [m] block ids; -1 = no-op."""
+        bs = block_size
+        offs = jnp.arange(bs, dtype=jnp.int32)[None, :]
+        src_rows = (src_blocks[:, None] * bs + offs).reshape(-1)
+        dst = jnp.where(dst_blocks < 0, jnp.int32(2**30 // bs), dst_blocks)
+        dst_rows = (dst[:, None] * bs + offs).reshape(-1)
+        rows = kv[..., src_rows, :]
+        return kv.at[..., dst_rows, :].set(rows, mode="drop")
+
+    def copy_blocks(self, src: list, dst: list):
+        if not src:
+            return
+        self.kv = self._copy_blocks_jit(
+            self.kv, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            self.block_size,
+        )
+
+    def _beam_logits_fn(self, k: int):
+        fn = self._beam_jits.get(k)
+        if fn is None:
+            def impl(weights, kv, tokens, positions, bt, kv_lens, q_offsets):
+                inputs = ModelInputs(tokens, positions, bt, kv_lens, q_offsets)
+                out, kv = self.model.forward(weights, kv, inputs)
+                return kv, jax.nn.log_softmax(
+                    out.logits.astype(jnp.float32), axis=-1
+                )
+            fn = jax.jit(impl, donate_argnums=(1,))
+            self._beam_jits[k] = fn
+        return fn
+
+    def _run_beam_prefill(self, stream):
+        """Prefill + branch into num_beams beams (no decode slot used)."""
+        from rtp_llm_tpu.engine.beam import BeamGroup
+
+        logits = self._prefill_forward(stream)  # [1, V]
+        logprobs = np.asarray(self._logsoftmax_jit(logits))[0]
+        k = stream.config.num_beams
+        group = BeamGroup(stream, k, self.cache_mgr, self.block_size)
+        group.init_from_prefill(
+            stream.alloc.blocks, logprobs, self.eos_ids,
+            stream.config.max_new_tokens,
+        )
+        # block ownership: beam 0 inherits the stream allocation; others share
+        # full blocks and fork the partial tail
+        parent_blocks = stream.alloc.blocks
+        stream.alloc.blocks = []  # ownership moves to the beams
+        p = stream.prompt_len
+        self._beam_fix_blocks(group, parent_blocks, seq_len=p)
+        self._beam_groups.append(group)
+
+    def _beam_fix_blocks(self, group, parent_blocks, seq_len):
+        """Give each beam writable KV coverage for its pending token at
+        ``seq_len``. Beam 0 inherits parent_blocks; the rest share full blocks
+        (ref) and copy the partial tail when one exists."""
+        bs = self.block_size
+        pool = self.cache_mgr.pool
+        need_fresh_tail = seq_len % bs == 0  # pending token opens a new block
+        copies_src, copies_dst = [], []
+        for i, beam in enumerate(group.beams):
+            if i == 0:
+                blocks = list(parent_blocks)
+                if need_fresh_tail:
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks += fresh
+            else:
+                if need_fresh_tail:
+                    shared = list(parent_blocks)
+                    pool.ref(shared)
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks = shared + fresh
+                else:
+                    shared = list(parent_blocks[:-1])
+                    pool.ref(shared)
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks = shared + fresh
+                    copies_src.append(parent_blocks[-1])
+                    copies_dst.append(fresh[0])
+            beam.blocks = blocks
+        self.copy_blocks(copies_src, copies_dst)
+
+    def _beam_step(self, group):
+        """One decode+rerank step for a beam group."""
+        from rtp_llm_tpu.engine.stream import FinishReason
+
+        k = group.k
+        stream = group.stream
+        n = group.seq_len(group.beams[0]) - 1  # position of pending tokens
+        mb = self.max_blocks_per_seq
+        bt = np.zeros((k, mb), np.int32)
+        toks = np.zeros((k, 1), np.int32)
+        for i, beam in enumerate(group.beams):
+            bt[i, : len(beam.blocks)] = beam.blocks
+            toks[i, 0] = beam.tokens[-1]
+        fn = self._beam_logits_fn(k)
+        self.kv, logprobs = fn(
+            self.weights, self.kv,
+            jnp.asarray(toks),
+            jnp.full((k, 1), n, jnp.int32),
+            jnp.asarray(bt),
+            jnp.full((k,), n + 1, jnp.int32),
+            jnp.full((k,), n, jnp.int32),
+        )
+        lp = np.asarray(logprobs)
+        children = group.advance(
+            lp, self.eos_ids if not stream.config.ignore_eos else (),
+            stream.config.max_new_tokens,
+        )
+        self.tokens_generated += len(children)
+
+        if group.done or not children or stream.is_finished():
+            self._finish_beam_group(group)
+            return
+
+        # rebuild beams: per-parent forking of KV tails at position n+1
+        old_beams = group.beams
+        bs = self.block_size
+        pool = self.cache_mgr.pool
+        new_pos = n + 1
+        need_fresh_tail = new_pos % bs == 0
+        from rtp_llm_tpu.engine.beam import Beam
+
+        new_beams = [None] * len(children)
+        copies_src, copies_dst = [], []
+        used_parents = {p for (p, _t, _s) in children}
+        inherited = set()  # parents whose block list one child took over
+        for ci, (parent, tok, score) in enumerate(children):
+            pbeam = old_beams[parent]
+            if parent not in inherited:
+                inherited.add(parent)
+                blocks = list(pbeam.blocks)
+                if need_fresh_tail:
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks += fresh
+            else:
+                if need_fresh_tail:
+                    shared = list(pbeam.blocks)
+                    pool.ref(shared)
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks = shared + fresh
+                else:
+                    shared = list(pbeam.blocks[:-1])
+                    pool.ref(shared)
+                    fresh = self.cache_mgr._malloc(1)
+                    if fresh is None:
+                        raise RuntimeError("KV pool exhausted during beam fork")
+                    blocks = shared + fresh
+                    copies_src.append(pbeam.blocks[-1])
+                    copies_dst.append(fresh[0])
+            new_beams[ci] = Beam(
+                tokens=pbeam.tokens + [tok], cum_logprob=score, blocks=blocks
+            )
+        # release parents that produced no inheriting child
+        for pi, pbeam in enumerate(old_beams):
+            if pi not in used_parents:
+                pool.free(pbeam.blocks)
+        self.copy_blocks(copies_src, copies_dst)
+        group.beams = new_beams
+
+    def _finish_beam_group(self, group):
+        from rtp_llm_tpu.engine.stream import FinishReason, StreamOutput
+
+        stream = group.stream
+        best = group.best()
+        for beam in group.beams:
+            self.cache_mgr.pool.free(beam.blocks)
+        group.beams = []
+        self._beam_groups.remove(group)
+        if not stream.is_finished():
+            stream.output_token_ids = list(best.tokens)
+            stream.finish(
+                FinishReason.STOP if group.finished else FinishReason.LENGTH,
+                emit_all=True,
+            )
+        self.scheduler.release(stream)
+
     # ---- prefill path ----
 
-    def _run_prefill(self, stream: GenerateStream):
-        """Chunked prefill of stream's non-reused prompt, then first-token
-        sample + decode-slot insertion."""
+    def _prefill_forward(self, stream: GenerateStream):
+        """Chunked prefill of stream's non-reused prompt; returns last-chunk
+        logits [1, V] (the distribution for the first generated token)."""
         prompt = stream.prompt_token_ids
         p = len(prompt)
         r = stream.reuse_len
@@ -306,6 +507,17 @@ class LlmEngine:
                 jnp.asarray([pos], np.int32),
             )
             pos += t_real
+        return logits
+
+    def _run_prefill(self, stream: GenerateStream):
+        """Chunked prefill, then first-token sample + decode-slot insertion."""
+        prompt = stream.prompt_token_ids
+        p = len(prompt)
+        blocks = stream.alloc.blocks
+        block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+        block_row[: len(blocks)] = blocks
+        block_row_j = jnp.asarray(block_row)
+        logits = self._prefill_forward(stream)
 
         # sample the first generated token from the last-chunk logits
         ban = stream.needs_eos_ban()
@@ -411,13 +623,20 @@ class LlmEngine:
             sr = self.scheduler.schedule()
         for s in sr.new_streams:
             with timed("engine.prefill_ms"):
-                self._run_prefill(s)
+                if s.config.num_beams > 1:
+                    self._run_beam_prefill(s)
+                else:
+                    self._run_prefill(s)
+
+        for group in list(self._beam_groups):
+            with timed("engine.beam_step_ms"):
+                self._beam_step(group)
 
         active = [s for s in self.scheduler.running if s.slot >= 0]
         if not active:
             self._resolve_pending()
             self.step_count += 1
-            return bool(sr.new_streams)
+            return bool(sr.new_streams) or bool(self._beam_groups)
 
         # speculative mode: greedy-only batches with room for the draft window
         use_spec = (

@@ -86,7 +86,7 @@ class FIFOScheduler:
                 s.prompt_len,
                 min(s.config.max_new_tokens,
                     self.config.max_seq_len - s.prompt_len),
-            )
+            ) * max(1, s.config.num_beams)  # beams fork the KV footprint
             if need + watermark > self.cache.free_blocks:
                 break  # strict FIFO: do not skip ahead (reference behavior)
             alloc = self.cache.allocate(s.all_token_ids)

@@ -156,13 +156,18 @@ class GenerateStream:
                 return True
         return False
 
-    def finish(self, reason: FinishReason):
+    def finish(self, reason: FinishReason, emit_all: bool = False):
+        """emit_all: push the full output in the final chunk (beam search
+        delivers whole sequences, not incremental tokens)."""
         self.state = StreamState.FINISHED if reason in (
             FinishReason.STOP, FinishReason.LENGTH
         ) else StreamState.STOPPED
         self.finish_reason = reason
         self.finish_time = time.time()
-        last = self.output_token_ids[-1:] if self.output_token_ids else []
+        if self.first_token_time is None:
+            self.first_token_time = self.finish_time
+        last = (list(self.output_token_ids) if emit_all
+                else self.output_token_ids[-1:]) if self.output_token_ids else []
         self._out_q.put(StreamOutput(new_tokens=last, finished=True, finish_reason=reason))
 
     def abort(self, error: Optional[str] = None):
