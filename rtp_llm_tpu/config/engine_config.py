@@ -128,6 +128,11 @@ class ServerConfig:
     # (reference: static lora merge, rtp_llm/lora/; dynamic adapters are
     # registered at runtime through the LoraManager)
     lora_adapters: str = ""
+    # PD disaggregation role (reference RoleType, RoleTypes.h:7-11):
+    # fusion (default) | prefill | decode. A prefill instance forwards KV to
+    # its decode peer and relays the token stream.
+    role: str = "fusion"
+    decode_peer: str = ""  # host:port of the decode instance (prefill role)
 
 
 @dataclasses.dataclass

@@ -33,7 +33,7 @@ from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.engine import device_state as ds
 from rtp_llm_tpu.engine.scheduler import FIFOScheduler
 from rtp_llm_tpu.engine.speculative import greedy_verify, propose_prompt_lookup
-from rtp_llm_tpu.engine.stream import FinishReason, GenerateStream
+from rtp_llm_tpu.engine.stream import FinishReason, GenerateStream, StreamState
 from rtp_llm_tpu.models.batch import ModelInputs
 from rtp_llm_tpu.ops.sampling import SamplingParams, sample_tokens
 
@@ -745,6 +745,125 @@ class LlmEngine:
                 if finished:
                     self._release_stream(s)
                     break
+
+    # ---- PD disaggregation: KV export / preloaded enqueue ----
+    # (reference: PrefillRpcServer/DecodeRpcServer + cache store transfer,
+    # cpp/model_rpc/ + cpp/disaggregate/cache_store/ — the RDMA data plane
+    # becomes a row gather/scatter + host transfer on TPU)
+
+    def _gather_rows_impl(self, kv, slot_ids):
+        return kv[..., slot_ids, :]
+
+    def prefill_only(self, prompt_token_ids, config=None):
+        """Prefill-instance path: run prefill, sample the first token, export
+        the prompt's KV rows, release local blocks. Returns
+        (first_token, logprob, kv_rows ndarray [..., n_tokens, lanes])."""
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+
+        config = config or GenerateConfig()
+        with self.device_lock:
+            alloc = self.cache_mgr.allocate(prompt_token_ids)
+            if alloc is None:
+                raise RuntimeError("KV pool exhausted for prefill")
+            stream = GenerateStream(prompt_token_ids, config)
+            stream.alloc = alloc
+            stream.reuse_len = min(alloc.reuse_len, stream.prompt_len - 1)
+            logits = self._prefill_forward(stream)
+            ban = stream.needs_eos_ban()
+            prow = ds.params_row_from_config(config, ban)
+            params = SamplingParams(
+                temperature=jnp.asarray([prow["temperature"]]),
+                top_k=jnp.asarray([prow["top_k"]]),
+                top_p=jnp.asarray([prow["top_p"]]),
+                do_sample=jnp.asarray([prow["do_sample"]]),
+                repetition_penalty=jnp.asarray([prow["repetition_penalty"]]),
+                presence_penalty=jnp.asarray([prow["presence_penalty"]]),
+                frequency_penalty=jnp.asarray([prow["frequency_penalty"]]),
+                ban_eos=jnp.asarray([prow["ban_eos"]]),
+            )
+            pmask = np.zeros((1, self.model.cfg.vocab_size), bool)
+            pmask[0, np.asarray(prompt_token_ids, np.int64)] = True
+            tokens, logprobs, rng = self._first_sample_jit(
+                logits, params, jnp.asarray(pmask), self.state.rng,
+                bool(config.do_sample),
+            )
+            self.state = self.state._replace(rng=rng)
+
+            p = len(prompt_token_ids)
+            bs = self.block_size
+            slot_ids = (
+                np.asarray(alloc.blocks[: (p + bs - 1) // bs])[:, None] * bs
+                + np.arange(bs)[None, :]
+            ).reshape(-1)[:p]
+            kv_rows = np.asarray(
+                self._gather_rows_impl(self.kv, jnp.asarray(slot_ids, jnp.int32))
+            )
+            self.cache_mgr.free(alloc, token_ids=prompt_token_ids)
+            return int(tokens[0]), float(logprobs[0]), kv_rows
+
+    def enqueue_preloaded(
+        self, prompt_token_ids, first_token: int, kv_rows: np.ndarray,
+        config=None, first_logprob: float = 0.0, stop_token_sequences=None,
+    ) -> GenerateStream:
+        """Decode-instance path: allocate blocks, import the transferred KV,
+        and enter decode directly (no prefill) with ``first_token`` pending.
+        Reference: DecodeRpcServer::RemoteGenerate + loadCacheFromPrefill."""
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+
+        config = config or GenerateConfig()
+        with self.device_lock:
+            self._resolve_pending()
+            alloc = self.cache_mgr.allocate(prompt_token_ids)
+            if alloc is None:
+                raise RuntimeError("decode KV pool exhausted")
+            stream = GenerateStream(
+                prompt_token_ids, config,
+                stop_token_sequences=stop_token_sequences,
+            )
+            stream.alloc = alloc
+            stream.state = StreamState.RUNNING
+
+            p = len(prompt_token_ids)
+            bs = self.block_size
+            # rows already on device for reused prefix blocks are identical
+            # (same tokens); overwrite is harmless and keeps this simple
+            slot_ids = (
+                np.asarray(alloc.blocks[: (p + bs - 1) // bs])[:, None] * bs
+                + np.arange(bs)[None, :]
+            ).reshape(-1)[:p]
+            rows = jnp.asarray(kv_rows[..., :p, :], self.kv.dtype)
+            self.kv = self.kv.at[..., jnp.asarray(slot_ids, jnp.int32), :].set(
+                rows, mode="drop"
+            )
+
+            # decode-slot insertion (mirrors _run_prefill's tail)
+            block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+            block_row[: len(alloc.blocks)] = alloc.blocks
+            ban = stream.needs_eos_ban()
+            prow = ds.params_row_from_config(config, ban)
+            pmask = np.zeros((self.model.cfg.vocab_size,), bool)
+            pmask[np.asarray(prompt_token_ids, np.int64)] = True
+            slot = self._free_slots.pop()
+            stream.slot = slot
+            self.slots[slot] = stream
+            self._slot_nblocks[slot] = len(alloc.blocks)
+            self._slot_ban[slot] = ban
+            self.state = self._insert_jit(
+                self.state, jnp.int32(slot), jnp.int32(first_token),
+                jnp.int32(p), jnp.asarray(block_row), jnp.asarray(pmask),
+                prow["temperature"], prow["top_k"], prow["top_p"],
+                prow["do_sample"], prow["repetition_penalty"],
+                prow["presence_penalty"], prow["frequency_penalty"],
+                prow["ban_eos"],
+            )
+            self.scheduler.running.append(stream)
+            stream.append_token(
+                first_token, self.eos_ids, first_logprob,
+                max_seq_len=self.config.scheduler.max_seq_len,
+            )
+            if stream.is_finished():
+                self._release_stream(stream)
+            return stream
 
     # ---- warmup ----
 

@@ -41,7 +41,9 @@ class OpenAIApp:
         max_concurrency: int = 256,
         access_log_path: Optional[str] = None,
         enable_access_log: bool = True,
+        pd_forwarder=None,  # PrefillForwarder when this app is a prefill role
     ):
+        self.pd_forwarder = pd_forwarder
         self.runner = runner
         self.tok = tokenizer
         self.model_name = model_name
@@ -132,6 +134,12 @@ class OpenAIApp:
                 "max_new_tokens": cfg.max_new_tokens,
             })
         METRICS.inc("frontend.requests")
+
+        if self.pd_forwarder is not None:
+            return await self._generate_pd(
+                request, body, token_ids, cfg, stop_seqs, stream_mode, rid,
+                created, chat, route, t_start,
+            )
 
         # num_return_sequences fan-out (reference: beam/num-return fanout in
         # GenerateStream; independent sampled streams, one choice each)
@@ -276,6 +284,83 @@ class OpenAIApp:
                 raise
             await resp.write_eof()
             return resp
+
+    async def _generate_pd(self, request, body, token_ids, cfg, stop_seqs,
+                           stream_mode, rid, created, chat, route, t_start):
+        """Prefill-role generation: local prefill, KV push to the decode
+        peer, token relay (reference: PrefillRpcServer flow, SURVEY.md §3.4)."""
+        detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
+        n_tokens = 0
+        finish = "stop"
+        if not stream_mode:
+            text = ""
+            async with self.sem:
+                async for toks, finished, reason in self.pd_forwarder.generate(
+                    token_ids, cfg
+                ):
+                    out, _hit = detok.push(toks)
+                    text += out
+                    n_tokens += len(toks)
+                    if finished:
+                        finish = reason or "stop"
+            text += detok.finalize()
+            payload = {
+                "id": rid,
+                "object": "chat.completion" if chat else "text_completion",
+                "created": created, "model": self.model_name,
+                "choices": [
+                    {"index": 0,
+                     "message": {"role": "assistant", "content": detok.full_text}}
+                    if chat else
+                    {"index": 0, "text": detok.full_text, "logprobs": None}
+                ],
+                "usage": {
+                    "prompt_tokens": len(token_ids),
+                    "completion_tokens": n_tokens,
+                    "total_tokens": len(token_ids) + n_tokens,
+                },
+            }
+            payload["choices"][0]["finish_reason"] = finish
+            return web.json_response(payload)
+
+        resp = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"},
+        )
+        await resp.prepare(request)
+
+        def chunk(delta, fin=None):
+            d = {
+                "id": rid,
+                "object": "chat.completion.chunk" if chat else "text_completion",
+                "created": created, "model": self.model_name,
+                "choices": [
+                    {"index": 0, "delta": delta, "finish_reason": fin}
+                    if chat else
+                    {"index": 0, "text": delta.get("content", ""),
+                     "finish_reason": fin}
+                ],
+            }
+            return f"data: {json.dumps(d, ensure_ascii=False)}\n\n".encode()
+
+        if chat:
+            await resp.write(chunk({"role": "assistant", "content": ""}))
+        async with self.sem:
+            async for toks, finished, reason in self.pd_forwarder.generate(
+                token_ids, cfg
+            ):
+                text, _hit = detok.push(toks)
+                if finished:
+                    text += detok.finalize()
+                if text:
+                    await resp.write(chunk({"content": text}))
+                if finished:
+                    await resp.write(chunk({}, fin=reason or "stop"))
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+        await resp.write_eof()
+        return resp
 
     async def embeddings(self, request: web.Request):
         """OpenAI /v1/embeddings (reference: EmbeddingService,

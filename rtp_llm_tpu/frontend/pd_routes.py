@@ -1,0 +1,127 @@
+"""PD-disaggregation HTTP plane.
+
+Reference analog: PrefillRpcServer / DecodeRpcServer gRPC pair
+(cpp/model_rpc/PrefillRpcServer.h:10, DecodeRpcServer.h:11) + the cache-store
+transfer (SURVEY.md §3.4). TPU/DCN version: the prefill instance POSTs the
+prompt's KV rows (raw bytes) + first token to the decode instance's
+``/remote_generate``, which enqueues a preloaded stream and streams tokens
+back as NDJSON; the prefill instance relays them to its client.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from typing import Optional
+
+import aiohttp
+import numpy as np
+from aiohttp import web
+
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+
+logger = logging.getLogger(__name__)
+
+
+class DecodeRole:
+    """Routes served by the decode instance."""
+
+    def __init__(self, runner):
+        self.runner = runner
+
+    async def remote_generate(self, request: web.Request) -> web.StreamResponse:
+        """Body: multipart-free framing — JSON header line + raw KV bytes.
+        Header: {token_ids, first_token, first_logprob, dtype, shape, config}.
+        """
+        reader = request.content
+        header_line = await reader.readline()
+        meta = json.loads(header_line)
+        nbytes = int(meta["nbytes"])
+        raw = await reader.readexactly(nbytes)
+        kv_rows = np.frombuffer(raw, dtype=np.dtype(meta["dtype"])).reshape(
+            meta["shape"]
+        )
+        cfg = GenerateConfig.from_dict(meta.get("config") or {})
+        engine = self.runner.engine
+        stream = engine.enqueue_preloaded(
+            list(meta["token_ids"]), int(meta["first_token"]), kv_rows, cfg,
+            first_logprob=float(meta.get("first_logprob", 0.0)),
+        )
+        with self.runner._cond:
+            self.runner._cond.notify_all()
+
+        resp = web.StreamResponse(
+            status=200, headers={"Content-Type": "application/x-ndjson"}
+        )
+        await resp.prepare(request)
+        # the first (prefill-produced) token is already in the stream's queue
+        loop = asyncio.get_running_loop()
+        while True:
+            out = await loop.run_in_executor(None, stream.next_output)
+            payload = {
+                "tokens": [int(t) for t in out.new_tokens],
+                "finished": out.finished,
+                "finish_reason": out.finish_reason.value
+                if out.finish_reason else None,
+            }
+            await resp.write((json.dumps(payload) + "\n").encode())
+            if out.finished:
+                break
+        await resp.write_eof()
+        return resp
+
+    def add_routes(self, app: web.Application):
+        app.router.add_post("/remote_generate", self.remote_generate)
+
+
+class PrefillForwarder:
+    """The prefill instance's generation backend: local prefill + KV push to
+    the decode peer, then token relay."""
+
+    def __init__(self, engine, decode_peer: str):
+        self.engine = engine
+        self.peer = decode_peer
+        self._session: Optional[aiohttp.ClientSession] = None
+
+    async def _sess(self) -> aiohttp.ClientSession:
+        if self._session is None or self._session.closed:
+            self._session = aiohttp.ClientSession()
+        return self._session
+
+    async def generate(self, token_ids, config: GenerateConfig):
+        """Async generator of (new_tokens, finished, finish_reason)."""
+        loop = asyncio.get_running_loop()
+        tok, lp, kv_rows = await loop.run_in_executor(
+            None, self.engine.prefill_only, token_ids, config,
+        )
+        kv = np.ascontiguousarray(kv_rows)
+        import dataclasses
+
+        header = json.dumps({
+            "token_ids": list(map(int, token_ids)),
+            "first_token": tok,
+            "first_logprob": lp,
+            "dtype": str(kv.dtype),
+            "shape": list(kv.shape),
+            "nbytes": kv.nbytes,
+            "config": dataclasses.asdict(config),
+        }).encode() + b"\n"
+        sess = await self._sess()
+        async with sess.post(
+            f"http://{self.peer}/remote_generate",
+            data=header + kv.tobytes(),
+            timeout=aiohttp.ClientTimeout(total=600),
+        ) as resp:
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"decode peer error {resp.status}: {await resp.text()}"
+                )
+            async for line in resp.content:
+                line = line.strip()
+                if not line:
+                    continue
+                msg = json.loads(line)
+                yield msg["tokens"], msg["finished"], msg.get("finish_reason")
+                if msg["finished"]:
+                    return

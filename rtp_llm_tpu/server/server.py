@@ -72,14 +72,28 @@ def serve(config: EngineConfig):
     runner = EngineRunner(engine).start()
     tok_path = config.server.tokenizer_path or config.server.model_path
     tokenizer = TokenizerFactory.create(tok_path)
+
+    pd_forwarder = None
+    if config.server.role == "prefill":
+        if not config.server.decode_peer:
+            raise ValueError("prefill role requires --server-decode-peer")
+        from rtp_llm_tpu.frontend.pd_routes import PrefillForwarder
+
+        pd_forwarder = PrefillForwarder(engine, config.server.decode_peer)
+
     api = OpenAIApp(
         runner,
         tokenizer,
         model_name=config.server.served_model_name
         or config.server.model_path.rstrip("/").rsplit("/", 1)[-1],
         model_type=engine.model.cfg.model_type,
+        pd_forwarder=pd_forwarder,
     )
     app = api.build_app()
+    if config.server.role == "decode":
+        from rtp_llm_tpu.frontend.pd_routes import DecodeRole
+
+        DecodeRole(runner).add_routes(app)
     logger.info("serving on %s:%d", config.server.host, config.server.port)
     try:
         web.run_app(
