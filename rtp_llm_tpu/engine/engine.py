@@ -253,6 +253,15 @@ class LlmEngine:
 
     def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
                       kv_lens, q_offsets):
+        if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
+            # prefill context parallelism: shard the prompt's token dim over
+            # cp — GSPMD partitions the per-token compute and attention rows
+            # (reference: PCPAllGatherAttnOp scheme, allgather_cp_impl.py:34)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cons = NamedSharding(self.mesh, P(None, "cp"))
+            tokens = jax.lax.with_sharding_constraint(tokens, cons)
+            positions = jax.lax.with_sharding_constraint(positions, cons)
         inputs = ModelInputs(
             tokens=tokens, positions=positions, block_tables=block_tables,
             kv_lens=kv_lens, q_offsets=q_offsets,

@@ -24,17 +24,21 @@ def make_mesh(
     parallel: Optional[ParallelConfig] = None,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
+    """Axes (dp, cp, tp); cp (prefill context parallel) shards the prompt's
+    token dim during prefill — the reference's PCPAllGather scheme
+    (PrefillCPConfig, ConfigModules.h:21-42) expressed as a sharding."""
     parallel = parallel or ParallelConfig()
     devices = list(devices if devices is not None else jax.devices())
-    tp, dp = parallel.tp_size, parallel.dp_size
-    need = tp * dp
+    tp, dp, cp = parallel.tp_size, parallel.dp_size, parallel.cp_size
+    need = tp * dp * cp
     if need > len(devices):
         raise ValueError(
-            f"mesh needs {need} devices (tp={tp} x dp={dp}), have {len(devices)}"
+            f"mesh needs {need} devices (dp={dp} x cp={cp} x tp={tp}), "
+            f"have {len(devices)}"
         )
-    devs = np.asarray(devices[:need]).reshape(dp, tp)
-    return Mesh(devs, ("dp", "tp"))
+    devs = np.asarray(devices[:need]).reshape(dp, cp, tp)
+    return Mesh(devs, ("dp", "cp", "tp"))
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("dp", "tp"))
+    return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1, 1), ("dp", "cp", "tp"))

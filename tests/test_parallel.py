@@ -92,3 +92,17 @@ def test_moe_expert_sharding(tmp_path):
     gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
     p = [1, 5, 9]
     assert shard.generate(p, gc).output_token_ids == base.generate(p, gc).output_token_ids
+
+
+def test_cp_prefill_matches_unsharded(tmp_path):
+    """Prefill context parallelism (token dim over cp) must not change
+    outputs (reference: PCPAllGather scheme)."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "cp"), cfg)
+    base = _engine("qwen2", ckpt)
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=1, cp_size=2))
+    shard = _engine("qwen2", ckpt, mesh=mesh)
+    gc = lambda: GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+    prompt = list(range(1, 33))  # long enough to shard meaningfully
+    assert (shard.generate(prompt, gc()).output_token_ids
+            == base.generate(prompt, gc()).output_token_ids)
