@@ -122,6 +122,9 @@ class ModelConfig:
             cfg.use_qk_norm = True
         if mt == "llama":
             cfg.attention_bias = hf.get("attention_bias", False)
+        if mt == "bert":
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
+            cfg.attention_bias = True
         if mt in ("deepseek_v2", "deepseek_v3"):
             cfg.q_lora_rank = hf.get("q_lora_rank") or 0
             cfg.kv_lora_rank = hf.get("kv_lora_rank", 512)

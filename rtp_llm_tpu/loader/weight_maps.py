@@ -237,6 +237,40 @@ def _deepseek_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """HF bert-base naming (reference: bert embedding family weight maps)."""
+    L = "encoder.layer.{l}."
+
+    def t(name, pat, **kw):
+        return WeightSpec(name, pat, per_layer=True, **kw)
+
+    return [
+        WeightSpec("embed_tokens", "embeddings.word_embeddings.weight"),
+        WeightSpec("pos_embed", "embeddings.position_embeddings.weight"),
+        WeightSpec("type_embed", "embeddings.token_type_embeddings.weight"),
+        WeightSpec("embed_norm", "embeddings.LayerNorm.weight"),
+        WeightSpec("embed_norm_bias", "embeddings.LayerNorm.bias"),
+        t("q_proj", L + "attention.self.query.weight", transpose=True, shard_axis="out"),
+        t("q_bias", L + "attention.self.query.bias", shard_axis="out"),
+        t("k_proj", L + "attention.self.key.weight", transpose=True, shard_axis="out"),
+        t("k_bias", L + "attention.self.key.bias", shard_axis="out"),
+        t("v_proj", L + "attention.self.value.weight", transpose=True, shard_axis="out"),
+        t("v_bias", L + "attention.self.value.bias", shard_axis="out"),
+        t("o_proj", L + "attention.output.dense.weight", transpose=True, shard_axis="in"),
+        t("o_bias", L + "attention.output.dense.bias"),
+        t("attn_norm", L + "attention.output.LayerNorm.weight"),
+        t("attn_norm_bias", L + "attention.output.LayerNorm.bias"),
+        t("up_proj", L + "intermediate.dense.weight", transpose=True, shard_axis="out"),
+        t("up_bias", L + "intermediate.dense.bias", shard_axis="out"),
+        t("down_proj", L + "output.dense.weight", transpose=True, shard_axis="in"),
+        t("down_bias", L + "output.dense.bias"),
+        t("mlp_norm", L + "output.LayerNorm.weight"),
+        t("mlp_norm_bias", L + "output.LayerNorm.bias"),
+        WeightSpec("pooler", "pooler.dense.weight", transpose=True, optional=True),
+        WeightSpec("pooler_bias", "pooler.dense.bias", optional=True),
+    ]
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
     "mistral": _llama_family_specs,
@@ -246,6 +280,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3_moe": _llama_family_specs,
     "deepseek_v2": _deepseek_specs,
     "deepseek_v3": _deepseek_specs,
+    "bert": _bert_specs,
 }
 
 

@@ -33,6 +33,15 @@ for _mt in ("deepseek_v2", "deepseek_v3"):
     register_model(_mt, _make_deepseek)
 
 
+def _make_bert(cfg: ModelConfig):
+    from rtp_llm_tpu.models.bert import BertModel
+
+    return BertModel(cfg)
+
+
+register_model("bert", _make_bert)
+
+
 def create_model(cfg: ModelConfig):
     try:
         factory = _REGISTRY[cfg.model_type]

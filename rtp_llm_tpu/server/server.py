@@ -68,7 +68,35 @@ def serve(config: EngineConfig):
     """Blocking: build everything and run the HTTP server."""
     from aiohttp import web
 
-    engine = build_engine(config)
+    model_config = ModelConfig.from_pretrained(
+        config.server.model_path, config.server.model_type
+    )
+    model_name = (config.server.served_model_name
+                  or config.server.model_path.rstrip("/").rsplit("/", 1)[-1])
+    probe = create_model(model_config)
+    if getattr(probe, "is_encoder_only", False):
+        # bert-family: embeddings-only service (reference: embedding engine
+        # deployment)
+        from rtp_llm_tpu.frontend.embedding_app import (
+            EncoderEmbedder, build_embedding_app,
+        )
+
+        weights = CheckpointLoader(
+            model_config, transform=make_quant_transform(config.quant)
+        ).load(config.server.model_path)
+        tok = TokenizerFactory.create(
+            config.server.tokenizer_path or config.server.model_path
+        )
+        app = build_embedding_app(
+            EncoderEmbedder(probe, weights), tok, model_name
+        )
+        logger.info("serving embeddings-only on %s:%d",
+                    config.server.host, config.server.port)
+        web.run_app(app, host=config.server.host, port=config.server.port,
+                    print=None, access_log=None)
+        return
+
+    engine = build_engine(config, model_config=model_config)
     runner = EngineRunner(engine).start()
     tok_path = config.server.tokenizer_path or config.server.model_path
     tokenizer = TokenizerFactory.create(tok_path)
