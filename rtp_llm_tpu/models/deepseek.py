@@ -238,14 +238,13 @@ class DeepseekModel:
         if cfg.moe_norm_topk_prob:
             tw = tw / (jnp.sum(tw, axis=-1, keepdims=True) + 1e-20)
         tw = tw * cfg.moe_routed_scaling_factor
-        comb = jnp.zeros((n, e), jnp.float32).at[
-            jnp.arange(n)[:, None], idx
-        ].add(tw)
 
-        gate = jnp.einsum("nh,ehi->eni", xt, w["moe_gate"][p])
-        up = jnp.einsum("nh,ehi->eni", xt, w["moe_up"][p])
-        down = jnp.einsum("eni,eih->enh", jax.nn.silu(gate) * up, w["moe_down"][p])
-        out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
+        from rtp_llm_tpu.ops.moe import fused_moe
+
+        out = fused_moe(
+            xt, idx, tw.astype(xt.dtype),
+            w["moe_gate"][p], w["moe_up"][p], w["moe_down"][p],
+        )
 
         if "shared_gate" in w:
             sg = self._linear(w, "shared_gate", p, xt)

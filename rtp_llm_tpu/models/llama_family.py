@@ -212,22 +212,29 @@ class LlamaFamilyModel:
             top_vals = top_vals / jnp.maximum(
                 jnp.sum(top_vals, axis=-1, keepdims=True), 1e-20
             )
-        # combine weights as dense [N,E]
-        comb = jnp.zeros(scores.shape, scores.dtype).at[
-            jnp.arange(xt.shape[0])[:, None], top_idx
-        ].add(top_vals)
 
-        # all-experts compute: [E,N,I'] = batched matmuls over stacked experts
-        gate = self._expert_linear(w, "moe_gate", i, xt)
-        up = self._expert_linear(w, "moe_up", i, xt)
-        act = jax.nn.silu(gate) * up  # [E,N,I']
-        W_down = w["moe_down"][i]
-        s_down = w.get("moe_down.scale")
-        down = jax.vmap(
-            lambda a, We, se: quantized_matmul(a, We, se),
-            in_axes=(0, 0, 0 if s_down is not None else None),
-        )(act, W_down, s_down[i] if s_down is not None else None)
-        out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
+        if "moe_gate.scale" not in w:
+            from rtp_llm_tpu.ops.moe import fused_moe
+
+            out = fused_moe(
+                xt, top_idx, top_vals,
+                w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
+            )
+        else:
+            # quantized experts: dense-compute fallback (ragged grouped GEMM
+            # over int8 experts is the Pallas dequant-GEMM's job)
+            comb = jnp.zeros(scores.shape, scores.dtype).at[
+                jnp.arange(xt.shape[0])[:, None], top_idx
+            ].add(top_vals)
+            gate = self._expert_linear(w, "moe_gate", i, xt)
+            up = self._expert_linear(w, "moe_up", i, xt)
+            act = jax.nn.silu(gate) * up  # [E,N,I']
+            s_down = w.get("moe_down.scale")
+            down = jax.vmap(
+                lambda a, We, se: quantized_matmul(a, We, se),
+                in_axes=(0, 0, 0),
+            )(act, w["moe_down"][i], s_down[i])
+            out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
 
         if "shared_gate" in w:
             sg = self._linear(w, "shared_gate", i, xt)
