@@ -27,6 +27,7 @@ class DecodeState(NamedTuple):
     prompt_mask: jnp.ndarray  # [B, V] bool
     output_counts: jnp.ndarray  # [B, V] i32
     params: SamplingParams  # [B] each
+    adapter_ids: jnp.ndarray  # [B] i32 — LoRA adapter per slot (0 = none)
     rng: jax.Array
 
     @staticmethod
@@ -38,6 +39,7 @@ class DecodeState(NamedTuple):
             prompt_mask=jnp.zeros((batch, vocab), bool),
             output_counts=jnp.zeros((batch, vocab), jnp.int32),
             params=SamplingParams.zeros(batch),
+            adapter_ids=jnp.zeros((batch,), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -65,6 +67,7 @@ def insert_slot(
     prompt_mask_row: jnp.ndarray,  # [V] bool
     temperature, top_k, top_p, do_sample,
     repetition_penalty, presence_penalty, frequency_penalty, ban_eos,
+    adapter_id=0,
 ) -> DecodeState:
     """Write one slot's state (jitted with donated state)."""
     p = state.params
@@ -85,6 +88,7 @@ def insert_slot(
             frequency_penalty=p.frequency_penalty.at[slot].set(frequency_penalty),
             ban_eos=p.ban_eos.at[slot].set(ban_eos),
         ),
+        adapter_ids=state.adapter_ids.at[slot].set(adapter_id),
         rng=state.rng,
     )
 

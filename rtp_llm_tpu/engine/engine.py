@@ -142,6 +142,9 @@ class LlmEngine:
             lambda logits: jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         )
 
+        # dynamic multi-LoRA (reference: LoraManager, lora_manager.py:12)
+        self.lora_manager = None
+
         # metrics
         self.step_count = 0
         self.tokens_generated = 0
@@ -151,6 +154,27 @@ class LlmEngine:
         import threading
 
         self.device_lock = threading.Lock()
+
+    # ---- dynamic LoRA ----
+
+    def set_lora_manager(self, manager):
+        self.lora_manager = manager
+        self.refresh_lora_weights()
+
+    def refresh_lora_weights(self):
+        """Re-pack adapter stacks into the weight pytree (triggers a re-trace
+        of the device programs on the next call — the CUDA-graph-recapture
+        analog for adapter set changes)."""
+        pack = self.lora_manager.device_pack() if self.lora_manager else {}
+        with self.device_lock:
+            w = {k: v for k, v in self.weights.items() if ".lora_" not in k}
+            w.update(pack)
+            self.weights = w
+
+    def _adapter_id_for(self, stream) -> int:
+        if self.lora_manager is None:
+            return 0
+        return self.lora_manager.adapter_id(stream.config.adapter_name)
 
     # ---- sizing ----
 
@@ -187,6 +211,7 @@ class LlmEngine:
             block_tables=state.block_tables,
             kv_lens=kv_lens_new,
             q_offsets=state.kv_lens,
+            adapter_ids=state.adapter_ids,
         )
         out, kv = self.model.forward(weights, kv, inputs)
         rng, key = jax.random.split(state.rng)
@@ -219,6 +244,7 @@ class LlmEngine:
             block_tables=state.block_tables,
             kv_lens=jnp.where(active, state.kv_lens + t, 0),
             q_offsets=state.kv_lens,
+            adapter_ids=state.adapter_ids,
         )
         out, kv = self.model.forward(weights, kv, inputs, need_all_logits=True)
         logits = out.all_logits  # [B, T, V] f32
@@ -252,7 +278,7 @@ class LlmEngine:
         return kv, state, g, n_new
 
     def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
-                      kv_lens, q_offsets):
+                      kv_lens, q_offsets, adapter_ids=None):
         if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
             # prefill context parallelism: shard the prompt's token dim over
             # cp — GSPMD partitions the per-token compute and attention rows
@@ -264,7 +290,7 @@ class LlmEngine:
             positions = jax.lax.with_sharding_constraint(positions, cons)
         inputs = ModelInputs(
             tokens=tokens, positions=positions, block_tables=block_tables,
-            kv_lens=kv_lens, q_offsets=q_offsets,
+            kv_lens=kv_lens, q_offsets=q_offsets, adapter_ids=adapter_ids,
         )
         out, kv = self.model.forward(weights, kv, inputs)
         return kv, out.logits
@@ -508,12 +534,14 @@ class LlmEngine:
             positions = np.zeros((1, bucket), np.int32)
             positions[0, :t_real] = np.arange(pos, pos + t_real)
             fn = self._get_prefill_fn(bucket)
+            aid = self._adapter_id_for(stream)
             self.kv, logits = fn(
                 self.weights, self.kv,
                 jnp.asarray(toks), jnp.asarray(positions),
                 block_row_j[None, :],
                 jnp.asarray([pos + t_real], np.int32),
                 jnp.asarray([pos], np.int32),
+                jnp.asarray([aid], np.int32),
             )
             pos += t_real
         return logits
@@ -563,6 +591,7 @@ class LlmEngine:
             prow["temperature"], prow["top_k"], prow["top_p"], prow["do_sample"],
             prow["repetition_penalty"], prow["presence_penalty"],
             prow["frequency_penalty"], prow["ban_eos"],
+            np.int32(self._adapter_id_for(stream)),
         )
 
         finished = stream.append_token(

@@ -436,6 +436,38 @@ class OpenAIApp:
             raise web.HTTPConflict(text=str(e))
         return web.json_response({"status": "stopped"})
 
+    async def loras(self, request: web.Request):
+        """GET list / POST add {name, path} / DELETE remove {name} — dynamic
+        multi-LoRA registry (reference: LoraManager add/remove)."""
+        engine = self.runner.engine
+        if engine.lora_manager is None:
+            from rtp_llm_tpu.lora import LoraManager
+
+            engine.lora_manager = LoraManager(engine.model.cfg.num_layers)
+        mgr = engine.lora_manager
+        if request.method == "GET":
+            return web.json_response({"adapters": mgr.names()})
+        body = await request.json()
+        loop = asyncio.get_running_loop()
+        if request.method == "POST":
+            path = body.get("path")
+            if not path:
+                raise web.HTTPBadRequest(text='"path" required')
+            try:
+                name = await loop.run_in_executor(
+                    None, mgr.add_adapter, path, body.get("name")
+                )
+                await loop.run_in_executor(None, engine.refresh_lora_weights)
+            except Exception as e:
+                raise web.HTTPBadRequest(text=str(e))
+            return web.json_response({"status": "added", "name": name})
+        # DELETE
+        name = body.get("name")
+        if not mgr.remove_adapter(name):
+            raise web.HTTPNotFound(text=f"unknown adapter {name!r}")
+        await loop.run_in_executor(None, engine.refresh_lora_weights)
+        return web.json_response({"status": "removed", "name": name})
+
     async def pause(self, request: web.Request):
         """Reference: pause RPC for RL weight swap (RtpLLMOp.cc:384-392)."""
         self.runner.pause()
@@ -519,6 +551,9 @@ class OpenAIApp:
             web.post("/start_profile", self.start_profile),
             web.post("/stop_profile", self.stop_profile),
             web.post("/set_log_level", self.set_log_level),
+            web.get("/v1/loras", self.loras),
+            web.post("/v1/loras", self.loras),
+            web.delete("/v1/loras", self.loras),
             web.post("/pause", self.pause),
             web.post("/restart", self.restart),
             web.post("/update_weights", self.update_weights),

@@ -126,22 +126,73 @@ def merge_lora(weights: dict, adapter: LoraAdapter) -> dict:
 class LoraManager:
     """Runtime adapter registry (reference: LoraManager add/remove,
     lora_manager.py:72-83). Dynamic application: y += ((x @ A) @ B) * scale
-    for the adapter bound to each request."""
+    for the adapter bound to each request.
+
+    ``device_pack`` stacks all adapters into per-weight tensors
+    ``[n_adapters+1, L, in, r_max]`` / ``[n_adapters+1, L, r_max, out]``
+    (id 0 = no adapter, zeros; scale folded into B) so the batched decode
+    program can gather each row's adapter by id."""
 
     def __init__(self, num_layers: int):
         self.num_layers = num_layers
         self._adapters: Dict[str, LoraAdapter] = {}
+        self._ids: Dict[str, int] = {}
         self._lock = threading.Lock()
 
     def add_adapter(self, path: str, name: Optional[str] = None) -> str:
         adapter = load_peft_adapter(path, self.num_layers, name)
         with self._lock:
             self._adapters[adapter.name] = adapter
+            if adapter.name not in self._ids:
+                self._ids[adapter.name] = len(self._ids) + 1  # 0 = none
         return adapter.name
 
     def remove_adapter(self, name: str) -> bool:
         with self._lock:
+            # id stays reserved (slot becomes zeros on next pack)
             return self._adapters.pop(name, None) is not None
+
+    def adapter_id(self, name: Optional[str]) -> int:
+        if not name:
+            return 0
+        with self._lock:
+            if name not in self._adapters:
+                raise KeyError(f"unknown LoRA adapter {name!r}")
+            return self._ids[name]
+
+    def device_pack(self) -> dict:
+        """Stacked {canonical.lora_a / canonical.lora_b} jnp tensors."""
+        import jax.numpy as jnp
+        import numpy as _np
+
+        with self._lock:
+            adapters = dict(self._adapters)
+            ids = dict(self._ids)
+        if not adapters:
+            return {}
+        n_slots = max(ids.values()) + 1
+        r_max = max(a.rank for a in adapters.values())
+        names = set()
+        for a in adapters.values():
+            names |= set(a.a) & set(a.b)
+        out = {}
+        for name in sorted(names):
+            shapes = next(
+                (a.a[name].shape, a.b[name].shape)
+                for a in adapters.values() if name in a.a
+            )
+            (_L, in_dim, _r), (_L2, _r2, out_dim) = shapes
+            A = _np.zeros((n_slots, self.num_layers, in_dim, r_max), _np.float32)
+            B = _np.zeros((n_slots, self.num_layers, r_max, out_dim), _np.float32)
+            for aname, a in adapters.items():
+                if name not in a.a or name not in a.b:
+                    continue
+                sid = ids[aname]
+                A[sid, :, :, : a.rank] = a.a[name]
+                B[sid, :, : a.rank, :] = a.b[name] * a.scale
+            out[name + ".lora_a"] = jnp.asarray(A, jnp.bfloat16)
+            out[name + ".lora_b"] = jnp.asarray(B, jnp.bfloat16)
+        return out
 
     def get(self, name: Optional[str]) -> Optional[LoraAdapter]:
         if not name:

@@ -37,6 +37,8 @@ class ModelInputs(NamedTuple):
     block_tables: jnp.ndarray
     kv_lens: jnp.ndarray
     q_offsets: jnp.ndarray
+    # per-row LoRA adapter ids (0 = none); None when no adapters registered
+    adapter_ids: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:

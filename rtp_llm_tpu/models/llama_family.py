@@ -113,13 +113,22 @@ class LlamaFamilyModel:
     # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
 
     @staticmethod
-    def _linear(w: dict, name: str, i, x):
+    def _linear(w: dict, name: str, i, x, aids=None):
         W = w[name][i]
         s = w.get(name + ".scale")
         z = w.get(name + ".zero")
-        return quantized_matmul(
+        y = quantized_matmul(
             x, W, None if s is None else s[i], None if z is None else z[i]
         )
+        A = w.get(name + ".lora_a")
+        if A is not None and aids is not None:
+            # dynamic multi-LoRA: per-row adapter gather (reference: dynamic
+            # adapters, lora_manager.py; punica-style batched apply)
+            Am = A[aids, i]  # [B, in, r]
+            Bm = w[name + ".lora_b"][aids, i]  # [B, r, out]
+            xa = jnp.einsum("bth,bhr->btr", x.astype(Am.dtype), Am)
+            y = y + jnp.einsum("btr,bro->bto", xa, Bm).astype(y.dtype)
+        return y
 
     @staticmethod
     def _expert_linear(w: dict, name: str, i, x):
@@ -145,9 +154,10 @@ class LlamaFamilyModel:
         res = x
         x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
 
-        q = self._linear(w, "q_proj", i, x)
-        k = self._linear(w, "k_proj", i, x)
-        v = self._linear(w, "v_proj", i, x)
+        aids = inputs.adapter_ids
+        q = self._linear(w, "q_proj", i, x, aids)
+        k = self._linear(w, "k_proj", i, x, aids)
+        v = self._linear(w, "v_proj", i, x, aids)
         if "q_bias" in w:
             q = q + w["q_bias"][i]
             k = k + w["k_bias"][i]
@@ -176,7 +186,7 @@ class LlamaFamilyModel:
             sliding_window=cfg.sliding_window,
             backend=self.attn_backend,
         )
-        x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d))
+        x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         x = res + x
 
         res = x
@@ -184,13 +194,13 @@ class LlamaFamilyModel:
         if cfg.is_moe_layer(i):
             x = self._moe_mlp(w, i, x)
         else:
-            x = self._dense_mlp(w, i, x)
+            x = self._dense_mlp(w, i, x, aids)
         return res + x, cache
 
-    def _dense_mlp(self, w, i, x):
-        gate = self._linear(w, "gate_proj", i, x)
-        up = self._linear(w, "up_proj", i, x)
-        return self._linear(w, "down_proj", i, jax.nn.silu(gate) * up)
+    def _dense_mlp(self, w, i, x, aids=None):
+        gate = self._linear(w, "gate_proj", i, x, aids)
+        up = self._linear(w, "up_proj", i, x, aids)
+        return self._linear(w, "down_proj", i, jax.nn.silu(gate) * up, aids)
 
     def _moe_mlp(self, w, i, x):
         """Dense-dispatch MoE: every expert computes every token, combined by

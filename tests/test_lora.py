@@ -15,7 +15,7 @@ from rtp_llm_tpu.lora.lora import apply_dynamic_lora
 
 
 def write_fake_adapter(path, num_layers=2, rank=4, alpha=8, hidden=64,
-                       out_dim=64, targets=("q_proj",)):
+                       out_dim=64, targets=("q_proj",), out_dims=None):
     from safetensors.numpy import save_file
 
     os.makedirs(path, exist_ok=True)
@@ -24,13 +24,16 @@ def write_fake_adapter(path, num_layers=2, rank=4, alpha=8, hidden=64,
                    "target_modules": list(targets)}, f)
     rng = np.random.default_rng(0)
     tensors = {}
+    attn = {"q_proj", "k_proj", "v_proj", "o_proj"}
     for l in range(num_layers):
         for t in targets:
-            base = f"base_model.model.model.layers.{l}.self_attn.{t}"
+            mod = "self_attn" if t in attn else "mlp"
+            base = f"base_model.model.model.layers.{l}.{mod}.{t}"
+            od = (out_dims or {}).get(t, out_dim)
             tensors[f"{base}.lora_A.weight"] = rng.standard_normal(
                 (rank, hidden)).astype(np.float32) * 0.1
             tensors[f"{base}.lora_B.weight"] = rng.standard_normal(
-                (out_dim, rank)).astype(np.float32) * 0.1
+                (od, rank)).astype(np.float32) * 0.1
     save_file(tensors, os.path.join(path, "adapter_model.safetensors"))
     return path
 
@@ -109,3 +112,79 @@ def test_merge_rejects_quantized(tmp_path):
     )
     with pytest.raises(ValueError):
         merge_lora(weights, ad)
+
+
+def _build_dyn_engine(ckpt):
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(ckpt)
+    model = create_model(cfg)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    return LlmEngine(model, weights, econf)
+
+
+def test_dynamic_lora_matches_merged_engine(tmp_path):
+    """Per-request dynamic adapter must generate the same tokens as an engine
+    whose base weights have the adapter statically merged; requests WITHOUT
+    the adapter must be unaffected."""
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.lora import LoraManager
+
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    ad_path = write_fake_adapter(
+        str(tmp_path / "ad"), num_layers=cfg.num_layers,
+        targets=("q_proj", "v_proj", "up_proj"),
+        out_dims={"v_proj": 32, "up_proj": 128},
+    )
+    gc = lambda **kw: GenerateConfig(max_new_tokens=6, do_sample=False,
+                                     ignore_eos=True, **kw)
+    prompt = [1, 5, 9, 42]
+
+    base_out = _build_dyn_engine(ckpt).generate(prompt, gc()).output_token_ids
+
+    # statically merged reference
+    cfg2 = tiny_config("qwen2"); cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    from rtp_llm_tpu.lora import load_peft_adapter, merge_lora
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.engine import LlmEngine
+
+    merged = merge_lora(weights, load_peft_adapter(ad_path, cfg2.num_layers))
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    merged_out = LlmEngine(create_model(cfg2), merged, econf).generate(
+        prompt, gc()).output_token_ids
+
+    # dynamic engine: one request with the adapter, one without, concurrently
+    eng = _build_dyn_engine(ckpt)
+    mgr = LoraManager(cfg.num_layers)
+    mgr.add_adapter(ad_path, name="style")
+    eng.set_lora_manager(mgr)
+    with_lora = eng.enqueue(prompt, gc(adapter_name="style"))
+    without = eng.enqueue(prompt, gc())
+    for _ in range(60):
+        if with_lora.is_finished() and without.is_finished():
+            break
+        eng.step()
+    assert without.output_token_ids == base_out
+    assert with_lora.output_token_ids == merged_out
+    assert merged_out != base_out  # the adapter actually does something
