@@ -196,6 +196,19 @@ class OpenAIApp:
                     "total_tokens": len(token_ids) + len(stream.output_token_ids),
                 }
                 finish = stream.finish_reason.value if stream.finish_reason else "stop"
+                logprobs_obj = None
+                if cfg.return_logprobs and stream.output_logprobs:
+                    logprobs_obj = {
+                        "content": [
+                            {
+                                "token": self.tok.decode([t]),
+                                "logprob": lp,
+                                "top_logprobs": [],
+                            }
+                            for t, lp in zip(stream.output_token_ids,
+                                             stream.output_logprobs)
+                        ]
+                    }
                 if chat:
                     from rtp_llm_tpu.frontend.output_parsers import parse_output
 
@@ -214,16 +227,26 @@ class OpenAIApp:
                             "index": 0,
                             "message": message,
                             "finish_reason": finish,
+                            "logprobs": logprobs_obj,
                         }],
                         "usage": usage,
                     }
                 else:
+                    lp_completions = None
+                    if cfg.return_logprobs and stream.output_logprobs:
+                        lp_completions = {
+                            "tokens": [self.tok.decode([t])
+                                       for t in stream.output_token_ids],
+                            "token_logprobs": list(stream.output_logprobs),
+                            "top_logprobs": None,
+                            "text_offset": None,
+                        }
                     payload = {
                         "id": rid, "object": "text_completion", "created": created,
                         "model": self.model_name,
                         "choices": [{
                             "index": 0, "text": text, "finish_reason": finish,
-                            "logprobs": None,
+                            "logprobs": lp_completions,
                         }],
                         "usage": usage,
                     }
@@ -516,6 +539,22 @@ class OpenAIApp:
     async def health(self, request: web.Request):
         return web.json_response({"status": "ok"})
 
+    async def cache_status(self, request: web.Request):
+        """Reference: GetCacheStatus RPC / cache-aware routing feed
+        (proto :683, consumed by FlexLB)."""
+        eng = self.runner.engine
+        mgr = eng.cache_mgr
+        return web.json_response({
+            "block_size": mgr.block_size,
+            "total_blocks": mgr.pool.num_blocks,
+            "free_blocks": mgr.pool.free_blocks,
+            "used_blocks": mgr.pool.used_blocks,
+            "available_blocks": mgr.free_blocks,
+            "prefix_cache_entries": len(mgr.prefix_cache)
+            if mgr.prefix_cache is not None else 0,
+            "backend": mgr.backend,
+        })
+
     async def worker_status(self, request: web.Request):
         eng = self.runner.engine
         return web.json_response({
@@ -547,6 +586,7 @@ class OpenAIApp:
             web.get("/health", self.health),
             web.get("/status", self.health),
             web.get("/worker_status", self.worker_status),
+            web.get("/cache_status", self.cache_status),
             web.get("/metrics", self.metrics),
             web.post("/start_profile", self.start_profile),
             web.post("/stop_profile", self.stop_profile),

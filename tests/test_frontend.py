@@ -281,3 +281,42 @@ async def _rl_roundtrip(fake_dir, tmp_path):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_logprobs_and_cache_status(fake_dir):
+    asyncio.run(_logprobs_roundtrip(fake_dir))
+
+
+async def _logprobs_roundtrip(fake_dir):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w1 w2"}],
+                "max_tokens": 4, "temperature": 0.0, "logprobs": True,
+            })
+            body = await r.json()
+            lp = body["choices"][0]["logprobs"]
+            assert lp and len(lp["content"]) >= 1
+            assert all(e["logprob"] <= 0 for e in lp["content"])
+
+            r = await client.post("/v1/completions", json={
+                "prompt": [1, 2], "max_tokens": 3, "temperature": 0.0,
+                "logprobs": True, "ignore_eos": True,
+            })
+            body = await r.json()
+            lp = body["choices"][0]["logprobs"]
+            assert len(lp["tokens"]) == 3 and len(lp["token_logprobs"]) == 3
+
+            r = await client.get("/cache_status")
+            cs = await r.json()
+            assert cs["total_blocks"] == 128 and cs["block_size"] == 4
+            assert cs["backend"] in ("python", "native")
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
