@@ -35,6 +35,12 @@ class GenerateConfig:
     return_logprobs: bool = False
     top_logprobs: int = 0
     return_hidden_states: bool = False
+    # think-mode budget (reference: ThinkModeLogitsProcessor,
+    # cpp/models/logits_processor/): once the model has emitted
+    # think_start_token_id, after max_thinking_tokens the end token is forced
+    max_thinking_tokens: int = 0  # 0 = unlimited / disabled
+    think_start_token_id: Optional[int] = None
+    think_end_token_id: Optional[int] = None
     # stream control
     timeout_ms: int = 0  # 0 = no timeout
     # adapters (multi-LoRA, future round)

@@ -28,6 +28,7 @@ class DecodeState(NamedTuple):
     output_counts: jnp.ndarray  # [B, V] i32
     params: SamplingParams  # [B] each
     adapter_ids: jnp.ndarray  # [B] i32 — LoRA adapter per slot (0 = none)
+    forced_tokens: jnp.ndarray  # [B] i32 — next-token override (-1 = none)
     rng: jax.Array
 
     @staticmethod
@@ -40,6 +41,7 @@ class DecodeState(NamedTuple):
             output_counts=jnp.zeros((batch, vocab), jnp.int32),
             params=SamplingParams.zeros(batch),
             adapter_ids=jnp.zeros((batch,), jnp.int32),
+            forced_tokens=jnp.full((batch,), -1, jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -89,6 +91,7 @@ def insert_slot(
             ban_eos=p.ban_eos.at[slot].set(ban_eos),
         ),
         adapter_ids=state.adapter_ids.at[slot].set(adapter_id),
+        forced_tokens=state.forced_tokens.at[slot].set(-1),
         rng=state.rng,
     )
 
@@ -104,3 +107,7 @@ def set_block_row(state: DecodeState, slot: jnp.ndarray, block_row: jnp.ndarray)
 
 def set_ban_eos(state: DecodeState, ban: jnp.ndarray) -> DecodeState:
     return state._replace(params=state.params._replace(ban_eos=ban))
+
+
+def set_forced(state: DecodeState, forced: jnp.ndarray) -> DecodeState:
+    return state._replace(forced_tokens=forced)

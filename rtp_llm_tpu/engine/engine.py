@@ -110,6 +110,7 @@ class LlmEngine:
         self._free_slots = list(range(sc.max_batch_size - 1, -1, -1))
         self._slot_nblocks = [0] * sc.max_batch_size  # detect alloc growth
         self._slot_ban = [False] * sc.max_batch_size
+        self._slot_forced = [-1] * sc.max_batch_size
 
         # jitted programs
         self._decode_jit = jax.jit(
@@ -121,6 +122,7 @@ class LlmEngine:
         self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
         self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
         self._set_ban_jit = jax.jit(ds.set_ban_eos, donate_argnums=(0,))
+        self._set_forced_jit = jax.jit(ds.set_forced, donate_argnums=(0,))
         self._first_sample_jit = jax.jit(
             self._first_sample_impl, static_argnums=(4,)
         )
@@ -218,6 +220,7 @@ class LlmEngine:
         tokens, logprobs, new_counts = sample_tokens(
             out.logits, state.params, state.prompt_mask, state.output_counts,
             self.eos_ids, key, need_sampling=need_sampling,
+            forced_tokens=state.forced_tokens,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
@@ -680,6 +683,7 @@ class LlmEngine:
         use_spec = (
             self.spec.enabled
             and not any(s.config.do_sample for s in active)
+            and not any(s.config.max_thinking_tokens for s in active)
             and all(
                 s.total_len + self.spec.draft_tokens + 1
                 <= self.config.scheduler.max_seq_len
@@ -724,6 +728,14 @@ class LlmEngine:
                     if st is not None and st.slot >= 0:
                         bans[st.slot] = self._slot_ban[st.slot]
                 self.state = self._set_ban_jit(self.state, jnp.asarray(bans))
+            forced = s.forced_next_token()
+            if forced != self._slot_forced[s.slot]:
+                self._slot_forced[s.slot] = forced
+                fv = np.full((len(self.slots),), -1, np.int32)
+                for st in self.slots:
+                    if st is not None and st.slot >= 0:
+                        fv[st.slot] = self._slot_forced[st.slot]
+                self.state = self._set_forced_jit(self.state, jnp.asarray(fv))
         if not active:
             self.step_count += 1
             return True

@@ -78,6 +78,9 @@ class GenerateStream:
         self.alloc: Optional[BlockAllocation] = None
         self.slot: int = -1  # decode batch slot, -1 = none
         self.reuse_len: int = 0
+        # think-mode budget tracking (reference: ThinkModeLogitsProcessor)
+        self.thinking = False
+        self.think_tokens = 0
 
         # output side
         self._out_q: "queue.Queue[StreamOutput]" = queue.Queue()
@@ -103,6 +106,19 @@ class GenerateStream:
     def is_finished(self) -> bool:
         return self.state in (StreamState.FINISHED, StreamState.STOPPED)
 
+    def forced_next_token(self) -> int:
+        """-1 = no forcing; otherwise the token id the sampler must emit
+        next (think budget exhausted => think_end_token_id)."""
+        cfg = self.config
+        if (
+            cfg.max_thinking_tokens
+            and cfg.think_end_token_id is not None
+            and self.thinking
+            and self.think_tokens >= cfg.max_thinking_tokens
+        ):
+            return int(cfg.think_end_token_id)
+        return -1
+
     def needs_eos_ban(self) -> bool:
         return (
             self.config.ignore_eos
@@ -120,6 +136,16 @@ class GenerateStream:
         if self.first_token_time is None:
             self.first_token_time = time.time()
         self.output_token_ids.append(int(token))
+        cfg0 = self.config
+        if cfg0.think_start_token_id is not None:
+            if token == cfg0.think_start_token_id:
+                self.thinking = True
+                self.think_tokens = 0
+            elif self.thinking:
+                if token == cfg0.think_end_token_id:
+                    self.thinking = False
+                else:
+                    self.think_tokens += 1
         if logprob is not None:
             self.output_logprobs.append(float(logprob))
 

@@ -99,6 +99,7 @@ def sample_tokens(
     eos_token_ids: Sequence[int],
     key: jax.Array,
     need_sampling: bool = True,
+    forced_tokens=None,  # [B] i32, -1 = not forced (think-mode forcing)
 ):
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
@@ -129,6 +130,8 @@ def sample_tokens(
         tokens = jnp.where(params.do_sample, sampled, greedy)
     else:
         tokens = greedy
+    if forced_tokens is not None:
+        tokens = jnp.where(forced_tokens >= 0, forced_tokens, tokens)
 
     logprobs_full = jax.nn.log_softmax(logits, axis=-1)
     logprobs = jnp.take_along_axis(logprobs_full, tokens[:, None], axis=-1)[:, 0]

@@ -241,3 +241,28 @@ def test_warmup_compiles_without_state_change():
     eng.warmup()
     s = eng.generate([1, 2, 3], greedy(6))
     assert s.output_token_ids == expected_chain([1, 2, 3], 6)
+
+
+def test_think_mode_budget_forces_end_token():
+    """After max_thinking_tokens inside a <think> span, the end token is
+    forced (reference: ThinkModeLogitsProcessor)."""
+    eng = make_engine()
+    # mock chain: prompt [8] -> first token 5; treat 5 as think-start.
+    start, end = 5, 6
+    assert mock_next(8) == start
+    s = eng.generate([8], GenerateConfig(
+        max_new_tokens=10, do_sample=False, ignore_eos=True,
+        think_start_token_id=start, think_end_token_id=end,
+        max_thinking_tokens=3,
+    ))
+    out = s.output_token_ids
+    assert out[0] == start
+    assert end in out
+    # at most budget(3) + 1 thinking tokens (async decode pipelining
+    # evaluates the budget one step late)
+    think_span = out[1:out.index(end)]
+    assert len(think_span) <= 4
+    # after the forced end token, generation continues from it via the chain
+    idx = out.index(end)
+    if idx + 1 < len(out):
+        assert out[idx + 1] == mock_next(end)
