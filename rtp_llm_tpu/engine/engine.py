@@ -227,6 +227,9 @@ class LlmEngine:
         state = state._replace(
             last_tokens=tokens, kv_lens=kv_lens_new,
             output_counts=new_counts, rng=rng,
+            # one-shot forcing: device clears after applying so an in-flight
+            # pipelined step can't re-fire it; the host re-arms if needed
+            forced_tokens=jnp.full_like(state.forced_tokens, -1),
         )
         return kv, state, tokens, logprobs
 

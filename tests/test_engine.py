@@ -266,3 +266,4 @@ def test_think_mode_budget_forces_end_token():
     idx = out.index(end)
     if idx + 1 < len(out):
         assert out[idx + 1] == mock_next(end)
+    assert out.count(end) == 1  # forced exactly once
