@@ -32,6 +32,18 @@ class ModelConfig:
     mlp_bias: bool = False
     # qwen3-style per-head q/k norms
     use_qk_norm: bool = False
+    # activation: silu (llama family) | gelu_tanh (gemma/starcoder)
+    hidden_act: str = "silu"
+    # gemma: rmsnorm computes x * (1 + w); embeddings scaled by sqrt(hidden)
+    norm_unit_offset: bool = False
+    scale_embeddings: bool = False
+    # gemma2: sandwich norms (pre/post ffn + post-attn applied to attn out),
+    # logit softcaps, per-layer sliding pattern, custom query scale
+    sandwich_norms: bool = False
+    attn_soft_cap: float = 0.0
+    final_logit_soft_cap: float = 0.0
+    query_pre_attn_scalar: float = 0.0  # 0 = default head_dim
+    sliding_window_pattern: int = 0  # every Nth layer is GLOBAL; others SWA
     # sliding-window attention (0 = disabled)
     sliding_window: int = 0
     # MoE (0 experts = dense)
@@ -122,6 +134,20 @@ class ModelConfig:
             cfg.use_qk_norm = True
         if mt == "llama":
             cfg.attention_bias = hf.get("attention_bias", False)
+        if mt in ("gemma", "gemma2"):
+            cfg.hidden_act = "gelu_tanh"
+            cfg.norm_unit_offset = True
+            cfg.scale_embeddings = True
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
+        if mt == "gemma2":
+            cfg.sandwich_norms = True
+            cfg.attn_soft_cap = hf.get("attn_logit_softcapping") or 0.0
+            cfg.final_logit_soft_cap = hf.get("final_logit_softcapping") or 0.0
+            cfg.query_pre_attn_scalar = hf.get("query_pre_attn_scalar") or 0.0
+            cfg.sliding_window = hf.get("sliding_window") or 0
+            cfg.sliding_window_pattern = 2  # every 2nd layer global
+        if mt == "phi3":
+            cfg.rope_theta = hf.get("rope_theta", 10000.0)
         if mt == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True

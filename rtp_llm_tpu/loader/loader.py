@@ -215,6 +215,9 @@ class CheckpointLoader:
     def _assemble(self, spec: WeightSpec, src: _TensorSource, entries) -> np.ndarray:
         def fetch(name: str) -> np.ndarray:
             t = np.asarray(src.get(name))
+            if spec.hf_slice is not None:  # fused-weight split (phi3 etc.)
+                a, b = spec.hf_slice
+                t = t[a:b]
             if spec.transpose:
                 t = np.swapaxes(t, -1, -2)
             return t
@@ -235,6 +238,9 @@ class CheckpointLoader:
         return np.stack([fetch(name) for (_, _, name) in entries])
 
     def _apply_transform(self, spec: WeightSpec, arr: np.ndarray) -> dict:
+        if self.cfg.norm_unit_offset and spec.name.endswith("_norm"):
+            # gemma: norm computes x * (1 + w) — fold the offset at load
+            arr = arr + 1.0
         if self.transform is not None:
             out = self.transform(spec, arr)
             if out is not None:

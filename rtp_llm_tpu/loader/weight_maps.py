@@ -57,6 +57,9 @@ class WeightSpec:
     # MoE-rest split); None = all layers. The model maps global layer index ->
     # stack position itself.
     layers_fn: Optional[Callable[[ModelConfig], list]] = None
+    # slice rows [a:b] of the HF tensor before transpose (fused qkv/gate_up
+    # checkpoints, e.g. phi3)
+    hf_slice: Optional[tuple] = None
 
 
 def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
@@ -108,6 +111,15 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
         specs += [
             WeightSpec("q_norm", "model.layers.{l}.self_attn.q_norm.weight", per_layer=True),
             WeightSpec("k_norm", "model.layers.{l}.self_attn.k_norm.weight", per_layer=True),
+        ]
+    if cfg.sandwich_norms:  # gemma2
+        specs += [
+            WeightSpec("pre_ffn_norm",
+                       "model.layers.{l}.pre_feedforward_layernorm.weight",
+                       per_layer=True),
+            WeightSpec("post_ffn_norm",
+                       "model.layers.{l}.post_feedforward_layernorm.weight",
+                       per_layer=True),
         ]
 
     if cfg.num_experts > 0:
@@ -271,8 +283,42 @@ def _bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
     ]
 
 
+def _phi3_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """phi3: llama-like with fused qkv_proj and gate_up_proj checkpoints."""
+    L = "model.layers.{l}."
+    d = cfg.head_dim
+    qd, kvd = cfg.num_attention_heads * d, cfg.num_kv_heads * d
+    i = cfg.intermediate_size
+    return [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True, shard_axis="out"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("q_proj", L + "self_attn.qkv_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(0, qd)),
+        WeightSpec("k_proj", L + "self_attn.qkv_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(qd, qd + kvd)),
+        WeightSpec("v_proj", L + "self_attn.qkv_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out",
+                   hf_slice=(qd + kvd, qd + 2 * kvd)),
+        WeightSpec("o_proj", L + "self_attn.o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "mlp.gate_up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(0, i)),
+        WeightSpec("up_proj", L + "mlp.gate_up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(i, 2 * i)),
+        WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
+    "gemma": _llama_family_specs,
+    "gemma2": _llama_family_specs,
+    "phi3": _phi3_specs,
     "mistral": _llama_family_specs,
     "qwen2": _llama_family_specs,
     "qwen3": _llama_family_specs,

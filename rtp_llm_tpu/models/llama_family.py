@@ -39,13 +39,20 @@ class LlamaFamilyModel:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
+        self._act = (
+            (lambda v: jax.nn.gelu(v, approximate=True))
+            if cfg.hidden_act == "gelu_tanh" else jax.nn.silu
+        )
         self.cos, self.sin = compute_rope_freqs(
             cfg.head_dim,
             cfg.max_position_embeddings,
             cfg.rope_theta,
             cfg.rope_scaling,
         )
-        self.sm_scale = cfg.head_dim**-0.5
+        self.sm_scale = (
+            cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
+            else cfg.head_dim ** -0.5
+        )
         self.block_size = 16  # set by init_cache
         self.attn_backend = "auto"  # auto | pallas | ref
 
@@ -77,6 +84,8 @@ class LlamaFamilyModel:
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)  # [B,T,H]
+        if cfg.scale_embeddings:  # gemma
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
         # per-token validity + flat cache slots, computed once for all layers
         tpos = inputs.positions  # [B,T]
@@ -101,10 +110,16 @@ class LlamaFamilyModel:
         last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)  # [B]
         hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
         logits = (hidden_last @ lm_head).astype(jnp.float32)
+        if cfg.final_logit_soft_cap:
+            c = cfg.final_logit_soft_cap
+            logits = c * jnp.tanh(logits / c)
 
         all_logits = None
         if need_all_logits:
             all_logits = (x @ lm_head).astype(jnp.float32)
+            if cfg.final_logit_soft_cap:
+                c = cfg.final_logit_soft_cap
+                all_logits = c * jnp.tanh(all_logits / c)
         return ModelOutputs(
             logits=logits, hidden=hidden_last, all_logits=all_logits,
             all_hidden=x if need_all_hidden else None,
@@ -178,15 +193,29 @@ class LlamaFamilyModel:
         )
         cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
 
+        sliding = cfg.sliding_window
+        if cfg.sliding_window_pattern:
+            # gemma2: every Nth layer is global attention
+            if (i + 1) % cfg.sliding_window_pattern == 0:
+                sliding = 0
         attn = paged_attention(
             q, k_cache, v_cache,
             inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
             self.sm_scale,
             block_size=self.block_size,
-            sliding_window=cfg.sliding_window,
+            sliding_window=sliding,
+            soft_cap=cfg.attn_soft_cap,
             backend=self.attn_backend,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
+        if cfg.sandwich_norms:
+            # gemma2: x + post_attn_norm(attn_out); ffn sandwiched likewise
+            x = res + rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
+            res = x
+            h = rms_norm(x, w["pre_ffn_norm"][i], cfg.rms_norm_eps)
+            h = self._moe_mlp(w, i, h) if cfg.is_moe_layer(i) \
+                else self._dense_mlp(w, i, h, aids)
+            return res + rms_norm(h, w["post_ffn_norm"][i], cfg.rms_norm_eps), cache
         x = res + x
 
         res = x
@@ -200,7 +229,7 @@ class LlamaFamilyModel:
     def _dense_mlp(self, w, i, x, aids=None):
         gate = self._linear(w, "gate_proj", i, x, aids)
         up = self._linear(w, "up_proj", i, x, aids)
-        return self._linear(w, "down_proj", i, jax.nn.silu(gate) * up, aids)
+        return self._linear(w, "down_proj", i, self._act(gate) * up, aids)
 
     def _moe_mlp(self, w, i, x):
         """Dense-dispatch MoE: every expert computes every token, combined by

@@ -19,7 +19,8 @@ def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
     _REGISTRY[model_type] = factory
 
 
-for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe", "mixtral"):
+for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
+            "mixtral", "gemma", "gemma2", "phi3"):
     register_model(_mt, LlamaFamilyModel)
 
 
