@@ -44,6 +44,8 @@ class ModelConfig:
     final_logit_soft_cap: float = 0.0
     query_pre_attn_scalar: float = 0.0  # 0 = default head_dim
     sliding_window_pattern: int = 0  # every Nth layer is GLOBAL; others SWA
+    # glm4: rotate only head_dim*factor dims, pairwise-interleaved angles
+    partial_rotary_factor: float = 0.0  # 0 = full standard rope
     # sliding-window attention (0 = disabled)
     sliding_window: int = 0
     # MoE (0 experts = dense)
@@ -148,6 +150,10 @@ class ModelConfig:
             cfg.sliding_window_pattern = 2  # every 2nd layer global
         if mt == "phi3":
             cfg.rope_theta = hf.get("rope_theta", 10000.0)
+        if mt == "glm4":
+            cfg.attention_bias = hf.get("attention_bias", True)
+            cfg.sandwich_norms = True
+            cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
         if mt == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True

@@ -314,8 +314,49 @@ def _phi3_specs(cfg: ModelConfig) -> list[WeightSpec]:
     ]
 
 
+def _glm4_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """GLM4: qkv bias, fused gate_up, glm sandwich norms mapped onto the
+    canonical sandwich names (post_self_attn->post_attn_norm,
+    post_attention->pre_ffn_norm, post_mlp->post_ffn_norm)."""
+    L = "model.layers.{l}."
+    i = cfg.intermediate_size
+    return [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True, shard_axis="out"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_self_attn_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("pre_ffn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("post_ffn_norm", L + "post_mlp_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("q_proj", L + "self_attn.q_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("k_proj", L + "self_attn.k_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("v_proj", L + "self_attn.v_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("q_bias", L + "self_attn.q_proj.bias", per_layer=True,
+                   shard_axis="out", optional=True),
+        WeightSpec("k_bias", L + "self_attn.k_proj.bias", per_layer=True,
+                   shard_axis="out", optional=True),
+        WeightSpec("v_bias", L + "self_attn.v_proj.bias", per_layer=True,
+                   shard_axis="out", optional=True),
+        WeightSpec("o_proj", L + "self_attn.o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "mlp.gate_up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(0, i)),
+        WeightSpec("up_proj", L + "mlp.gate_up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(i, 2 * i)),
+        WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
+    "glm4": _glm4_specs,
     "gemma": _llama_family_specs,
     "gemma2": _llama_family_specs,
     "phi3": _phi3_specs,

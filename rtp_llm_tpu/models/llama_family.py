@@ -23,7 +23,9 @@ from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
 from rtp_llm_tpu.ops.attention import paged_attention
 from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
 from rtp_llm_tpu.ops.norms import rms_norm
-from rtp_llm_tpu.ops.rope import apply_rope, compute_rope_freqs
+from rtp_llm_tpu.ops.rope import (
+    apply_rope, apply_rope_partial_interleaved, compute_rope_freqs,
+)
 from rtp_llm_tpu.quant.weight_only import quantized_matmul
 
 
@@ -43,8 +45,12 @@ class LlamaFamilyModel:
             (lambda v: jax.nn.gelu(v, approximate=True))
             if cfg.hidden_act == "gelu_tanh" else jax.nn.silu
         )
+        self.rotary_dim = (
+            int(cfg.head_dim * cfg.partial_rotary_factor)
+            if cfg.partial_rotary_factor else cfg.head_dim
+        )
         self.cos, self.sin = compute_rope_freqs(
-            cfg.head_dim,
+            self.rotary_dim,
             cfg.max_position_embeddings,
             cfg.rope_theta,
             cfg.rope_scaling,
@@ -183,8 +189,14 @@ class LlamaFamilyModel:
         if cfg.use_qk_norm:
             q = rms_norm(q, w["q_norm"][i], cfg.rms_norm_eps)
             k = rms_norm(k, w["k_norm"][i], cfg.rms_norm_eps)
-        q = apply_rope(q, inputs.positions, self.cos, self.sin)
-        k = apply_rope(k, inputs.positions, self.cos, self.sin)
+        if self.rotary_dim != cfg.head_dim:
+            q = apply_rope_partial_interleaved(
+                q, inputs.positions, self.cos, self.sin, self.rotary_dim)
+            k = apply_rope_partial_interleaved(
+                k, inputs.positions, self.cos, self.sin, self.rotary_dim)
+        else:
+            q = apply_rope(q, inputs.positions, self.cos, self.sin)
+            k = apply_rope(k, inputs.positions, self.cos, self.sin)
 
         k_cache, v_cache = cache[i, 0], cache[i, 1]
         k_cache, v_cache = write_kv(

@@ -86,6 +86,25 @@ def _llama3_inv_freq(inv_freq, rope_scaling):
     return np.where(is_mid, smoothed, out)
 
 
+def apply_rope_partial_interleaved(
+    x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+    rotary_dim: int,
+) -> jnp.ndarray:
+    """GLM4-style rope: only the first rotary_dim dims rotate, in GPT-J
+    pairwise fashion — pair (2i, 2i+1) rotates by angle theta_i (HF glm4
+    rotate_half is the interleaved variant). cos/sin: [T, rotary_dim//2]."""
+    half = rotary_dim // 2
+    c = cos[positions][..., None, :half].astype(jnp.float32)  # [..,1,half]
+    s = sin[positions][..., None, :half].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    x_rot, x_pass = xf[..., :rotary_dim], xf[..., rotary_dim:]
+    even, odd = x_rot[..., 0::2], x_rot[..., 1::2]  # [.., half]
+    out_even = even * c - odd * s
+    out_odd = odd * c + even * s
+    rot = jnp.stack([out_even, out_odd], axis=-1).reshape(x_rot.shape)
+    return jnp.concatenate([rot, x_pass], axis=-1).astype(x.dtype)
+
+
 def apply_rope_interleave(
     x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
 ) -> jnp.ndarray:

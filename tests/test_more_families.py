@@ -89,3 +89,21 @@ def test_gemma2_matches_hf(tmp_path):
     m.save_pretrained(path, safe_serialization=True)
     # long enough to exercise the sliding window (8) on SWA layers
     _ours_vs_hf(path, m, list(range(1, 17)))
+
+
+def test_glm4_matches_hf(tmp_path):
+    import torch
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    torch.manual_seed(0)
+    cfg = Glm4Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, pad_token_id=0,
+        attention_bias=True, partial_rotary_factor=0.5,
+    )
+    m = Glm4ForCausalLM(cfg)
+    m.eval()
+    path = str(tmp_path / "glm4")
+    m.save_pretrained(path, safe_serialization=True)
+    _ours_vs_hf(path, m, [1, 5, 9, 42, 7, 100])
