@@ -46,6 +46,12 @@ class ModelConfig:
     sliding_window_pattern: int = 0  # every Nth layer is GLOBAL; others SWA
     # glm4: rotate only head_dim*factor dims, pairwise-interleaved angles
     partial_rotary_factor: float = 0.0  # 0 = full standard rope
+    # cohere: GPT-J pairwise rope over the full head_dim, mean-centered
+    # weight-only layernorm, parallel attn+mlp residual, scaled logits
+    rope_gptj_pairs: bool = False
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm_nobias
+    parallel_residual: bool = False
+    logit_scale: float = 0.0  # 0 = disabled
     # sliding-window attention (0 = disabled)
     sliding_window: int = 0
     # MoE (0 experts = dense)
@@ -150,6 +156,14 @@ class ModelConfig:
             cfg.sliding_window_pattern = 2  # every 2nd layer global
         if mt == "phi3":
             cfg.rope_theta = hf.get("rope_theta", 10000.0)
+        if mt == "cohere":
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
+            cfg.norm_type = "layernorm_nobias"
+            cfg.parallel_residual = True
+            cfg.rope_gptj_pairs = True
+            cfg.logit_scale = hf.get("logit_scale", 1.0)
+            cfg.use_qk_norm = hf.get("use_qk_norm", False)
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
         if mt == "glm4":
             cfg.attention_bias = hf.get("attention_bias", True)
             cfg.sandwich_norms = True

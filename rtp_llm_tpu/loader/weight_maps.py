@@ -78,6 +78,8 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
             "post_attn_norm",
             "model.layers.{l}.post_attention_layernorm.weight",
             per_layer=True,
+            # cohere's parallel-residual layers have no post-attn norm
+            when=lambda c: not c.parallel_residual,
         ),
         WeightSpec(
             "q_proj", "model.layers.{l}.self_attn.q_proj.weight",
@@ -354,9 +356,28 @@ def _glm4_specs(cfg: ModelConfig) -> list[WeightSpec]:
     ]
 
 
+def _mixtral_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """Mixtral: llama attention + block_sparse_moe (w1=gate, w3=up, w2=down)."""
+    base = [s for s in _llama_family_specs(
+        dataclasses.replace(cfg, num_experts=0)
+    ) if s.name not in ("gate_proj", "up_proj", "down_proj")]
+    L = "model.layers.{l}.block_sparse_moe."
+    return base + [
+        WeightSpec("router", L + "gate.weight", per_layer=True, transpose=True),
+        WeightSpec("moe_gate", L + "experts.{e}.w1.weight", per_layer=True,
+                   per_expert=True, transpose=True, shard_axis="expert"),
+        WeightSpec("moe_up", L + "experts.{e}.w3.weight", per_layer=True,
+                   per_expert=True, transpose=True, shard_axis="expert"),
+        WeightSpec("moe_down", L + "experts.{e}.w2.weight", per_layer=True,
+                   per_expert=True, transpose=True, shard_axis="expert"),
+    ]
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
+    "mixtral": _mixtral_specs,
     "glm4": _glm4_specs,
+    "cohere": _llama_family_specs,
     "gemma": _llama_family_specs,
     "gemma2": _llama_family_specs,
     "phi3": _phi3_specs,

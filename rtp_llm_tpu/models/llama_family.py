@@ -22,7 +22,7 @@ from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
 from rtp_llm_tpu.ops.attention import paged_attention
 from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
-from rtp_llm_tpu.ops.norms import rms_norm
+from rtp_llm_tpu.ops.norms import layer_norm_nobias, rms_norm
 from rtp_llm_tpu.ops.rope import (
     apply_rope, apply_rope_partial_interleaved, compute_rope_freqs,
 )
@@ -54,6 +54,9 @@ class LlamaFamilyModel:
             cfg.max_position_embeddings,
             cfg.rope_theta,
             cfg.rope_scaling,
+        )
+        self._norm = (
+            layer_norm_nobias if cfg.norm_type == "layernorm_nobias" else rms_norm
         )
         self.sm_scale = (
             cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
@@ -104,7 +107,7 @@ class LlamaFamilyModel:
         for i in range(cfg.num_layers):
             x, cache = self._layer(weights, cache, i, x, inputs, slots)
 
-        x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps)
+        x = self._norm(x, weights["final_norm"], cfg.rms_norm_eps)
 
         if cfg.tie_word_embeddings:
             lm_head = weights["embed_tokens"].T  # [H, V]
@@ -116,6 +119,8 @@ class LlamaFamilyModel:
         last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)  # [B]
         hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
         logits = (hidden_last @ lm_head).astype(jnp.float32)
+        if cfg.logit_scale:
+            logits = logits * cfg.logit_scale
         if cfg.final_logit_soft_cap:
             c = cfg.final_logit_soft_cap
             logits = c * jnp.tanh(logits / c)
@@ -123,6 +128,8 @@ class LlamaFamilyModel:
         all_logits = None
         if need_all_logits:
             all_logits = (x @ lm_head).astype(jnp.float32)
+            if cfg.logit_scale:
+                all_logits = all_logits * cfg.logit_scale
             if cfg.final_logit_soft_cap:
                 c = cfg.final_logit_soft_cap
                 all_logits = c * jnp.tanh(all_logits / c)
@@ -173,7 +180,7 @@ class LlamaFamilyModel:
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         res = x
-        x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
+        x = self._norm(x, w["input_norm"][i], cfg.rms_norm_eps)
 
         aids = inputs.adapter_ids
         q = self._linear(w, "q_proj", i, x, aids)
@@ -187,9 +194,9 @@ class LlamaFamilyModel:
         k = k.reshape(b, t, hkv, d)
         v = v.reshape(b, t, hkv, d)
         if cfg.use_qk_norm:
-            q = rms_norm(q, w["q_norm"][i], cfg.rms_norm_eps)
-            k = rms_norm(k, w["k_norm"][i], cfg.rms_norm_eps)
-        if self.rotary_dim != cfg.head_dim:
+            q = self._norm(q, w["q_norm"][i], cfg.rms_norm_eps)
+            k = self._norm(k, w["k_norm"][i], cfg.rms_norm_eps)
+        if self.rotary_dim != cfg.head_dim or cfg.rope_gptj_pairs:
             q = apply_rope_partial_interleaved(
                 q, inputs.positions, self.cos, self.sin, self.rotary_dim)
             k = apply_rope_partial_interleaved(
@@ -220,6 +227,14 @@ class LlamaFamilyModel:
             backend=self.attn_backend,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
+        if cfg.parallel_residual:
+            # cohere: attn and mlp both consume the SAME normed input
+            normed = rms_norm(res, w["input_norm"][i], cfg.rms_norm_eps) \
+                if cfg.norm_type == "rmsnorm" else layer_norm_nobias(
+                    res, w["input_norm"][i], cfg.rms_norm_eps)
+            mlp = self._moe_mlp(w, i, normed) if cfg.is_moe_layer(i) \
+                else self._dense_mlp(w, i, normed, aids)
+            return res + x + mlp, cache
         if cfg.sandwich_norms:
             # gemma2: x + post_attn_norm(attn_out); ffn sandwiched likewise
             x = res + rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)

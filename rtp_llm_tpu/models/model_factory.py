@@ -20,7 +20,7 @@ def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
 
 
 for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
-            "mixtral", "gemma", "gemma2", "phi3", "glm4"):
+            "mixtral", "gemma", "gemma2", "phi3", "glm4", "cohere"):
     register_model(_mt, LlamaFamilyModel)
 
 

@@ -20,6 +20,17 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndar
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def layer_norm_nobias(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-5
+) -> jnp.ndarray:
+    """Mean-centered, weight-only LayerNorm (cohere family)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mu) * jnp.reciprocal(jnp.sqrt(var + eps))
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
 def layer_norm(
     x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-12
 ) -> jnp.ndarray:

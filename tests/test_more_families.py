@@ -107,3 +107,38 @@ def test_glm4_matches_hf(tmp_path):
     path = str(tmp_path / "glm4")
     m.save_pretrained(path, safe_serialization=True)
     _ours_vs_hf(path, m, [1, 5, 9, 42, 7, 100])
+
+
+def test_cohere_matches_hf(tmp_path):
+    import torch
+    from transformers import CohereConfig, CohereForCausalLM
+
+    torch.manual_seed(0)
+    cfg = CohereConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0, logit_scale=0.25,
+    )
+    m = CohereForCausalLM(cfg)
+    m.eval()
+    path = str(tmp_path / "cohere")
+    m.save_pretrained(path, safe_serialization=True)
+    _ours_vs_hf(path, m, [1, 5, 9, 42, 7])
+
+
+def test_mixtral_matches_hf(tmp_path):
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(0)
+    cfg = MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, pad_token_id=0,
+        num_local_experts=4, num_experts_per_tok=2,
+    )
+    m = MixtralForCausalLM(cfg)
+    m.eval()
+    path = str(tmp_path / "mixtral")
+    m.save_pretrained(path, safe_serialization=True)
+    _ours_vs_hf(path, m, [1, 5, 9, 42, 7])
