@@ -552,6 +552,113 @@ class LlmEngine:
             pos += t_real
         return logits
 
+    PREFILL_PACK = 4  # padded batch size for packed prefill calls
+
+    def _run_prefills_packed(self, streams):
+        """Pack short new streams into one batched prefill program call
+        (reference analog: the executor's combined context batch). Streams
+        whose non-reused prompt exceeds the largest bucket fall back to the
+        chunked single-stream path."""
+        max_bucket = self.config.scheduler.prefill_buckets[-1]
+        packable, chunked = [], []
+        for s in streams:
+            (packable if s.prompt_len - s.reuse_len <= max_bucket
+             else chunked).append(s)
+        for s in chunked:
+            self._run_prefill(s)
+        if len(packable) == 1:
+            self._run_prefill(packable[0])
+            return
+        i = 0
+        while i < len(packable):
+            group = packable[i : i + self.PREFILL_PACK]
+            i += self.PREFILL_PACK
+            if len(group) == 1:
+                self._run_prefill(group[0])
+            else:
+                self._run_prefill_group(group)
+
+    def _run_prefill_group(self, group):
+        n_pad = self.PREFILL_PACK
+        bucket = max(
+            self._pick_bucket(s.prompt_len - s.reuse_len) for s in group
+        )
+        mb = self.max_blocks_per_seq
+        toks = np.zeros((n_pad, bucket), np.int32)
+        positions = np.zeros((n_pad, bucket), np.int32)
+        bt = np.zeros((n_pad, mb), np.int32)
+        kv_lens = np.zeros((n_pad,), np.int32)
+        q_offsets = np.zeros((n_pad,), np.int32)
+        aids = np.zeros((n_pad,), np.int32)
+        block_rows = []
+        for r, s in enumerate(group):
+            prompt = s.prompt_token_ids
+            rlen = s.reuse_len
+            t_real = len(prompt) - rlen
+            toks[r, :t_real] = prompt[rlen:]
+            positions[r, :t_real] = np.arange(rlen, len(prompt))
+            bt[r, : len(s.alloc.blocks)] = s.alloc.blocks
+            kv_lens[r] = len(prompt)
+            q_offsets[r] = rlen
+            aids[r] = self._adapter_id_for(s)
+            block_rows.append(jnp.asarray(bt[r]))
+        fn = self._get_prefill_fn(bucket)
+        self.kv, logits = fn(
+            self.weights, self.kv,
+            jnp.asarray(toks), jnp.asarray(positions), jnp.asarray(bt),
+            jnp.asarray(kv_lens), jnp.asarray(q_offsets), jnp.asarray(aids),
+        )
+        # batched first-token sampling with per-row params
+        rows = [ds.params_row_from_config(s.config, s.needs_eos_ban())
+                for s in group]
+        pad = ds.params_row_from_config(group[0].config, True)
+        rows += [pad] * (n_pad - len(group))
+        params = SamplingParams(
+            temperature=jnp.asarray([r["temperature"] for r in rows]),
+            top_k=jnp.asarray([r["top_k"] for r in rows]),
+            top_p=jnp.asarray([r["top_p"] for r in rows]),
+            do_sample=jnp.asarray([r["do_sample"] for r in rows]),
+            repetition_penalty=jnp.asarray([r["repetition_penalty"] for r in rows]),
+            presence_penalty=jnp.asarray([r["presence_penalty"] for r in rows]),
+            frequency_penalty=jnp.asarray([r["frequency_penalty"] for r in rows]),
+            ban_eos=jnp.asarray([r["ban_eos"] for r in rows]),
+        )
+        pmask = np.zeros((n_pad, self.model.cfg.vocab_size), bool)
+        for r, s in enumerate(group):
+            pmask[r, np.asarray(s.prompt_token_ids, np.int64)] = True
+        pmask_j = jnp.asarray(pmask)
+        need_sampling = any(s.config.do_sample for s in group)
+        tokens, logprobs, rng = self._first_sample_jit(
+            logits, params, pmask_j, self.state.rng, need_sampling
+        )
+        self.state = self.state._replace(rng=rng)
+        tokens_h = np.asarray(tokens)
+        logprobs_h = np.asarray(logprobs)
+
+        for r, s in enumerate(group):
+            token = int(tokens_h[r])
+            ban = rows[r]["ban_eos"]
+            slot = self._free_slots.pop()
+            s.slot = slot
+            self.slots[slot] = s
+            self._slot_nblocks[slot] = len(s.alloc.blocks)
+            self._slot_ban[slot] = ban
+            self._slot_forced[slot] = -1
+            self.state = self._insert_jit(
+                self.state, jnp.int32(slot), jnp.int32(token),
+                jnp.int32(s.prompt_len), block_rows[r], pmask_j[r],
+                rows[r]["temperature"], rows[r]["top_k"], rows[r]["top_p"],
+                rows[r]["do_sample"], rows[r]["repetition_penalty"],
+                rows[r]["presence_penalty"], rows[r]["frequency_penalty"],
+                rows[r]["ban_eos"], np.int32(aids[r]),
+            )
+            finished = s.append_token(
+                token, self.eos_ids, float(logprobs_h[r]),
+                max_seq_len=self.config.scheduler.max_seq_len,
+            )
+            if finished:
+                self._release_stream(s)
+
     def _run_prefill(self, stream: GenerateStream):
         """Chunked prefill, then first-token sample + decode-slot insertion."""
         prompt = stream.prompt_token_ids
@@ -591,6 +698,7 @@ class LlmEngine:
         self.slots[slot] = stream
         self._slot_nblocks[slot] = len(blocks)
         self._slot_ban[slot] = ban
+        self._slot_forced[slot] = -1
         self.state = self._insert_jit(
             self.state, jnp.int32(slot), jnp.int32(token), jnp.int32(p),
             block_row_j, pmask_j[0],
@@ -665,12 +773,14 @@ class LlmEngine:
             self._resolve_pending()
         with timed("engine.schedule_ms"):
             sr = self.scheduler.schedule()
-        for s in sr.new_streams:
+        beam_new = [s for s in sr.new_streams if s.config.num_beams > 1]
+        normal_new = [s for s in sr.new_streams if s.config.num_beams <= 1]
+        for s in beam_new:
             with timed("engine.prefill_ms"):
-                if s.config.num_beams > 1:
-                    self._run_beam_prefill(s)
-                else:
-                    self._run_prefill(s)
+                self._run_beam_prefill(s)
+        if normal_new:
+            with timed("engine.prefill_ms"):
+                self._run_prefills_packed(normal_new)
 
         for group in list(self._beam_groups):
             with timed("engine.beam_step_ms"):
