@@ -52,7 +52,6 @@ def paged_attention(
         and d % 128 == 0
         and block_size % 8 == 0
         and hq % hkv == 0
-        and sliding_window == 0
         and soft_cap == 0.0
     )
     if use_pallas:
@@ -60,7 +59,7 @@ def paged_attention(
 
         out = paged_decode_attention(
             q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
-            block_size=block_size,
+            block_size=block_size, sliding_window=sliding_window,
         )
         return out[:, None]
     use_pallas_prefill = (

@@ -61,6 +61,7 @@ def _decode_kernel(
     c: int,
     nbuf: int,
     sm_scale: float,
+    window: int = 0,
 ):
     b = pl.program_id(0)
     hq = qe_ref.shape[1]
@@ -68,7 +69,10 @@ def _decode_kernel(
 
     kv_len = kv_lens_ref[b]
     num_blocks = jax.lax.div(kv_len + bs - 1, bs)
-    num_chunks = jax.lax.div(num_blocks + c - 1, c)
+    # sliding window: skip blocks entirely below the window start
+    win_start = jax.lax.max(kv_len - window, 0) if window else jnp.int32(0)
+    first_blk = jax.lax.div(win_start, bs)
+    num_chunks = jax.lax.div(num_blocks - first_blk + c - 1, c)
 
     def slab(hbm, blk_idx):
         # clamp overhang blocks of the last chunk to a valid table entry —
@@ -80,7 +84,7 @@ def _decode_kernel(
 
     def start_chunk(slot, ci):
         for j in range(c):
-            blk = ci * c + j
+            blk = first_blk + ci * c + j
             pltpu.make_async_copy(
                 slab(k_hbm, blk),
                 k_buf.at[slot, pl.ds(j * bs, bs), :],
@@ -95,7 +99,7 @@ def _decode_kernel(
     def wait_chunk(slot, ci):
         # symmetric with start_chunk: every issued DMA is waited exactly once
         for j in range(c):
-            blk = ci * c + j
+            blk = first_blk + ci * c + j
             pltpu.make_async_copy(
                 slab(k_hbm, blk),
                 k_buf.at[slot, pl.ds(j * bs, bs), :],
@@ -125,8 +129,13 @@ def _decode_kernel(
             qe, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Hq, C*BS]
-        pos = ci * (c * bs) + jax.lax.broadcasted_iota(jnp.int32, (1, c * bs), 1)
-        s = jnp.where(pos >= kv_len, NEG_INF, s)
+        pos = (first_blk + ci * c) * bs + jax.lax.broadcasted_iota(
+            jnp.int32, (1, c * bs), 1
+        )
+        invalid = pos >= kv_len
+        if window:
+            invalid = invalid | (pos < win_start)
+        s = jnp.where(invalid, NEG_INF, s)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
@@ -172,6 +181,7 @@ def _fullrow_kernel(
     bs: int,
     mb: int,
     sm_scale: float,
+    window: int = 0,
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -231,7 +241,10 @@ def _fullrow_kernel(
         preferred_element_type=jnp.float32,
     )  # [Hq, MB*BS]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, mb * bs), 1)
-    s = jnp.where(pos >= kv_len, NEG_INF, s)
+    invalid = pos >= kv_len
+    if window:
+        invalid = invalid | (pos < jax.lax.max(kv_len - window, 0))
+    s = jnp.where(invalid, NEG_INF, s)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -261,7 +274,8 @@ FULLROW_MAX_TOKENS = 2048 if _os.environ.get("RTP_ENABLE_FULLROW") else 0
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_size", "chunk_blocks", "nbuf", "interpret"),
+    static_argnames=("sm_scale", "block_size", "chunk_blocks", "nbuf",
+                     "sliding_window", "interpret"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, Hq, D]
@@ -273,6 +287,7 @@ def paged_decode_attention(
     block_size: int,
     chunk_blocks: int = CHUNK_BLOCKS,
     nbuf: int = NBUF,
+    sliding_window: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, hq, d = q.shape
@@ -292,7 +307,8 @@ def paged_decode_attention(
 
     if fullrow:
         kernel = functools.partial(
-            _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale
+            _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
+            window=sliding_window,
         )
         scratch = [
             pltpu.VMEM((2, mb * bs, hd), k_cache.dtype),
@@ -301,7 +317,8 @@ def paged_decode_attention(
         ]
     else:
         kernel = functools.partial(
-            _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale
+            _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale,
+            window=sliding_window,
         )
         scratch = [
             pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),

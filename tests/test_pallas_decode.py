@@ -108,3 +108,32 @@ def test_fullrow_path_matches(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("window", [16, 40, 1000])
+def test_sliding_window_matches_reference(window):
+    q, k, v, bt, lens = _setup(b=3, kv_lens=[5, 70, 120])
+    sm = 1.0 / np.sqrt(q.shape[-1])
+    expect = paged_attention_ref(q, k, v, bt, lens, lens - 1, sm,
+                                block_size=BS, sliding_window=window)
+    got = paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS,
+                                 sliding_window=window, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_sliding_window_fullrow(monkeypatch):
+    import rtp_llm_tpu.ops.attention.pallas_decode as pd
+
+    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    q, k, v, bt, lens = _setup(b=2, hq=8, hkv=2, max_blocks=7,
+                               kv_lens=[30, 100])
+    sm = 0.1
+    expect = paged_attention_ref(q, k, v, bt, lens, lens - 1, sm,
+                                block_size=BS, sliding_window=24)
+    got = pd.paged_decode_attention(q[:, 0], k, v, bt, lens, sm, block_size=BS,
+                                    sliding_window=24, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
+    )
