@@ -336,8 +336,10 @@ class LlmEngine:
         src_rows = (src_blocks[:, None] * bs + offs).reshape(-1)
         dst = jnp.where(dst_blocks < 0, jnp.int32(2**30 // bs), dst_blocks)
         dst_rows = (dst[:, None] * bs + offs).reshape(-1)
-        rows = kv[..., src_rows, :]
-        return kv.at[..., dst_rows, :].set(rows, mode="drop")
+        def copy(a):
+            return a.at[..., dst_rows, :].set(a[..., src_rows, :], mode="drop")
+
+        return jax.tree.map(copy, kv)
 
     def copy_blocks(self, src: list, dst: list):
         if not src:
@@ -915,7 +917,7 @@ class LlmEngine:
     # becomes a row gather/scatter + host transfer on TPU)
 
     def _gather_rows_impl(self, kv, slot_ids):
-        return kv[..., slot_ids, :]
+        return jax.tree.map(lambda a: a[..., slot_ids, :], kv)
 
     def prefill_only(self, prompt_token_ids, config=None):
         """Prefill-instance path: run prefill, sample the first token, export
@@ -958,8 +960,9 @@ class LlmEngine:
                 np.asarray(alloc.blocks[: (p + bs - 1) // bs])[:, None] * bs
                 + np.arange(bs)[None, :]
             ).reshape(-1)[:p]
-            kv_rows = np.asarray(
-                self._gather_rows_impl(self.kv, jnp.asarray(slot_ids, jnp.int32))
+            kv_rows = jax.tree.map(
+                np.asarray,
+                self._gather_rows_impl(self.kv, jnp.asarray(slot_ids, jnp.int32)),
             )
             self.cache_mgr.free(alloc, token_ids=prompt_token_ids)
             return int(tokens[0]), float(logprobs[0]), kv_rows
@@ -994,10 +997,13 @@ class LlmEngine:
                 np.asarray(alloc.blocks[: (p + bs - 1) // bs])[:, None] * bs
                 + np.arange(bs)[None, :]
             ).reshape(-1)[:p]
-            rows = jnp.asarray(kv_rows[..., :p, :], self.kv.dtype)
-            self.kv = self.kv.at[..., jnp.asarray(slot_ids, jnp.int32), :].set(
-                rows, mode="drop"
-            )
+            sid = jnp.asarray(slot_ids, jnp.int32)
+
+            def put(cache_leaf, rows_leaf):
+                rows = jnp.asarray(rows_leaf[..., :p, :], cache_leaf.dtype)
+                return cache_leaf.at[..., sid, :].set(rows, mode="drop")
+
+            self.kv = jax.tree.map(put, self.kv, kv_rows)
 
             # decode-slot insertion (mirrors _run_prefill's tail)
             block_row = np.zeros((self.max_blocks_per_seq,), np.int32)

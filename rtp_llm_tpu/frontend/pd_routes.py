@@ -37,11 +37,19 @@ class DecodeRole:
         reader = request.content
         header_line = await reader.readline()
         meta = json.loads(header_line)
-        nbytes = int(meta["nbytes"])
-        raw = await reader.readexactly(nbytes)
-        kv_rows = np.frombuffer(raw, dtype=np.dtype(meta["dtype"])).reshape(
-            meta["shape"]
-        )
+        if "segments" in meta:  # pytree KV (int8 cache: data + scale arrays)
+            kv_rows = {}
+            for seg in meta["segments"]:
+                raw = await reader.readexactly(int(seg["nbytes"]))
+                kv_rows[seg["name"]] = np.frombuffer(
+                    raw, dtype=np.dtype(seg["dtype"])
+                ).reshape(seg["shape"])
+        else:
+            nbytes = int(meta["nbytes"])
+            raw = await reader.readexactly(nbytes)
+            kv_rows = np.frombuffer(raw, dtype=np.dtype(meta["dtype"])).reshape(
+                meta["shape"]
+            )
         cfg = GenerateConfig.from_dict(meta.get("config") or {})
         engine = self.runner.engine
         stream = engine.enqueue_preloaded(
@@ -95,22 +103,32 @@ class PrefillForwarder:
         tok, lp, kv_rows = await loop.run_in_executor(
             None, self.engine.prefill_only, token_ids, config,
         )
-        kv = np.ascontiguousarray(kv_rows)
         import dataclasses
 
-        header = json.dumps({
+        head = {
             "token_ids": list(map(int, token_ids)),
             "first_token": tok,
             "first_logprob": lp,
-            "dtype": str(kv.dtype),
-            "shape": list(kv.shape),
-            "nbytes": kv.nbytes,
             "config": dataclasses.asdict(config),
-        }).encode() + b"\n"
+        }
+        if isinstance(kv_rows, dict):  # pytree KV (int8 cache)
+            segs, body = [], b""
+            for name in sorted(kv_rows):
+                a = np.ascontiguousarray(kv_rows[name])
+                segs.append({"name": name, "dtype": str(a.dtype),
+                             "shape": list(a.shape), "nbytes": a.nbytes})
+                body += a.tobytes()
+            head["segments"] = segs
+        else:
+            kv = np.ascontiguousarray(kv_rows)
+            head.update(dtype=str(kv.dtype), shape=list(kv.shape),
+                        nbytes=kv.nbytes)
+            body = kv.tobytes()
+        header = json.dumps(head).encode() + b"\n"
         sess = await self._sess()
         async with sess.post(
             f"http://{self.peer}/remote_generate",
-            data=header + kv.tobytes(),
+            data=header + body,
             timeout=aiohttp.ClientTimeout(total=600),
         ) as resp:
             if resp.status != 200:

@@ -70,6 +70,10 @@ class DeepseekModel:
         return (self.cfg.num_layers, 1, num_blocks * block_size, self.lanes)
 
     def init_cache(self, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
+        if jnp.dtype(dtype) == jnp.int8:
+            raise NotImplementedError(
+                "int8 KV cache is not supported for MLA latent caches"
+            )
         self.block_size = block_size
         return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
 from rtp_llm_tpu.ops.attention import paged_attention
-from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
+from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv, write_kv_quant
 from rtp_llm_tpu.ops.norms import layer_norm_nobias, rms_norm
 from rtp_llm_tpu.ops.rope import (
     apply_rope, apply_rope_partial_interleaved, compute_rope_freqs,
@@ -74,9 +74,18 @@ class LlamaFamilyModel:
 
     def init_cache(
         self, num_blocks: int, block_size: int, dtype=jnp.bfloat16
-    ) -> jnp.ndarray:
+    ):
         self.block_size = block_size
-        return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
+        shape = self.cache_shape(num_blocks, block_size)
+        if jnp.dtype(dtype) == jnp.int8:
+            # int8 KV: quantized rows + per-(slot, kv-head) scales as a cache
+            # pytree (reference: int8 KV cache, ConfigModules.h:146-208)
+            return {
+                "data": jnp.zeros(shape, jnp.int8),
+                "scale": jnp.zeros(shape[:-1] + (self.cfg.num_kv_heads,),
+                                   jnp.bfloat16),
+            }
+        return jnp.zeros(shape, dtype)
 
     # ---- forward ----
 
@@ -205,12 +214,26 @@ class LlamaFamilyModel:
             q = apply_rope(q, inputs.positions, self.cos, self.sin)
             k = apply_rope(k, inputs.positions, self.cos, self.sin)
 
-        k_cache, v_cache = cache[i, 0], cache[i, 1]
-        k_cache, v_cache = write_kv(
-            k_cache, v_cache,
-            k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
-        )
-        cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
+        k_scale = v_scale = None
+        if isinstance(cache, dict):  # int8 KV with scales
+            k_cache, v_cache = cache["data"][i, 0], cache["data"][i, 1]
+            k_scale, v_scale = cache["scale"][i, 0], cache["scale"][i, 1]
+            k_cache, v_cache, k_scale, v_scale = write_kv_quant(
+                k_cache, v_cache, k_scale, v_scale,
+                k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
+            )
+            cache = {
+                "data": cache["data"].at[i, 0].set(k_cache).at[i, 1].set(v_cache),
+                "scale": cache["scale"].at[i, 0].set(k_scale)
+                                       .at[i, 1].set(v_scale),
+            }
+        else:
+            k_cache, v_cache = cache[i, 0], cache[i, 1]
+            k_cache, v_cache = write_kv(
+                k_cache, v_cache,
+                k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
+            )
+            cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
 
         sliding = cfg.sliding_window
         if cfg.sliding_window_pattern:
@@ -225,6 +248,7 @@ class LlamaFamilyModel:
             sliding_window=sliding,
             soft_cap=cfg.attn_soft_cap,
             backend=self.attn_backend,
+            k_scale=k_scale, v_scale=v_scale,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         if cfg.parallel_residual:

@@ -41,6 +41,8 @@ def paged_attention(
     sliding_window: int = 0,
     soft_cap: float = 0.0,
     backend: str = "auto",
+    k_scale: jnp.ndarray | None = None,  # int8 KV cache per-(slot, head) scales
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -53,6 +55,7 @@ def paged_attention(
         and block_size % 8 == 0
         and hq % hkv == 0
         and soft_cap == 0.0
+        and k_scale is None  # int8 KV: pallas dequant support pending
     )
     if use_pallas:
         from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
@@ -72,6 +75,7 @@ def paged_attention(
         and hq % hkv == 0
         and sliding_window == 0
         and soft_cap == 0.0
+        and k_scale is None
         and t % min(128, t) == 0
     )
     if use_pallas_prefill:
@@ -85,6 +89,7 @@ def paged_attention(
     return paged_attention_ref(
         q, k_cache, v_cache, block_tables, kv_lens, q_offsets, sm_scale,
         block_size=block_size, sliding_window=sliding_window, soft_cap=soft_cap,
+        k_scale=k_scale, v_scale=v_scale,
     )
 
 

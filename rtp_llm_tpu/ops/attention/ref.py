@@ -29,6 +29,8 @@ def paged_attention_ref(
     block_size: int,
     sliding_window: int = 0,
     soft_cap: float = 0.0,
+    k_scale: jnp.ndarray | None = None,  # [num_slots, Hkv] (int8 KV cache)
+    v_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -45,6 +47,11 @@ def paged_attention_ref(
 
     qf = q.reshape(b, t, hkv, g, d).astype(jnp.float32)
     kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:  # int8 KV: dequant with per-(slot, head) scales
+        kf = kf * k_scale[idx].reshape(b, s, hkv, 1).astype(jnp.float32)
+    if v_scale is not None:
+        vf = vf * v_scale[idx].reshape(b, s, hkv, 1).astype(jnp.float32)
     scores = jnp.einsum("bthgd,bshd->bhgts", qf, kf, precision=_HI) * sm_scale
     if soft_cap > 0.0:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
@@ -64,5 +71,5 @@ def paged_attention_ref(
     denom = jnp.sum(e, axis=-1, keepdims=True)
     p = e / jnp.maximum(denom, 1e-20)
 
-    out = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32), precision=_HI)
+    out = jnp.einsum("bhgts,bshd->bthgd", p, vf, precision=_HI)
     return out.reshape(b, t, hq, d).astype(q.dtype)

@@ -66,3 +66,39 @@ def write_kv(
     k_cache = k_cache.at[slots].set(kt, mode="drop")
     v_cache = v_cache.at[slots].set(vt, mode="drop")
     return k_cache, v_cache
+
+
+def quantize_kv(k_new: jnp.ndarray, v_new: jnp.ndarray):
+    """Symmetric per-(token, kv-head) int8 quantization for KV rows.
+
+    Reference analog: int8 KV cache with per-head scales (KVCacheConfig
+    kv_cache_dtype, ConfigModules.h:146-208). k_new/v_new: [T, Hkv, D] ->
+    (q rows [T, Hkv*D] int8, scales [T, Hkv] bf16).
+    """
+
+    def q(x):
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1)  # [T, Hkv]
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        qx = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+        return qx.astype(jnp.int8).reshape(x.shape[0], -1), scale.astype(jnp.bfloat16)
+
+    kq, ks = q(k_new)
+    vq, vs = q(v_new)
+    return kq, ks, vq, vs
+
+
+def write_kv_quant(
+    k_cache, v_cache, k_scale, v_scale, k_new, v_new, slots
+):
+    """Quantize + scatter KV rows into an int8 pool with per-row scale arrays.
+
+    k_cache/v_cache: [num_slots, Hkv*D] int8; k_scale/v_scale: [num_slots, Hkv];
+    k_new/v_new: [T, Hkv, D]; slots: [T] (OOB = drop).
+    """
+    kq, ks, vq, vs = quantize_kv(k_new, v_new)
+    k_cache = k_cache.at[slots].set(kq, mode="drop")
+    v_cache = v_cache.at[slots].set(vq, mode="drop")
+    k_scale = k_scale.at[slots].set(ks, mode="drop")
+    v_scale = v_scale.at[slots].set(vs, mode="drop")
+    return k_cache, v_cache, k_scale, v_scale

@@ -114,3 +114,56 @@ def test_fp8_kv_cache_quality(tmp_path):
     # tiny random model: tolerate small divergence tail after many steps
     agree = sum(a == b for a, b in zip(ref, fp8))
     assert agree >= len(ref) - 2, (ref, fp8)
+
+
+def test_int8_kv_cache_quality(tmp_path):
+    """int8 KV cache (per-slot, per-head scales) must generate nearly the same
+    tokens as fp32 KV (reference: int8 KV cache, KVCacheConfig)."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "i8"), cfg)
+
+    def build(kv_dtype):
+        c = tiny_config("qwen2")
+        c.dtype = "float32"
+        weights = CheckpointLoader(c).load(ckpt)
+        model = create_model(c)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=256,
+                                      prefill_buckets=(16, 64)),
+        )
+        econf.quant.kv_cache_dtype = kv_dtype
+        return LlmEngine(model, weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False, ignore_eos=True)
+    ref = build("float32").generate(prompt, gc()).output_token_ids
+    i8 = build("int8").generate(prompt, gc()).output_token_ids
+    agree = sum(a == b for a, b in zip(ref, i8))
+    assert agree >= len(ref) - 2, (ref, i8)
+
+
+def test_int8_kv_attention_accuracy():
+    """Dequantized int8 paged attention stays close to the fp32 reference."""
+    import numpy as np
+    from rtp_llm_tpu.ops.attention.ref import paged_attention_ref
+    from rtp_llm_tpu.ops.kv_cache import quantize_kv
+
+    rng = np.random.default_rng(0)
+    b, hkv, hq, d, bs, nb = 2, 2, 4, 16, 4, 8
+    ns = nb * bs
+    kv_lens = jnp.asarray([9, 14], jnp.int32)
+    bt = jnp.asarray([[1, 2, 3, 4], [5, 6, 7, 2]], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, 1, hq, d)), jnp.float32)
+    k_rows = jnp.asarray(rng.standard_normal((ns, hkv, d)), jnp.float32)
+    v_rows = jnp.asarray(rng.standard_normal((ns, hkv, d)), jnp.float32)
+
+    expect = paged_attention_ref(
+        q, k_rows.reshape(ns, -1), v_rows.reshape(ns, -1), bt, kv_lens,
+        kv_lens - 1, 0.25, block_size=bs)
+    kq, ks, vq, vs = quantize_kv(k_rows, v_rows)
+    got = paged_attention_ref(
+        q, kq, vq, bt, kv_lens, kv_lens - 1, 0.25, block_size=bs,
+        k_scale=ks, v_scale=vs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=0.1, atol=0.05)

@@ -13,7 +13,7 @@ from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoin
 from rtp_llm_tpu.models import create_model
 
 
-def _engine(ckpt, model_type="qwen2"):
+def _engine(ckpt, model_type="qwen2", kv_dtype="float32"):
     cfg = tiny_config(model_type)
     cfg.dtype = "float32"
     weights = CheckpointLoader(cfg).load(ckpt)
@@ -23,7 +23,7 @@ def _engine(ckpt, model_type="qwen2"):
         scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
                                   prefill_buckets=(16, 64)),
     )
-    econf.quant.kv_cache_dtype = "float32"
+    econf.quant.kv_cache_dtype = kv_dtype
     return LlmEngine(model, weights, econf)
 
 
@@ -72,15 +72,17 @@ def test_pd_blocks_released(tmp_path):
     assert dec.cache_mgr.pool.free_blocks == free1
 
 
-def test_pd_http_roundtrip(tmp_path):
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_pd_http_roundtrip(tmp_path, kv_dtype):
     """Full HTTP plane: prefill app (with forwarder) -> decode app
-    (/remote_generate), both over live engines."""
+    (/remote_generate), both over live engines. int8 exercises the
+    multi-segment (data + scale) wire framing."""
     import asyncio
 
-    asyncio.run(_pd_http(tmp_path))
+    asyncio.run(_pd_http(tmp_path, kv_dtype))
 
 
-async def _pd_http(tmp_path):
+async def _pd_http(tmp_path, kv_dtype="float32"):
     from aiohttp.test_utils import TestClient, TestServer
 
     from rtp_llm_tpu.frontend.openai_api import OpenAIApp
@@ -93,12 +95,12 @@ async def _pd_http(tmp_path):
     write_fake_tokenizer(ckpt, 128)
     tok = TokenizerFactory.create(ckpt)
 
-    fused_out = _engine(ckpt).generate(
+    fused_out = _engine(ckpt, kv_dtype=kv_dtype).generate(
         [1, 5, 9, 42], GenerateConfig(max_new_tokens=6, do_sample=False,
                                       ignore_eos=True)
     ).output_token_ids
 
-    decode_eng = _engine(ckpt)
+    decode_eng = _engine(ckpt, kv_dtype=kv_dtype)
     decode_runner = EngineRunner(decode_eng).start()
     decode_api = OpenAIApp(decode_runner, tok, model_name="decode")
     decode_app = decode_api.build_app()
@@ -106,7 +108,7 @@ async def _pd_http(tmp_path):
     decode_server = TestServer(decode_app)
     await decode_server.start_server()
 
-    prefill_eng = _engine(ckpt)
+    prefill_eng = _engine(ckpt, kv_dtype=kv_dtype)
     prefill_runner = EngineRunner(prefill_eng).start()
     fwd = PrefillForwarder(
         prefill_eng, f"{decode_server.host}:{decode_server.port}"
@@ -133,3 +135,29 @@ async def _pd_http(tmp_path):
             await fwd._session.close()
         prefill_runner.stop()
         decode_runner.stop()
+
+
+def test_pd_int8_kv_roundtrip(tmp_path):
+    """PD transfer with an int8 KV cache: the exported rows are a pytree
+    (data + scales) and must reproduce the fused int8 engine's output."""
+    ckpt = write_fake_checkpoint(str(tmp_path / "pdint8"), tiny_config("qwen2"))
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False,
+                                ignore_eos=True)
+    prompt = [1, 5, 9, 42, 7, 3]
+
+    fused = _engine(ckpt, kv_dtype="int8").generate(
+        prompt, gc()).output_token_ids
+
+    tok, lp, kv_rows = _engine(ckpt, kv_dtype="int8").prefill_only(prompt, gc())
+    assert isinstance(kv_rows, dict)
+    assert kv_rows["data"].dtype == np.int8
+    assert kv_rows["data"].shape[-2] == len(prompt)
+
+    dec = _engine(ckpt, kv_dtype="int8")
+    stream = dec.enqueue_preloaded(prompt, tok, kv_rows, gc(),
+                                   first_logprob=lp)
+    for _ in range(40):
+        if stream.is_finished():
+            break
+        dec.step()
+    assert stream.output_token_ids == fused
