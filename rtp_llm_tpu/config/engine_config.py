@@ -101,13 +101,15 @@ class SpeculativeConfig:
     ConfigModules.h:291 + docs/backend/speculative_decoding.md).
 
     method: none | prompt_lookup (deterministic n-gram proposer; the
-    reference's 'deterministic' sp_type). Draft-model methods (vanilla /
-    MTP / EAGLE) plug into the same verify path in a later round."""
+    reference's 'deterministic' sp_type) | vanilla (a small draft model
+    proposes K greedy tokens, engine/draft.py). MTP / EAGLE plug into the
+    same verify path in a later round."""
 
-    method: str = "none"
+    method: str = "none"  # none | prompt_lookup | vanilla (draft model)
     draft_tokens: int = 4  # K: proposals verified per step
     ngram_min: int = 2
     ngram_max: int = 4
+    sp_model_path: str = ""  # draft checkpoint dir (method == "vanilla")
 
     @property
     def enabled(self) -> bool:

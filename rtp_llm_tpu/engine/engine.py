@@ -41,10 +41,13 @@ logger = logging.getLogger(__name__)
 
 
 class LlmEngine:
-    def __init__(self, model, weights: dict, config: EngineConfig, mesh=None):
+    def __init__(self, model, weights: dict, config: EngineConfig, mesh=None,
+                 draft=None):
         """mesh: optional jax.sharding.Mesh ("dp","tp"); when given, the KV
         cache shards kv-heads over tp and the decode batch shards over dp
-        (weights should be loaded with parallel.make_weight_shard_fn)."""
+        (weights should be loaded with parallel.make_weight_shard_fn).
+        draft: optional (draft_model, draft_weights) for vanilla draft-model
+        speculative decoding (engine/draft.py)."""
         self.model = model
         self.weights = weights
         self.config = config
@@ -128,6 +131,15 @@ class LlmEngine:
         )
         self.spec = config.speculative
         self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2))
+        self.draft = None
+        if draft is not None:
+            from rtp_llm_tpu.engine.draft import DraftRunner
+
+            dmodel, dweights = draft
+            self.draft = DraftRunner(
+                dmodel, dweights, num_blocks, cc.block_size,
+                sc.prefill_buckets, self.max_blocks_per_seq,
+            )
 
         # async decode pipelining: device step N+1 is dispatched before step
         # N's tokens are read back (reference analog: C++ engine async exec)
@@ -637,6 +649,9 @@ class LlmEngine:
         tokens_h = np.asarray(tokens)
         logprobs_h = np.asarray(logprobs)
 
+        if self.draft is not None:
+            for r, s in enumerate(group):
+                self.draft.prefill(s.prompt_token_ids, np.asarray(bt[r]))
         for r, s in enumerate(group):
             token = int(tokens_h[r])
             ban = rows[r]["ban_eos"]
@@ -710,6 +725,8 @@ class LlmEngine:
             np.int32(self._adapter_id_for(stream)),
         )
 
+        if self.draft is not None:
+            self.draft.prefill(prompt, block_row)
         finished = stream.append_token(
             token, self.eos_ids, logprob,
             max_seq_len=self.config.scheduler.max_seq_len,
@@ -878,20 +895,27 @@ class LlmEngine:
         return True
 
     def _spec_decode_step(self, active):
-        """One prompt-lookup speculative step over the whole decode batch."""
+        """One speculative step over the whole decode batch: propose K drafts
+        (prompt-lookup on host, or a draft-model rollout on device), then
+        verify with the target model's T=K+1 program."""
         from rtp_llm_tpu.utils.metrics import METRICS, timed
 
         k = self.spec.draft_tokens
-        drafts = np.zeros((len(self.slots), k), np.int32)
-        for s in active:
-            # all_token_ids already includes the pending (not-yet-written)
-            # last token, so drafts continue directly after it
-            drafts[s.slot] = propose_prompt_lookup(
-                s.all_token_ids, k, self.spec.ngram_min, self.spec.ngram_max
-            )
+        if self.draft is not None:
+            with timed("engine.spec_propose_ms"):
+                drafts_dev = self.draft.propose(self.state, k)
+        else:
+            drafts = np.zeros((len(self.slots), k), np.int32)
+            for s in active:
+                # all_token_ids already includes the pending (not-yet-written)
+                # last token, so drafts continue directly after it
+                drafts[s.slot] = propose_prompt_lookup(
+                    s.all_token_ids, k, self.spec.ngram_min, self.spec.ngram_max
+                )
+            drafts_dev = jnp.asarray(drafts)
         with timed("engine.spec_verify_ms"):
             self.kv, self.state, g, n_new = self._verify_jit(
-                self.weights, self.kv, self.state, jnp.asarray(drafts)
+                self.weights, self.kv, self.state, drafts_dev
             )
             g_h = np.asarray(g)
             n_h = np.asarray(n_new)
@@ -1004,6 +1028,10 @@ class LlmEngine:
                 return cache_leaf.at[..., sid, :].set(rows, mode="drop")
 
             self.kv = jax.tree.map(put, self.kv, kv_rows)
+            if self.draft is not None:
+                row = np.zeros((self.max_blocks_per_seq,), np.int32)
+                row[: len(alloc.blocks)] = alloc.blocks
+                self.draft.prefill(prompt_token_ids, row)
 
             # decode-slot insertion (mirrors _run_prefill's tail)
             block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
@@ -1065,6 +1093,17 @@ class LlmEngine:
                     self.weights, self.kv, self.state,
                     jnp.zeros((b, self.spec.draft_tokens), jnp.int32),
                 )
+                if self.draft is not None:
+                    for bucket in self.config.scheduler.prefill_buckets:
+                        self.draft.kv = self.draft._prefill_jit(
+                            self.draft.weights, self.draft.kv,
+                            jnp.zeros((1, bucket), jnp.int32),
+                            jnp.zeros((1, bucket), jnp.int32),
+                            jnp.zeros((1, mb), jnp.int32),
+                            jnp.zeros((1,), jnp.int32),
+                            jnp.zeros((1,), jnp.int32),
+                        )
+                    self.draft.propose(self.state, self.spec.draft_tokens)
             # slot ops + first-token sampler
             v = self.model.cfg.vocab_size
             params1 = SamplingParams.zeros(1)

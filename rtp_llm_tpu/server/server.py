@@ -61,7 +61,18 @@ def build_engine(
             weights = merge_lora(weights, adapter)
 
     model = create_model(model_config)
-    return LlmEngine(model, weights, config, mesh=mesh)
+
+    draft = None
+    sp = config.speculative
+    if sp.method == "vanilla" and sp.sp_model_path:
+        # vanilla draft-model speculative decoding: load the small draft
+        # checkpoint alongside (reference: sp_model loading, sp_type vanilla)
+        draft_cfg = ModelConfig.from_pretrained(sp.sp_model_path)
+        logger.info("loading draft model from %s", sp.sp_model_path)
+        draft_weights = CheckpointLoader(draft_cfg).load(sp.sp_model_path)
+        draft = (create_model(draft_cfg), draft_weights)
+
+    return LlmEngine(model, weights, config, mesh=mesh, draft=draft)
 
 
 def serve(config: EngineConfig):

@@ -122,3 +122,59 @@ def test_sampling_streams_fall_back(tmp_path):
     assert len(s.output_token_ids) == 6
     # no step compression: prefill step emits 1 token + decodes 1/step after
     assert eng.step_count >= len(s.output_token_ids) - 1
+
+
+def test_draft_model_spec_matches_normal(tmp_path):
+    """Vanilla draft-model speculative decoding must produce exactly the
+    greedy outputs of normal decode (reference: sp_type 'vanilla')."""
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig, SpeculativeConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "tgt"), cfg)
+    # draft = a smaller model (fewer layers) with the same vocab
+    dcfg = tiny_config("qwen2", num_layers=1)
+    dcfg.dtype = "float32"
+    dckpt = write_fake_checkpoint(str(tmp_path / "draft"), dcfg)
+
+    def build(spec_method):
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                      prefill_buckets=(16, 64)),
+            speculative=SpeculativeConfig(method=spec_method, draft_tokens=3),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        draft = None
+        if spec_method == "vanilla":
+            dw = CheckpointLoader(dcfg).load(dckpt)
+            draft = (create_model(dcfg), dw)
+        return LlmEngine(create_model(cfg), weights, econf, draft=draft)
+
+    gc = lambda: GenerateConfig(max_new_tokens=10, do_sample=False,
+                                ignore_eos=True)
+    prompt = [1, 5, 9, 42, 7, 3]
+    normal = build("none").generate(prompt, gc()).output_token_ids
+    spec = build("vanilla").generate(prompt, gc()).output_token_ids
+    assert spec == normal
+
+    # batched: two streams through the draft path at once
+    eng = build("vanilla")
+    s1 = eng.enqueue(prompt, gc())
+    s2 = eng.enqueue([2, 4, 6, 8], gc())
+    for _ in range(40):
+        if s1.is_finished() and s2.is_finished():
+            break
+        eng.step()
+    assert s1.output_token_ids == normal
+    assert len(s2.output_token_ids) == 10
