@@ -216,7 +216,10 @@ class LlmEngine:
 
     # ---- device programs ----
 
-    def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True):
+    MAX_NGRAM_BANS = 16  # per-row cap on no-repeat-ngram banned tokens
+
+    def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True,
+                     ban_tokens=None):
         active = state.kv_lens > 0
         kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
         inputs = ModelInputs(
@@ -232,7 +235,7 @@ class LlmEngine:
         tokens, logprobs, new_counts = sample_tokens(
             out.logits, state.params, state.prompt_mask, state.output_counts,
             self.eos_ids, key, need_sampling=need_sampling,
-            forced_tokens=state.forced_tokens,
+            forced_tokens=state.forced_tokens, ban_tokens=ban_tokens,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
@@ -314,12 +317,12 @@ class LlmEngine:
         return kv, out.logits
 
     def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng,
-                           need_sampling=True):
+                           need_sampling=True, ban_tokens=None):
         counts = jnp.zeros(logits.shape, jnp.int32)
         rng, key = jax.random.split(rng)
         tokens, logprobs, _ = sample_tokens(
             logits, params, prompt_mask, counts, self.eos_ids, key,
-            need_sampling=need_sampling,
+            need_sampling=need_sampling, ban_tokens=ban_tokens,
         )
         return tokens, logprobs, rng
 
@@ -642,8 +645,17 @@ class LlmEngine:
             pmask[r, np.asarray(s.prompt_token_ids, np.int64)] = True
         pmask_j = jnp.asarray(pmask)
         need_sampling = any(s.config.do_sample for s in group)
+        ban_kw = {}
+        if any(s.config.no_repeat_ngram_size for s in group):
+            bans = np.full((n_pad, self.MAX_NGRAM_BANS), -1, np.int32)
+            for r, s in enumerate(group):
+                for j, t in enumerate(self._ngram_bans(
+                        s.prompt_token_ids, s.config.no_repeat_ngram_size,
+                        self.MAX_NGRAM_BANS)):
+                    bans[r, j] = t
+            ban_kw["ban_tokens"] = jnp.asarray(bans)
         tokens, logprobs, rng = self._first_sample_jit(
-            logits, params, pmask_j, self.state.rng, need_sampling
+            logits, params, pmask_j, self.state.rng, need_sampling, **ban_kw,
         )
         self.state = self.state._replace(rng=rng)
         tokens_h = np.asarray(tokens)
@@ -702,8 +714,17 @@ class LlmEngine:
         pmask = np.zeros((1, self.model.cfg.vocab_size), bool)
         pmask[0, np.asarray(prompt, np.int64)] = True
         pmask_j = jnp.asarray(pmask)
+        ban_kw = {}
+        if stream.config.no_repeat_ngram_size:
+            bans = np.full((1, self.MAX_NGRAM_BANS), -1, np.int32)
+            for j, t in enumerate(self._ngram_bans(
+                    prompt, stream.config.no_repeat_ngram_size,
+                    self.MAX_NGRAM_BANS)):
+                bans[0, j] = t
+            ban_kw["ban_tokens"] = jnp.asarray(bans)
         tokens, logprobs, rng = self._first_sample_jit(
-            logits, params, pmask_j, self.state.rng, bool(stream.config.do_sample)
+            logits, params, pmask_j, self.state.rng,
+            bool(stream.config.do_sample), **ban_kw,
         )
         self.state = self.state._replace(rng=rng)
         token = int(tokens[0])
@@ -733,6 +754,22 @@ class LlmEngine:
         )
         if finished:
             self._release_stream(stream)
+
+    @staticmethod
+    def _ngram_bans(token_ids, n: int, cap: int):
+        """Tokens that would complete an already-seen n-gram (HF
+        no_repeat_ngram_size semantics; reference: banRepeatNgram.cu)."""
+        if n <= 0 or len(token_ids) < n:
+            return []
+        tail = tuple(token_ids[-(n - 1):]) if n > 1 else ()
+        seen, out = set(), []
+        for i in range(len(token_ids) - n + 1):
+            if tuple(token_ids[i : i + n - 1]) == tail:
+                t = token_ids[i + n - 1]
+                if t not in seen:
+                    seen.add(t)
+                    out.append(t)
+        return out[:cap]
 
     # ---- dispatch / release ----
 
@@ -816,6 +853,7 @@ class LlmEngine:
             self.spec.enabled
             and not any(s.config.do_sample for s in active)
             and not any(s.config.max_thinking_tokens for s in active)
+            and not any(s.config.no_repeat_ngram_size for s in active)
             and all(
                 s.total_len + self.spec.draft_tokens + 1
                 <= self.config.scheduler.max_seq_len
@@ -876,6 +914,31 @@ class LlmEngine:
             self._spec_decode_step(active)
         else:
             need_sampling = any(s.config.do_sample for s in active)
+            use_ban = any(s.config.no_repeat_ngram_size for s in active)
+            if use_ban:
+                # bans depend on the full token history: resolve any pending
+                # step first and stay synchronous while banning is active
+                self._resolve_pending()
+                active = [s for s in self.scheduler.running if s.slot >= 0]
+                if not active:
+                    self.step_count += 1
+                    return True
+                bans = np.full((len(self.slots), self.MAX_NGRAM_BANS), -1,
+                               np.int32)
+                for s in active:
+                    n = s.config.no_repeat_ngram_size
+                    for j, t in enumerate(self._ngram_bans(
+                            s.all_token_ids, n, self.MAX_NGRAM_BANS)):
+                        bans[s.slot, j] = t
+                with timed("engine.decode_ms"):
+                    self.kv, self.state, tokens, logprobs = self._decode_jit(
+                        self.weights, self.kv, self.state, need_sampling,
+                        ban_tokens=jnp.asarray(bans),
+                    )
+                self._resolve_tuple(tokens, logprobs, active)
+                METRICS.set_gauge("engine.running_streams", len(active))
+                self.step_count += 1
+                return True
             with timed("engine.decode_ms"):
                 self.kv, self.state, tokens, logprobs = self._decode_jit(
                     self.weights, self.kv, self.state, need_sampling

@@ -100,6 +100,7 @@ def sample_tokens(
     key: jax.Array,
     need_sampling: bool = True,
     forced_tokens=None,  # [B] i32, -1 = not forced (think-mode forcing)
+    ban_tokens=None,  # [B, M] i32, -1 = empty (no-repeat-ngram bans)
 ):
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
@@ -116,6 +117,12 @@ def sample_tokens(
             jnp.zeros(logits.shape, bool).at[:, eos].set(True)
         )
         logits = jnp.where(ban, NEG_INF, logits)
+    if ban_tokens is not None:
+        # per-row banned token ids (reference: banRepeatNgram.cu); -1 rows
+        # scatter out of bounds and are dropped
+        rows = jnp.arange(logits.shape[0])[:, None]
+        safe = jnp.where(ban_tokens >= 0, ban_tokens, logits.shape[1])
+        logits = logits.at[rows, safe].set(NEG_INF, mode="drop")
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

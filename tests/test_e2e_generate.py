@@ -167,3 +167,36 @@ def test_int8_kv_attention_accuracy():
         k_scale=ks, v_scale=vs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                rtol=0.1, atol=0.05)
+
+
+def test_no_repeat_ngram_matches_hf(tmp_path):
+    """Greedy generation with no_repeat_ngram_size must match HF transformers
+    token-for-token (reference: banRepeatNgram.cu sampler stage)."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "nrn"), cfg)
+
+    prompt = [1, 5, 9, 5, 9, 7]
+    hf = AutoModelForCausalLM.from_pretrained(ckpt, torch_dtype=torch.float32)
+    with torch.no_grad():
+        hf_out = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=12, do_sample=False,
+            no_repeat_ngram_size=2, pad_token_id=0, eos_token_id=None,
+        )[0, len(prompt):].tolist()
+
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=256,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+    out = eng.generate(prompt, GenerateConfig(
+        max_new_tokens=12, do_sample=False, ignore_eos=True,
+        no_repeat_ngram_size=2,
+    )).output_token_ids
+    assert out == hf_out
