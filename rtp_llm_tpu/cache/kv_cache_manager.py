@@ -23,10 +23,13 @@ from rtp_llm_tpu.cache.prefix_cache import PrefixBlockCache
 @dataclasses.dataclass
 class BlockAllocation:
     """Blocks held by one stream. ``reuse_len`` = tokens covered by reused
-    prefix blocks (their KV is already on device)."""
+    prefix blocks (their KV is already on device, or arrives via
+    ``restore``). ``restore`` = (block_id, host rows) pairs the engine must
+    scatter to the device before prefill (host-tier hits)."""
 
     blocks: list[int]
     reuse_len: int
+    restore: list = dataclasses.field(default_factory=list)
 
 
 class KVCacheManager:
@@ -44,6 +47,12 @@ class KVCacheManager:
             if backend == "native" and not use_native:
                 raise RuntimeError("native cache library unavailable")
         self.backend = "native" if use_native else "python"
+        # host-memory tier (cache/host_tier.py): spill evicted prefix blocks
+        # to host RAM; keyed by python chain hashes so it works with either
+        # pool backend. evict_hook(block_id, rows_saver) is set by the engine.
+        self.host_tier = None
+        self.evict_hook = None  # callable(block_id) -> np rows pytree
+        self._block_pyhash: dict[int, int] = {}  # block -> python chain hash
         if use_native:
             from rtp_llm_tpu.cache.native import (
                 NativeBlockPool, NativePrefixBlockCache,
@@ -86,8 +95,19 @@ class KVCacheManager:
             b = self.prefix_cache.pop_lru()
             if b is None:
                 return None
+            self._spill_to_host(b)
             self.pool.free([b])  # drop the cache's reference
         return self.pool.malloc(n)
+
+    def _spill_to_host(self, block: int):
+        """Save an evicted prefix block's device rows into the host tier
+        (reference: memory-tier connector async write; synchronous here)."""
+        h = self._block_pyhash.pop(block, None)
+        if self.host_tier is None or self.evict_hook is None or h is None:
+            return
+        if h in self.host_tier:
+            return
+        self.host_tier.put(h, self.evict_hook(block))
 
     def allocate(self, token_ids: list[int]) -> BlockAllocation | None:
         """Allocate blocks for a new request of len(token_ids) prompt tokens,
@@ -102,9 +122,27 @@ class KVCacheManager:
         if fresh is None:
             return None
         self.pool.ref(reused)
-        return BlockAllocation(
+        alloc = BlockAllocation(
             blocks=reused + fresh, reuse_len=len(reused) * self.block_size
         )
+        if self.host_tier is not None and fresh:
+            # extend the device prefix hit with host-tier hits: consecutive
+            # chain hashes past the device match restore into fresh blocks
+            from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+
+            usable = len(token_ids) - 1
+            hashes = chain_hashes(token_ids[:usable], self.block_size)
+            fi = 0
+            for h in hashes[len(reused):]:
+                if fi >= len(fresh):
+                    break
+                rows = self.host_tier.get(h)
+                if rows is None:
+                    break
+                alloc.restore.append((fresh[fi], rows))
+                fi += 1
+            alloc.reuse_len += len(alloc.restore) * self.block_size
+        return alloc
 
     def extend(self, alloc: BlockAllocation, new_total_tokens: int) -> bool:
         """Grow a stream's allocation to cover new_total_tokens (decode).
@@ -131,6 +169,16 @@ class KVCacheManager:
                 self.block_size,
             )
             self.pool.ref(retained)  # cache's reference
+            if self.host_tier is not None and retained:
+                from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+
+                hashes = chain_hashes(
+                    token_ids[: n_full * self.block_size], self.block_size
+                )
+                bset = set(retained)
+                for h, b in zip(hashes, alloc.blocks[:n_full]):
+                    if b in bset:
+                        self._block_pyhash[b] = h
         self.pool.free(alloc.blocks)
         alloc.blocks = []
 

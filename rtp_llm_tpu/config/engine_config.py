@@ -72,6 +72,9 @@ class CacheConfig:
     enable_prefix_cache: bool = True
     # test hook (reference kv_cache_config.test_block_num)
     test_num_blocks: int = 0
+    # host-RAM KV tier for evicted prefix blocks, 0 = off (reference:
+    # memory-tier cache connector, cache/connector/memory/)
+    host_cache_mb: int = 0
 
 
 @dataclasses.dataclass

@@ -66,6 +66,11 @@ class LlmEngine:
         self.cache_mgr = KVCacheManager(
             num_blocks, cc.block_size, enable_prefix_cache=cc.enable_prefix_cache
         )
+        if cc.host_cache_mb > 0:
+            from rtp_llm_tpu.cache.host_tier import HostKVTier
+
+            self.cache_mgr.host_tier = HostKVTier(cc.host_cache_mb << 20)
+            self.cache_mgr.evict_hook = self._block_rows_to_host
         self.scheduler = FIFOScheduler(sc, self.cache_mgr)
 
         # KV cache storage dtype (reference: fp8 KV, KVCacheConfig
@@ -339,6 +344,33 @@ class LlmEngine:
                 return b
         return self.config.scheduler.prefill_buckets[-1]
 
+    # ---- host KV tier (cache/host_tier.py) ----
+
+    def _block_rows_to_host(self, block: int):
+        """Device rows of one block -> host np pytree (eviction spill)."""
+        bs = self.block_size
+        return jax.tree.map(
+            lambda a: np.asarray(a[..., block * bs : (block + 1) * bs, :]),
+            self.kv,
+        )
+
+    def _apply_restores(self, alloc):
+        """Scatter host-tier rows into freshly allocated device blocks
+        (restore side of the memory-tier connector)."""
+        if not getattr(alloc, "restore", None):
+            return
+        from rtp_llm_tpu.utils.metrics import METRICS
+
+        bs = self.block_size
+        for block, rows in alloc.restore:
+            idx = jnp.arange(block * bs, (block + 1) * bs, dtype=jnp.int32)
+            self.kv = jax.tree.map(
+                lambda a, r: a.at[..., idx, :].set(jnp.asarray(r, a.dtype)),
+                self.kv, rows,
+            )
+        METRICS.inc("cache.host_tier_restored_blocks", len(alloc.restore))
+        alloc.restore = []
+
     # ---- beam search (engine/beam.py) ----
 
     @staticmethod
@@ -539,6 +571,7 @@ class LlmEngine:
         logits [1, V] (the distribution for the first generated token)."""
         prompt = stream.prompt_token_ids
         p = len(prompt)
+        self._apply_restores(stream.alloc)
         r = stream.reuse_len
         block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
         blocks = stream.alloc.blocks
@@ -609,6 +642,7 @@ class LlmEngine:
         aids = np.zeros((n_pad,), np.int32)
         block_rows = []
         for r, s in enumerate(group):
+            self._apply_restores(s.alloc)
             prompt = s.prompt_token_ids
             rlen = s.reuse_len
             t_real = len(prompt) - rlen
@@ -1074,6 +1108,7 @@ class LlmEngine:
                 stop_token_sequences=stop_token_sequences,
             )
             stream.alloc = alloc
+            alloc.restore = []  # transferred KV overwrites any host-tier hit
             stream.state = StreamState.RUNNING
 
             p = len(prompt_token_ids)
