@@ -68,6 +68,14 @@ class ModelConfig:
     moe_topk_group: int = 0
     moe_routed_scaling_factor: float = 1.0
     moe_router_bias: bool = False  # e_score_correction_bias
+    # hybrid linear attention (qwen3-next): gated DeltaNet layers
+    layer_types: Optional[tuple] = None  # per-layer "linear_attention"/"full_attention"
+    attn_output_gate: bool = False  # q_proj emits [query; gate] per head
+    linear_num_key_heads: int = 0
+    linear_num_value_heads: int = 0
+    linear_key_head_dim: int = 0
+    linear_value_head_dim: int = 0
+    linear_conv_kernel_dim: int = 0
     # MLA (deepseek v2/v3); 0 = standard attention
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -193,6 +201,23 @@ class ModelConfig:
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
             cfg.moe_router_bias = mt == "deepseek_v3"
+        if mt == "qwen3_next":
+            cfg.use_qk_norm = True
+            cfg.norm_unit_offset = True  # zero-centered (1+w) RMSNorms
+            cfg.attn_output_gate = True
+            cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.25)
+            cfg.layer_types = tuple(hf.get("layer_types") or ())
+            if not cfg.layer_types:
+                interval = hf.get("full_attention_interval", 4)
+                cfg.layer_types = tuple(
+                    "full_attention" if (i + 1) % interval == 0
+                    else "linear_attention" for i in range(cfg.num_layers)
+                )
+            cfg.linear_num_key_heads = hf.get("linear_num_key_heads", 16)
+            cfg.linear_num_value_heads = hf.get("linear_num_value_heads", 32)
+            cfg.linear_key_head_dim = hf.get("linear_key_head_dim", 128)
+            cfg.linear_value_head_dim = hf.get("linear_value_head_dim", 128)
+            cfg.linear_conv_kernel_dim = hf.get("linear_conv_kernel_dim", 4)
         qc = hf.get("quantization_config")
         if qc and qc.get("quant_method") in ("gptq", "awq"):
             cfg.quantization = {

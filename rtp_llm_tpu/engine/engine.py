@@ -63,10 +63,14 @@ class LlmEngine:
         self.block_size = cc.block_size
         self.max_blocks_per_seq = math.ceil(sc.max_seq_len / cc.block_size)
 
+        # hybrid (linear-attention) models: per-slot state => no prefix
+        # reuse, no host tier, no beams/spec (state is not block-composable)
+        self.is_hybrid = bool(getattr(model, "is_hybrid", False))
         self.cache_mgr = KVCacheManager(
-            num_blocks, cc.block_size, enable_prefix_cache=cc.enable_prefix_cache
+            num_blocks, cc.block_size,
+            enable_prefix_cache=cc.enable_prefix_cache and not self.is_hybrid,
         )
-        if cc.host_cache_mb > 0:
+        if cc.host_cache_mb > 0 and not self.is_hybrid:
             from rtp_llm_tpu.cache.host_tier import HostKVTier
 
             self.cache_mgr.host_tier = HostKVTier(cc.host_cache_mb << 20)
@@ -82,7 +86,8 @@ class LlmEngine:
             "fp8": jnp.float8_e4m3fn,
             "float8_e4m3": jnp.float8_e4m3fn,
         }.get(config.quant.kv_cache_dtype) or jnp.dtype(config.quant.kv_cache_dtype)
-        self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype)
+        self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype,
+                                   max_slots=sc.max_batch_size)
         self.state = ds.DecodeState.init(
             sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size, config.seed
         )
@@ -304,7 +309,7 @@ class LlmEngine:
         return kv, state, g, n_new
 
     def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
-                      kv_lens, q_offsets, adapter_ids=None):
+                      kv_lens, q_offsets, adapter_ids=None, state_slots=None):
         if self.mesh is not None and self.mesh.shape.get("cp", 1) > 1:
             # prefill context parallelism: shard the prompt's token dim over
             # cp — GSPMD partitions the per-token compute and attention rows
@@ -317,6 +322,7 @@ class LlmEngine:
         inputs = ModelInputs(
             tokens=tokens, positions=positions, block_tables=block_tables,
             kv_lens=kv_lens, q_offsets=q_offsets, adapter_ids=adapter_ids,
+            state_slots=state_slots,
         )
         out, kv = self.model.forward(weights, kv, inputs)
         return kv, out.logits
@@ -566,7 +572,7 @@ class LlmEngine:
 
     # ---- prefill path ----
 
-    def _prefill_forward(self, stream: GenerateStream):
+    def _prefill_forward(self, stream: GenerateStream, state_slot=None):
         """Chunked prefill of stream's non-reused prompt; returns last-chunk
         logits [1, V] (the distribution for the first generated token)."""
         prompt = stream.prompt_token_ids
@@ -591,6 +597,9 @@ class LlmEngine:
             positions[0, :t_real] = np.arange(pos, pos + t_real)
             fn = self._get_prefill_fn(bucket)
             aid = self._adapter_id_for(stream)
+            extra = ()
+            if state_slot is not None:
+                extra = (jnp.asarray([state_slot], np.int32),)
             self.kv, logits = fn(
                 self.weights, self.kv,
                 jnp.asarray(toks), jnp.asarray(positions),
@@ -598,6 +607,7 @@ class LlmEngine:
                 jnp.asarray([pos + t_real], np.int32),
                 jnp.asarray([pos], np.int32),
                 jnp.asarray([aid], np.int32),
+                *extra,
             )
             pos += t_real
         return logits
@@ -610,6 +620,10 @@ class LlmEngine:
         whose non-reused prompt exceeds the largest bucket fall back to the
         chunked single-stream path."""
         max_bucket = self.config.scheduler.prefill_buckets[-1]
+        if self.is_hybrid:
+            for s in streams:
+                self._run_prefill(s)
+            return
         packable, chunked = [], []
         for s in streams:
             (packable if s.prompt_len - s.reuse_len <= max_bucket
@@ -730,7 +744,10 @@ class LlmEngine:
         block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
         block_row[: len(blocks)] = blocks
         block_row_j = jnp.asarray(block_row)
-        logits = self._prefill_forward(stream)
+        # hybrid models address per-slot linear state during prefill: the
+        # decode slot is assigned before the forward
+        pre_slot = self._free_slots.pop() if self.is_hybrid else None
+        logits = self._prefill_forward(stream, state_slot=pre_slot)
 
         # sample the first generated token from the last-chunk logits
         ban = stream.needs_eos_ban()
@@ -765,7 +782,7 @@ class LlmEngine:
         logprob = float(logprobs[0])
 
         # insert into a decode slot
-        slot = self._free_slots.pop()
+        slot = pre_slot if pre_slot is not None else self._free_slots.pop()
         stream.slot = slot
         self.slots[slot] = stream
         self._slot_nblocks[slot] = len(blocks)
@@ -885,6 +902,7 @@ class LlmEngine:
         # speculative mode: greedy-only batches with room for the draft window
         use_spec = (
             self.spec.enabled
+            and not self.is_hybrid
             and not any(s.config.do_sample for s in active)
             and not any(s.config.max_thinking_tokens for s in active)
             and not any(s.config.no_repeat_ngram_size for s in active)
@@ -1047,6 +1065,9 @@ class LlmEngine:
         from rtp_llm_tpu.config.generate_config import GenerateConfig
 
         config = config or GenerateConfig()
+        if self.is_hybrid:
+            raise NotImplementedError("PD disaggregation does not support "
+                                      "hybrid linear-attention models yet")
         with self.device_lock:
             alloc = self.cache_mgr.allocate(prompt_token_ids)
             if alloc is None:
@@ -1233,6 +1254,9 @@ class LlmEngine:
         stop_token_sequences: Optional[List[List[int]]] = None,
     ) -> GenerateStream:
         """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36)."""
+        if self.is_hybrid and config is not None and config.num_beams > 1:
+            raise ValueError("beam search is not supported for hybrid "
+                             "linear-attention models")
         stream = GenerateStream(
             prompt_token_ids, config, stop_token_sequences=stop_token_sequences
         )

@@ -37,6 +37,25 @@ def tiny_config(model_type: str = "qwen2", **overrides) -> ModelConfig:
         base["use_qk_norm"] = True
     if model_type.endswith("_moe"):
         base.update(num_experts=4, num_experts_per_tok=2, moe_intermediate_size=32)
+    if model_type == "qwen3_next":
+        base.update(
+            use_qk_norm=True,
+            norm_unit_offset=True,
+            attn_output_gate=True,
+            partial_rotary_factor=0.25,
+            layer_types=("linear_attention", "linear_attention",
+                         "linear_attention", "full_attention"),
+            num_layers=4,
+            linear_num_key_heads=2,
+            linear_num_value_heads=4,
+            linear_key_head_dim=16,
+            linear_value_head_dim=16,
+            linear_conv_kernel_dim=4,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            num_shared_experts=1,
+        )
     if model_type.startswith("deepseek"):
         base.update(
             num_kv_heads=4,
@@ -96,6 +115,22 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
         "shared_down": (h, i),
         "shared_expert_gate": (1, h),
     }
+    if cfg.model_type == "qwen3_next":
+        hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+        dk, dv_ = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+        r = hv // hk
+        cdim = 2 * hk * dk + hv * dv_
+        si = cfg.intermediate_size
+        shapes.update({
+            "q_proj": (hq * d * 2, h),  # fused [query; gate]
+            "la_qkvz": (hk * (2 * dk + 2 * r * dv_), h),
+            "la_ba": (hk * 2 * r, h),
+            "la_conv": (cdim, 1, cfg.linear_conv_kernel_dim),
+            "la_dt_bias": (hv,),
+            "la_a_log": (hv,),
+            "la_gate_norm_w": (dv_,),
+            "la_out_proj": (h, hv * dv_),
+        })
     if cfg.model_type.startswith("deepseek"):
         dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
         kvl, ql = cfg.kv_lora_rank, cfg.q_lora_rank
@@ -180,6 +215,20 @@ def write_fake_checkpoint(
             num_experts_per_tok=cfg.num_experts_per_tok,
             moe_intermediate_size=cfg.moe_intermediate_size,
             norm_topk_prob=cfg.moe_norm_topk_prob,
+        )
+        if cfg.num_shared_experts:
+            hf_cfg["shared_expert_intermediate_size"] = cfg.intermediate_size
+    if cfg.model_type == "qwen3_next":
+        hf_cfg.update(
+            layer_types=list(cfg.layer_types or ()),
+            partial_rotary_factor=cfg.partial_rotary_factor,
+            linear_num_key_heads=cfg.linear_num_key_heads,
+            linear_num_value_heads=cfg.linear_num_value_heads,
+            linear_key_head_dim=cfg.linear_key_head_dim,
+            linear_value_head_dim=cfg.linear_value_head_dim,
+            linear_conv_kernel_dim=cfg.linear_conv_kernel_dim,
+            decoder_sparse_step=1,
+            mlp_only_layers=[],
         )
     hf_cfg.update(extra_config or {})
     with open(os.path.join(path, "config.json"), "w") as f:

@@ -165,6 +165,96 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _qn_full_layers(cfg: ModelConfig) -> list:
+    return [i for i, t in enumerate(cfg.layer_types or ()) if t == "full_attention"]
+
+
+def _qn_linear_layers(cfg: ModelConfig) -> list:
+    return [i for i, t in enumerate(cfg.layer_types or ()) if t == "linear_attention"]
+
+
+def _qwen3_next_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """Qwen3-Next hybrid: gated-DeltaNet linear layers + gated full attention.
+    Reference name map: models_py/model_desc/qwen3_next.py; HF
+    modeling_qwen3_next. Full-attn weights stack over full_attention layers,
+    linear-attn weights over linear_attention layers (layers_fn)."""
+    L = "model.layers.{l}."
+    A = L + "self_attn."
+    X = L + "linear_attn."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        # full-attention layers (q_proj fused [query; gate]: out = Hq*2D)
+        WeightSpec("q_proj", A + "q_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_qn_full_layers),
+        WeightSpec("k_proj", A + "k_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_qn_full_layers),
+        WeightSpec("v_proj", A + "v_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_qn_full_layers),
+        WeightSpec("o_proj", A + "o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in", layers_fn=_qn_full_layers),
+        WeightSpec("q_norm", A + "q_norm.weight", per_layer=True,
+                   layers_fn=_qn_full_layers),
+        WeightSpec("k_norm", A + "k_norm.weight", per_layer=True,
+                   layers_fn=_qn_full_layers),
+        # linear-attention (gated DeltaNet) layers
+        WeightSpec("la_qkvz", X + "in_proj_qkvz.weight", per_layer=True,
+                   transpose=True, layers_fn=_qn_linear_layers),
+        WeightSpec("la_ba", X + "in_proj_ba.weight", per_layer=True,
+                   transpose=True, layers_fn=_qn_linear_layers),
+        WeightSpec("la_conv", X + "conv1d.weight", per_layer=True,
+                   layers_fn=_qn_linear_layers),
+        WeightSpec("la_dt_bias", X + "dt_bias", per_layer=True,
+                   layers_fn=_qn_linear_layers),
+        WeightSpec("la_a_log", X + "A_log", per_layer=True,
+                   layers_fn=_qn_linear_layers),
+        WeightSpec("la_gate_norm_w", X + "norm.weight", per_layer=True,
+                   layers_fn=_qn_linear_layers),
+        WeightSpec("la_out_proj", X + "out_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in", layers_fn=_qn_linear_layers),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                   shard_axis="out"),
+        # sparse MoE with shared expert (qwen2-moe style)
+        WeightSpec("router", L + "mlp.gate.weight", per_layer=True,
+                   transpose=True, layers_fn=_moe_layers),
+        WeightSpec("moe_gate", L + "mlp.experts.{e}.gate_proj.weight",
+                   per_layer=True, per_expert=True, transpose=True,
+                   shard_axis="expert", layers_fn=_moe_layers),
+        WeightSpec("moe_up", L + "mlp.experts.{e}.up_proj.weight",
+                   per_layer=True, per_expert=True, transpose=True,
+                   shard_axis="expert", layers_fn=_moe_layers),
+        WeightSpec("moe_down", L + "mlp.experts.{e}.down_proj.weight",
+                   per_layer=True, per_expert=True, transpose=True,
+                   shard_axis="expert", layers_fn=_moe_layers),
+        WeightSpec("shared_gate", L + "mlp.shared_expert.gate_proj.weight",
+                   per_layer=True, transpose=True, shard_axis="out",
+                   layers_fn=_moe_layers),
+        WeightSpec("shared_up", L + "mlp.shared_expert.up_proj.weight",
+                   per_layer=True, transpose=True, shard_axis="out",
+                   layers_fn=_moe_layers),
+        WeightSpec("shared_down", L + "mlp.shared_expert.down_proj.weight",
+                   per_layer=True, transpose=True, shard_axis="in",
+                   layers_fn=_moe_layers),
+        WeightSpec("shared_expert_gate", L + "mlp.shared_expert_gate.weight",
+                   per_layer=True, transpose=True, optional=True,
+                   layers_fn=_moe_layers),
+    ]
+    dense = _dense_layers(cfg)
+    if dense:
+        specs += [
+            WeightSpec("gate_proj", L + "mlp.gate_proj.weight", per_layer=True,
+                       transpose=True, shard_axis="out", layers_fn=_dense_layers),
+            WeightSpec("up_proj", L + "mlp.up_proj.weight", per_layer=True,
+                       transpose=True, shard_axis="out", layers_fn=_dense_layers),
+            WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                       transpose=True, shard_axis="in", layers_fn=_dense_layers),
+        ]
+    return specs
+
+
 def _dense_layers(cfg: ModelConfig) -> list:
     return [i for i in range(cfg.num_layers) if not cfg.is_moe_layer(i)]
 
@@ -386,6 +476,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3": _llama_family_specs,
     "qwen2_moe": _llama_family_specs,
     "qwen3_moe": _llama_family_specs,
+    "qwen3_next": _qwen3_next_specs,
     "deepseek_v2": _deepseek_specs,
     "deepseek_v3": _deepseek_specs,
     "bert": _bert_specs,

@@ -39,6 +39,9 @@ class ModelInputs(NamedTuple):
     q_offsets: jnp.ndarray
     # per-row LoRA adapter ids (0 = none); None when no adapters registered
     adapter_ids: Optional[jnp.ndarray] = None
+    # per-row linear-state slot ids for hybrid models (qwen3-next); None =>
+    # row index == slot (the decode program's layout)
+    state_slots: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:

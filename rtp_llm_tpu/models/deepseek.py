@@ -69,7 +69,8 @@ class DeepseekModel:
     def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
         return (self.cfg.num_layers, 1, num_blocks * block_size, self.lanes)
 
-    def init_cache(self, num_blocks: int, block_size: int, dtype=jnp.bfloat16):
+    def init_cache(self, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
+                   max_slots: int = 0):
         if jnp.dtype(dtype) == jnp.int8:
             raise NotImplementedError(
                 "int8 KV cache is not supported for MLA latent caches"

@@ -73,7 +73,8 @@ class LlamaFamilyModel:
                 c.num_kv_heads * c.head_dim)
 
     def init_cache(
-        self, num_blocks: int, block_size: int, dtype=jnp.bfloat16
+        self, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
+        max_slots: int = 0,
     ):
         self.block_size = block_size
         shape = self.cache_shape(num_blocks, block_size)

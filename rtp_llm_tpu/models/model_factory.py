@@ -34,6 +34,15 @@ for _mt in ("deepseek_v2", "deepseek_v3"):
     register_model(_mt, _make_deepseek)
 
 
+def _make_qwen3_next(cfg: ModelConfig):
+    from rtp_llm_tpu.models.qwen3_next import QwenNextModel
+
+    return QwenNextModel(cfg)
+
+
+register_model("qwen3_next", _make_qwen3_next)
+
+
 def _make_bert(cfg: ModelConfig):
     from rtp_llm_tpu.models.bert import BertModel
 

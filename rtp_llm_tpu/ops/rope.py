@@ -132,3 +132,15 @@ def apply_rope(
     x1, x2 = xf[..., :half], xf[..., half:]
     out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
     return out.astype(x.dtype)
+
+
+def apply_rope_partial_neox(
+    x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+    rotary_dim: int,
+) -> jnp.ndarray:
+    """Neox-style (half-split) rotation over only the first ``rotary_dim``
+    dims of the head; the rest passes through (qwen3-next: head_dim*0.25,
+    HF apply_rotary_pos_emb with rotary_dim = cos.shape[-1])."""
+    rot, rest = x[..., :rotary_dim], x[..., rotary_dim:]
+    rot = apply_rope(rot, positions, cos, sin)
+    return jnp.concatenate([rot, rest], axis=-1)

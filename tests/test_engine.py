@@ -36,7 +36,8 @@ class MockModel:
     def cache_shape(self, num_blocks, block_size):
         return (1, 2, num_blocks, block_size, 1, 1)
 
-    def init_cache(self, num_blocks, block_size, dtype=jnp.bfloat16):
+    def init_cache(self, num_blocks, block_size, dtype=jnp.bfloat16,
+                   max_slots=0):
         return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
 
     def forward(self, weights, cache, inputs: ModelInputs, need_all_logits=False):
