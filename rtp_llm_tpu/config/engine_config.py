@@ -123,6 +123,7 @@ class SpeculativeConfig:
 class ServerConfig:
     host: str = "0.0.0.0"
     port: int = 8088
+    grpc_port: int = 0  # 0 = gRPC plane off (reference: model_rpc service)
     model_path: str = ""
     model_type: Optional[str] = None
     tokenizer_path: Optional[str] = None

@@ -129,6 +129,11 @@ def serve(config: EngineConfig):
         pd_forwarder=pd_forwarder,
     )
     app = api.build_app()
+    grpc_srv = None
+    if config.server.grpc_port:
+        from rtp_llm_tpu.server.grpc_server import start_grpc_server
+
+        grpc_srv = start_grpc_server(runner, config.server.grpc_port)
     if config.server.role == "decode":
         from rtp_llm_tpu.frontend.pd_routes import DecodeRole
 
@@ -140,4 +145,6 @@ def serve(config: EngineConfig):
             print=None, access_log=None,
         )
     finally:
+        if grpc_srv is not None:
+            grpc_srv.stop(grace=2)
         runner.stop()
