@@ -191,26 +191,37 @@ class CheckpointLoader:
         from rtp_llm_tpu.quant.gptq_awq import awq_to_canonical, gptq_to_canonical
 
         method = self.cfg.quantization["method"]
-        vals, scales, zeros = [], [], []
+        vals, scales, zeros, perms = [], [], [], []
         for (_l, _e, name) in entries:
             base = name[: -len(".weight")]
             qw = np.asarray(src.get(base + ".qweight"))
             qz = np.asarray(src.get(base + ".qzeros"))
             sc = np.asarray(src.get(base + ".scales"))
+            perm = None
             if method == "gptq":
                 gi = None
                 try:
                     gi = np.asarray(src.get(base + ".g_idx"))
                 except KeyError:
                     pass
-                v, s, z = gptq_to_canonical(qw, qz, sc, gi)
+                v, s, z, perm = gptq_to_canonical(qw, qz, sc, gi)
             else:
                 v, s, z = awq_to_canonical(qw, qz, sc)
             vals.append(v)
             scales.append(s)
             zeros.append(z)
+            perms.append(perm)
         stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
-        return {"": stack(vals), ".scale": stack(scales), ".zero": stack(zeros)}
+        out = {"": stack(vals), ".scale": stack(scales), ".zero": stack(zeros)}
+        if any(p is not None for p in perms):
+            # act-order: identity perm for layers that happened to be monotonic
+            perms = [
+                p if p is not None
+                else np.arange(vals[i].shape[0], dtype=np.int32)
+                for i, p in enumerate(perms)
+            ]
+            out[".act_perm"] = stack(perms)
+        return out
 
     def _assemble(self, spec: WeightSpec, src: _TensorSource, entries) -> np.ndarray:
         def fetch(name: str) -> np.ndarray:

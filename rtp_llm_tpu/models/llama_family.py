@@ -155,8 +155,11 @@ class LlamaFamilyModel:
         W = w[name][i]
         s = w.get(name + ".scale")
         z = w.get(name + ".zero")
+        P = w.get(name + ".act_perm")
+        # GPTQ act-order: weight rows are group-sorted; gather x to match
+        xq = x if P is None else jnp.take(x, P[i], axis=-1)
         y = quantized_matmul(
-            x, W, None if s is None else s[i], None if z is None else z[i]
+            xq, W, None if s is None else s[i], None if z is None else z[i]
         )
         A = w.get(name + ".lora_a")
         if A is not None and aids is not None:

@@ -66,33 +66,32 @@ def dequant_reference(q, zeros, scales, group_size):
 
 
 def gptq_to_canonical(qweight, qzeros, scales, g_idx=None):
-    """Returns (values i8 [in, out], scale f32 [in/g, out], zero f32 [in/g, out]).
+    """Returns (values i8 [in, out], scale f32 [in/g, out], zero f32 [in/g, out],
+    act_perm i32 [in] | None).
 
     values hold raw 0..15 codes (stored as int8); dequant is (v - z) * s.
-    Supports act-order checkpoints by de-permuting rows back to natural order
-    when g_idx is a permutation of the monotonic grouping.
-    """
+    Act-order (desc_act) checkpoints: g_idx assigns each input row to a
+    group non-monotonically; rows are stable-sorted by group so the canonical
+    layout has contiguous groups, and ``act_perm`` records the input-feature
+    permutation the matmul must apply to x (y = x[:, perm] @ W_sorted —
+    the exllama-style reorder)."""
     q = unpack_gptq_qweight(np.ascontiguousarray(qweight))
     z = unpack_gptq_qzeros(np.ascontiguousarray(qzeros))
     s = np.asarray(scales, np.float32)
     k = q.shape[0]
     group_size = k // s.shape[0]
+    perm = None
     if g_idx is not None:
         g_idx = np.asarray(g_idx)
         natural = np.arange(k) // group_size
         if not np.array_equal(g_idx, natural):
-            # act-order: row i uses group g_idx[i]; sort rows by group so the
-            # canonical layout is monotonic, and remember the permutation is
-            # applied to the *input* dim => x must be permuted identically.
-            # We instead fold the permutation into the weight by stable-sort.
-            raise NotImplementedError(
-                "GPTQ act-order (desc_act=True) checkpoints are not supported yet"
-            )
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            q = q[perm]
     # many GPTQ writers store zeros offset by 1 (z+1); detect heuristic is
     # unreliable, so follow the AutoGPTQ convention (stored = z - 1 ... i.e.
     # true zero = stored + 1)
     z = z.astype(np.float32) + 1.0
-    return q.astype(np.int8), s, z
+    return q.astype(np.int8), s, z, perm
 
 
 def awq_to_canonical(qweight, qzeros, scales):

@@ -76,25 +76,44 @@ def test_asymmetric_matmul_matches_dequant():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
 
 
-def _quantize_and_pack(w, group_size, method):
-    """fp32 [out, in] HF-layout -> packed gptq/awq tensors dict + dequant [in, out]."""
+def _quantize_and_pack(w, group_size, method, act_order=False, seed=7):
+    """fp32 [out, in] HF-layout -> packed gptq/awq tensors dict + dequant [in, out].
+
+    act_order: scatter rows into groups by a random activation order and emit
+    a ``g_idx`` tensor (AutoGPTQ desc_act=True layout)."""
     wt = w.T  # [in, out]
     k, n = wt.shape
     g = k // group_size
-    wg = wt.reshape(g, group_size, n)
+    if act_order:
+        order = np.random.default_rng(seed).permutation(k)
+        g_idx = np.empty(k, np.int32)
+        g_idx[order] = np.arange(k, dtype=np.int32) // group_size
+        wg = wt[order].reshape(g, group_size, n)
+    else:
+        g_idx = None
+        wg = wt.reshape(g, group_size, n)
     wmin, wmax = wg.min(axis=1), wg.max(axis=1)
     s = ((wmax - wmin) / 15.0).clip(1e-8)
     z = np.clip(np.round(-wmin / s), 0, 15)
-    q = np.clip(
-        np.round(wg / s[:, None, :]) + z[:, None, :], 0, 15
-    ).astype(np.uint8).reshape(k, n)
-    deq = dequant_reference(q, z, s, group_size)
+    if act_order:
+        q = np.empty((k, n), np.uint8)
+        q[order] = np.clip(
+            np.round(wg / s[:, None, :]) + z[:, None, :], 0, 15
+        ).astype(np.uint8).reshape(k, n)
+        deq = (q.astype(np.float32) - z[g_idx]) * s[g_idx]
+    else:
+        q = np.clip(
+            np.round(wg / s[:, None, :]) + z[:, None, :], 0, 15
+        ).astype(np.uint8).reshape(k, n)
+        deq = dequant_reference(q, z, s, group_size)
     if method == "gptq":
         packed = {
             "qweight": pack_gptq_qweight(q),
             "qzeros": pack_gptq_qzeros(np.clip(z - 1, 0, 15).astype(np.uint8)),
             "scales": s.astype(np.float16),
         }
+        if g_idx is not None:
+            packed["g_idx"] = g_idx
     else:
         packed = {
             "qweight": pack_awq(q),
@@ -106,7 +125,7 @@ def _quantize_and_pack(w, group_size, method):
     return packed, deq
 
 
-@pytest.mark.parametrize("method", ["gptq", "awq"])
+@pytest.mark.parametrize("method", ["gptq", "gptq_act_order", "awq"])
 def test_packed_checkpoint_forward(tmp_path, method):
     """Write a fake GPTQ/AWQ checkpoint, load through the real loader, and
     compare the forward against the dense model built from the dequantized
@@ -132,9 +151,12 @@ def test_packed_checkpoint_forward(tmp_path, method):
                 and not spec.name.endswith("_bias"):
             for (_l, _e, name) in hf_names_for(spec, cfg.num_layers, 0):
                 quant_names.add(name)
+    act_order = method == "gptq_act_order"
+    method = "gptq" if act_order else method
     for name, w in st.items():
         if name in quant_names:
-            packed, deq = _quantize_and_pack(w, group_size, method)
+            packed, deq = _quantize_and_pack(w, group_size, method,
+                                             act_order=act_order)
             base = name[: -len(".weight")]
             for k2, v2 in packed.items():
                 new_st[f"{base}.{k2}"] = v2
@@ -148,6 +170,7 @@ def test_packed_checkpoint_forward(tmp_path, method):
         hf_cfg = json.load(f)
     hf_cfg["quantization_config"] = {
         "quant_method": method, "bits": 4, "group_size": group_size,
+        "desc_act": act_order,
     }
     with open(os.path.join(ckpt, "config.json"), "w") as f:
         json.dump(hf_cfg, f)
