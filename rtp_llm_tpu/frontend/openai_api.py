@@ -282,6 +282,23 @@ class OpenAIApp:
                     }
                 return f"data: {json.dumps(d, ensure_ascii=False)}\n\n".encode()
 
+            # incremental think/tool parsing for chat streams (reference:
+            # streaming reasoning/tool renderers, rtp_llm/openai/renderers/)
+            from rtp_llm_tpu.frontend.output_parsers import StreamingOutputParser
+
+            parser = StreamingOutputParser() if chat else None
+
+            async def emit_text(text):
+                if parser is None:
+                    if text:
+                        await resp.write(chunk({"content": text}))
+                    return
+                r, c = parser.push(text)
+                if r:
+                    await resp.write(chunk({"reasoning_content": r}))
+                if c:
+                    await resp.write(chunk({"content": c}))
+
             try:
                 if chat:
                     await resp.write(chunk({"role": "assistant", "content": ""}))
@@ -292,16 +309,28 @@ class OpenAIApp:
                     text, _hit = detok.push(out.new_tokens)
                     if out.finished:
                         text += detok.finalize()
-                        if text:
-                            await resp.write(chunk({"content": text}))
+                        await emit_text(text)
                         finish = (stream.finish_reason.value
                                   if stream.finish_reason else "stop")
+                        if parser is not None:
+                            r, c, tool_calls = parser.finalize()
+                            if r:
+                                await resp.write(chunk({"reasoning_content": r}))
+                            if c:
+                                await resp.write(chunk({"content": c}))
+                            if tool_calls:
+                                await resp.write(chunk({
+                                    "tool_calls": [
+                                        {**tc, "index": i}
+                                        for i, tc in enumerate(tool_calls)
+                                    ]
+                                }))
+                                finish = "tool_calls"
                         await resp.write(chunk({}, finish=finish))
                         await resp.write(b"data: [DONE]\n\n")
                         self._log_done(rid, route, stream, token_ids, t_start)
                         break
-                    if text:
-                        await resp.write(chunk({"content": text}))
+                    await emit_text(text)
             except (ConnectionResetError, asyncio.CancelledError):
                 stream.abort()  # client went away
                 raise

@@ -83,3 +83,77 @@ def parse_output(text: str, enable_thinking: bool = True,
     return ParsedOutput(
         content=text.strip(), reasoning_content=reasoning, tool_calls=tool_calls
     )
+
+
+class StreamingOutputParser:
+    """Incremental version of ``parse_output`` for SSE streaming.
+
+    Reference analog: the streaming think/tool renderers
+    (rtp_llm/openai/renderers/reasoning_tool_*): each text delta is split into
+    a ``reasoning_content`` delta and a ``content`` delta, with partial tags
+    held back until they can be classified; ``<tool_call>`` regions are
+    buffered whole and returned as parsed tool calls at finalize.
+    """
+
+    _TAGS = ("<think>", "</think>", "<tool_call>")
+
+    def __init__(self, enable_thinking: bool = True, enable_tools: bool = True):
+        self.enable_thinking = enable_thinking
+        self.enable_tools = enable_tools
+        self._mode = "content"  # content | think | tool
+        self._buf = ""          # undecided tail (possible partial tag)
+        self._tool_buf = ""     # everything from the first <tool_call> on
+
+    def _holdback(self, text: str) -> Tuple[str, str]:
+        """Split text into (emit, hold) where hold is the longest suffix that
+        could still grow into one of the tags."""
+        for n in range(min(len(text), 11), 0, -1):  # len("<tool_call>") == 11
+            tail = text[-n:]
+            if any(t.startswith(tail) for t in self._TAGS):
+                return text[:-n], text[-n:]
+        return text, ""
+
+    def push(self, delta: str) -> Tuple[str, str]:
+        """Returns (reasoning_delta, content_delta) ready to emit now."""
+        self._buf += delta
+        reasoning_out, content_out = [], []
+        while True:
+            if self._mode == "tool":
+                self._tool_buf += self._buf
+                self._buf = ""
+                break
+            tag = "</think>" if self._mode == "think" else "<think>"
+            sink = reasoning_out if self._mode == "think" else content_out
+            idx = self._buf.find(tag) if self.enable_thinking else -1
+            tool_idx = self._buf.find("<tool_call>") if self.enable_tools else -1
+            if tool_idx != -1 and (idx == -1 or tool_idx < idx) \
+                    and self._mode != "think":
+                sink.append(self._buf[:tool_idx])
+                self._tool_buf = self._buf[tool_idx:]
+                self._buf = ""
+                self._mode = "tool"
+                continue
+            if idx == -1:
+                emit, self._buf = self._holdback(self._buf)
+                sink.append(emit)
+                break
+            sink.append(self._buf[:idx])
+            self._buf = self._buf[idx + len(tag):]
+            self._mode = "content" if self._mode == "think" else "think"
+        return "".join(reasoning_out), "".join(content_out)
+
+    def finalize(self) -> Tuple[str, str, Optional[List[dict]]]:
+        """Flush held text. Returns (reasoning, content, tool_calls)."""
+        reasoning, content = "", ""
+        if self._buf:
+            if self._mode == "think":
+                reasoning = self._buf  # unclosed think: counts as reasoning
+            else:
+                content = self._buf
+            self._buf = ""
+        tool_calls = None
+        if self._tool_buf:
+            tool_calls, rest = parse_tool_calls(self._tool_buf)
+            content += rest
+            self._tool_buf = ""
+        return reasoning, content, tool_calls

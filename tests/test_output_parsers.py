@@ -68,3 +68,45 @@ def test_parse_output_combined():
     assert out.content == "Checking."
     assert out.tool_calls[0]["function"]["name"] == "w"
     assert out.finish_reason == "tool_calls"
+
+
+def test_streaming_parser_split_invariance():
+    """The streaming parser must produce identical results no matter where
+    the SSE deltas split the tags."""
+    from rtp_llm_tpu.frontend.output_parsers import StreamingOutputParser
+
+    def run(chunks):
+        p = StreamingOutputParser()
+        r_all, c_all = "", ""
+        for c in chunks:
+            r, c2 = p.push(c)
+            r_all += r
+            c_all += c2
+        fr, fc, tools = p.finalize()
+        return r_all + fr, c_all + fc, tools
+
+    text = "<think>I am thinking</think>Hello world"
+    for split in range(1, len(text)):
+        r, c, t = run([text[:split], text[split:]])
+        assert (r, c, t) == ("I am thinking", "Hello world", None), split
+
+    text = ('before <tool_call>{"name": "f", "arguments": {"x": 1}}'
+            "</tool_call> after")
+    for split in range(1, len(text)):
+        r, c, t = run([text[:split], text[split:]])
+        assert t and t[0]["function"]["name"] == "f", split
+        assert c.strip().startswith("before"), split
+
+    assert run(["<think>partial thought"])[0] == "partial thought"
+    r, c, t = run(["just ", "text < here"])
+    assert (r, c, t) == ("", "just text < here", None)
+
+
+def test_streaming_parser_multiple_tools():
+    from rtp_llm_tpu.frontend.output_parsers import StreamingOutputParser
+
+    p = StreamingOutputParser()
+    p.push('<tool_call>{"name": "a", "arguments": {}}</tool_call>')
+    p.push('<tool_call>{"name": "b", "arguments": {}}</tool_call>')
+    _, _, tools = p.finalize()
+    assert [t["function"]["name"] for t in tools] == ["a", "b"]
