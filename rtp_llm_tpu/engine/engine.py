@@ -179,6 +179,36 @@ class LlmEngine:
 
         self.device_lock = threading.Lock()
 
+    # ---- EPLB (parallel/eplb.py) ----
+
+    def apply_expert_balance(self, loads_by_layer, num_shards=None):
+        """Rebalance the most-loaded MoE layer's expert placement (reference:
+        ExpertBalancer::stepForward, cpp/models/eplb/ExpertBalancer.h:90).
+        loads_by_layer: {stack_layer_pos: np[E] token counts}. The permutation
+        relabels experts (outputs unchanged); the weight swap retraces the
+        step programs on next use."""
+        from rtp_llm_tpu.parallel import eplb
+
+        if num_shards is None:
+            num_shards = (self.mesh.shape.get("tp", 1)
+                          if self.mesh is not None else 1)
+        if num_shards <= 1 and len(loads_by_layer or {}) == 0:
+            return None
+        layer = eplb.pick_layer(loads_by_layer, max(num_shards, 1))
+        load = loads_by_layer[layer]
+        perm = eplb.balance_plan(load, max(num_shards, 1))
+        before = eplb.imbalance(load, max(num_shards, 1))
+        after = eplb.imbalance(load, max(num_shards, 1), perm)
+        with self.device_lock:
+            self.weights = eplb.apply_layer_permutation(
+                self.weights, layer, perm
+            )
+        from rtp_llm_tpu.utils.metrics import METRICS
+
+        METRICS.inc("engine.eplb_rebalances")
+        return {"layer": layer, "imbalance_before": before,
+                "imbalance_after": after, "perm": perm.tolist()}
+
     # ---- dynamic LoRA ----
 
     def set_lora_manager(self, manager):

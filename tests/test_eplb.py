@@ -1,0 +1,54 @@
+"""EPLB: expert permutation balancing (reference: ExpertBalancer +
+rtp_llm/eplb/ep_balancer.py)."""
+
+import numpy as np
+
+from rtp_llm_tpu.parallel import eplb
+
+
+def test_balance_plan_spreads_hot_experts():
+    load = np.array([100, 90, 1, 1, 1, 1, 1, 1], np.float64)
+    perm = eplb.balance_plan(load, num_shards=2)
+    assert sorted(perm.tolist()) == list(range(8))
+    assert eplb.imbalance(load, 2, perm) < eplb.imbalance(load, 2)
+    # the two hot experts land on different shards
+    pos = {int(e): i for i, e in enumerate(perm)}
+    assert (pos[0] < 4) != (pos[1] < 4)
+
+
+def test_apply_permutation_preserves_outputs(tmp_path):
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2_moe")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False,
+                                ignore_eos=True)
+    prompt = [1, 5, 9, 42, 7]
+    before = eng.generate(prompt, gc()).output_token_ids
+
+    plan = eng.apply_expert_balance(
+        {0: np.array([50, 1, 40, 2]), 1: np.array([10, 10, 10, 10])},
+        num_shards=2,
+    )
+    assert plan["layer"] == 0
+    assert plan["imbalance_after"] <= plan["imbalance_before"]
+    after = eng.generate(prompt, gc()).output_token_ids
+    assert after == before  # relabeling must not change outputs
