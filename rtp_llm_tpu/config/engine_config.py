@@ -91,6 +91,12 @@ class SchedulerConfig:
     watermark_frac: float = 0.01
     # chunked prefill chunk size (0 = disabled, whole-prompt prefill)
     prefill_chunk_size: int = 0
+    # PD-fusion ratio control (reference: PDFusionRatioScheduler): in the
+    # fused role, admit at most max_prefills_per_step new streams per engine
+    # step and run >= decode_steps_per_prefill decode-only steps between
+    # prefill rounds. 0 = unlimited / no spacing.
+    max_prefills_per_step: int = 0
+    decode_steps_per_prefill: int = 0
     # pipeline decode steps: dispatch step N+1 before reading back step N's
     # tokens (reference analog: the C++ engine's async execution; hides host
     # scheduling + readback latency under device compute). Streams observe

@@ -39,6 +39,9 @@ class FIFOScheduler:
         self.min_batch = min_batch
         self.waiting: Deque[GenerateStream] = deque()
         self.running: List[GenerateStream] = []
+        # PD-fusion ratio control (reference: PDFusionRatioScheduler):
+        # decode-only steps executed since the last prefill round
+        self._steps_since_prefill = 0
 
     # ---- enqueue / cancel ----
 
@@ -72,10 +75,20 @@ class FIFOScheduler:
         if self.min_batch and len(self.waiting) + len(self.running) < self.min_batch:
             return ScheduleResult([], self.running)
 
+        # ratio control: space prefill rounds apart while decodes are running
+        spacing = self.config.decode_steps_per_prefill
+        if (spacing and self.running
+                and self._steps_since_prefill < spacing):
+            self._steps_since_prefill += 1
+            return ScheduleResult([], self.running)
+
         watermark = max(
             1, int(self.cache.pool.num_blocks * self.config.watermark_frac)
         )
+        cap = self.config.max_prefills_per_step
         while self.waiting:
+            if cap and len(new_streams) >= cap:
+                break
             if len(self.running) + len(new_streams) >= self.config.max_batch_size:
                 break
             s = self.waiting[0]
@@ -98,6 +111,10 @@ class FIFOScheduler:
             s.state = StreamState.RUNNING
             new_streams.append(s)
 
+        if new_streams:
+            self._steps_since_prefill = 0
+        else:
+            self._steps_since_prefill += 1
         self.running.extend(new_streams)
         return ScheduleResult(new_streams, self.running)
 

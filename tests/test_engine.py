@@ -268,3 +268,28 @@ def test_think_mode_budget_forces_end_token():
     if idx + 1 < len(out):
         assert out[idx + 1] == mock_next(end)
     assert out.count(end) == 1  # forced exactly once
+
+
+def test_pd_fusion_ratio_scheduler():
+    """PDFusionRatioScheduler analog: prefill admissions are capped per step
+    and spaced by decode-only steps."""
+    from rtp_llm_tpu.engine.scheduler import FIFOScheduler
+    from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+    from rtp_llm_tpu.engine.stream import GenerateStream
+
+    sc = SchedulerConfig(max_batch_size=8, max_seq_len=64,
+                         prefill_buckets=(16,),
+                         max_prefills_per_step=1,
+                         decode_steps_per_prefill=2)
+    sched = FIFOScheduler(sc, KVCacheManager(64, 4))
+    gc = GenerateConfig(max_new_tokens=4, ignore_eos=True)
+    for _ in range(3):
+        sched.enqueue(GenerateStream([1, 2, 3], gc))
+
+    r1 = sched.schedule()
+    assert len(r1.new_streams) == 1  # capped at 1 per step
+    r2 = sched.schedule()
+    r3 = sched.schedule()
+    assert not r2.new_streams and not r3.new_streams  # spacing: 2 decode steps
+    r4 = sched.schedule()
+    assert len(r4.new_streams) == 1
