@@ -83,6 +83,7 @@ class ModelConfig:
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
     rope_interleave: bool = False
+    num_nextn_predict_layers: int = 0  # deepseek MTP module depth
     # dtypes
     dtype: str = "bfloat16"
     # pre-quantized checkpoint info (HF quantization_config: gptq/awq)
@@ -187,6 +188,8 @@ class ModelConfig:
             cfg.v_head_dim = hf.get("v_head_dim", 128)
             cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
             cfg.rope_interleave = hf.get("rope_interleave", True)
+            cfg.num_nextn_predict_layers = hf.get(
+                "num_nextn_predict_layers", 0) or 0
             cfg.num_experts = hf.get("n_routed_experts", 0) or 0
             cfg.num_experts_per_tok = hf.get("num_experts_per_tok", 8)
             cfg.moe_intermediate_size = hf.get("moe_intermediate_size", 0)

@@ -131,6 +131,7 @@ class LlmEngine:
             static_argnums=(3,),  # need_sampling
         )
         self._prefill_jits = {}  # bucket_t -> fn
+        self._prefill_hidden_jits = {}  # bucket_t -> fn (MTP prefill)
         self._insert_jit = jax.jit(ds.insert_slot, donate_argnums=(0,))
         self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
         self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
@@ -140,7 +141,18 @@ class LlmEngine:
             self._first_sample_impl, static_argnums=(4,)
         )
         self.spec = config.speculative
-        self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2))
+        self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2),
+                                   static_argnums=(4,))
+        self.mtp = None
+        if self.spec.method == "mtp" and "mtp_eh_proj" in weights:
+            # deepseek MTP module shipped in the target checkpoint
+            from rtp_llm_tpu.engine.mtp import MtpRunner
+
+            self.mtp = MtpRunner(
+                model, weights, num_blocks, cc.block_size,
+                sc.prefill_buckets, self.max_blocks_per_seq,
+                sc.max_batch_size,
+            )
         self.draft = None
         if draft is not None:
             from rtp_llm_tpu.engine.draft import DraftRunner
@@ -288,7 +300,8 @@ class LlmEngine:
         )
         return kv, state, tokens, logprobs
 
-    def _verify_impl(self, weights, kv, state: ds.DecodeState, drafts):
+    def _verify_impl(self, weights, kv, state: ds.DecodeState, drafts,
+                     return_hidden=False):
         """Speculative verify step: T = K+1 forward over [last_token, drafts],
         greedy acceptance of the matching draft prefix. Penalties/eos-ban use
         pre-step statistics broadcast over the window (one-step approximation,
@@ -307,7 +320,9 @@ class LlmEngine:
             q_offsets=state.kv_lens,
             adapter_ids=state.adapter_ids,
         )
-        out, kv = self.model.forward(weights, kv, inputs, need_all_logits=True)
+        out, kv = self.model.forward(weights, kv, inputs,
+                                     need_all_logits=True,
+                                     need_all_hidden=return_hidden)
         logits = out.all_logits  # [B, T, V] f32
 
         from rtp_llm_tpu.ops.sampling import NEG_INF, apply_penalties
@@ -336,6 +351,11 @@ class LlmEngine:
             kv_lens=jnp.where(active, state.kv_lens + n_new, 0),
             output_counts=new_counts,
         )
+        if return_hidden:
+            # pre-final-norm hidden at each row's accepted position — the MTP
+            # proposer chains from it (engine/mtp.py)
+            hid = out.all_hidden[rows, jnp.clip(n_new - 1, 0, t - 1)]
+            return kv, state, g, n_new, hid
         return kv, state, g, n_new
 
     def _prefill_impl(self, weights, kv, tokens, positions, block_tables,
@@ -366,6 +386,23 @@ class LlmEngine:
             need_sampling=need_sampling, ban_tokens=ban_tokens,
         )
         return tokens, logprobs, rng
+
+    def _prefill_hidden_impl(self, weights, kv, tokens, positions,
+                             block_tables, kv_lens, q_offsets,
+                             adapter_ids=None):
+        inputs = ModelInputs(
+            tokens=tokens, positions=positions, block_tables=block_tables,
+            kv_lens=kv_lens, q_offsets=q_offsets, adapter_ids=adapter_ids,
+        )
+        out, kv = self.model.forward(weights, kv, inputs, need_all_hidden=True)
+        return kv, out.logits, out.all_hidden
+
+    def _get_prefill_hidden_fn(self, bucket: int):
+        fn = self._prefill_hidden_jits.get(bucket)
+        if fn is None:
+            fn = jax.jit(self._prefill_hidden_impl, donate_argnums=(1,))
+            self._prefill_hidden_jits[bucket] = fn
+        return fn
 
     def _get_prefill_fn(self, bucket: int):
         fn = self._prefill_jits.get(bucket)
@@ -616,6 +653,7 @@ class LlmEngine:
 
         max_bucket = self.config.scheduler.prefill_buckets[-1]
         logits = None
+        mtp_chunks = [] if self.mtp is not None else None
         pos = r
         while pos < p:
             chunk = prompt[pos : pos + max_bucket]
@@ -625,21 +663,29 @@ class LlmEngine:
             toks[0, :t_real] = chunk
             positions = np.zeros((1, bucket), np.int32)
             positions[0, :t_real] = np.arange(pos, pos + t_real)
-            fn = self._get_prefill_fn(bucket)
             aid = self._adapter_id_for(stream)
             extra = ()
             if state_slot is not None:
                 extra = (jnp.asarray([state_slot], np.int32),)
-            self.kv, logits = fn(
+            args = (
                 self.weights, self.kv,
                 jnp.asarray(toks), jnp.asarray(positions),
                 block_row_j[None, :],
                 jnp.asarray([pos + t_real], np.int32),
                 jnp.asarray([pos], np.int32),
                 jnp.asarray([aid], np.int32),
-                *extra,
             )
+            if mtp_chunks is not None:
+                self.kv, logits, hid = self._get_prefill_hidden_fn(bucket)(*args)
+                mtp_chunks.append((pos, hid))
+            else:
+                self.kv, logits = self._get_prefill_fn(bucket)(*args, *extra)
             pos += t_real
+        if mtp_chunks is not None:
+            self.mtp.prefill(prompt, mtp_chunks, block_row)
+            # pre-norm hidden of the final prompt position seeds the rollout
+            lpos, lhid = mtp_chunks[-1]
+            self._mtp_seed_hidden = lhid[0, (p - 1) - lpos]
         return logits
 
     PREFILL_PACK = 4  # padded batch size for packed prefill calls
@@ -650,7 +696,9 @@ class LlmEngine:
         whose non-reused prompt exceeds the largest bucket fall back to the
         chunked single-stream path."""
         max_bucket = self.config.scheduler.prefill_buckets[-1]
-        if self.is_hybrid:
+        if self.is_hybrid or self.mtp is not None:
+            # per-slot state (hybrid) / per-stream hidden seeding (MTP):
+            # single-stream prefill path only
             for s in streams:
                 self._run_prefill(s)
             return
@@ -829,6 +877,8 @@ class LlmEngine:
 
         if self.draft is not None:
             self.draft.prefill(prompt, block_row)
+        if self.mtp is not None:
+            self.mtp.set_slot_hidden(slot, self._mtp_seed_hidden)
         finished = stream.append_token(
             token, self.eos_ids, logprob,
             max_seq_len=self.config.scheduler.max_seq_len,
@@ -1046,7 +1096,10 @@ class LlmEngine:
         from rtp_llm_tpu.utils.metrics import METRICS, timed
 
         k = self.spec.draft_tokens
-        if self.draft is not None:
+        if self.mtp is not None:
+            with timed("engine.spec_propose_ms"):
+                drafts_dev = self.mtp.propose(self.state, k)
+        elif self.draft is not None:
             with timed("engine.spec_propose_ms"):
                 drafts_dev = self.draft.propose(self.state, k)
         else:
@@ -1059,9 +1112,15 @@ class LlmEngine:
                 )
             drafts_dev = jnp.asarray(drafts)
         with timed("engine.spec_verify_ms"):
-            self.kv, self.state, g, n_new = self._verify_jit(
-                self.weights, self.kv, self.state, drafts_dev
-            )
+            if self.mtp is not None:
+                (self.kv, self.state, g, n_new, hid) = self._verify_jit(
+                    self.weights, self.kv, self.state, drafts_dev, True
+                )
+                self.mtp.update_hidden(hid, self.state.kv_lens > 0)
+            else:
+                self.kv, self.state, g, n_new = self._verify_jit(
+                    self.weights, self.kv, self.state, drafts_dev, False
+                )
             g_h = np.asarray(g)
             n_h = np.asarray(n_new)
         total = int(n_h.sum())
@@ -1240,7 +1299,7 @@ class LlmEngine:
             if self.spec.enabled:
                 self.kv, self.state, _, _ = self._verify_jit(
                     self.weights, self.kv, self.state,
-                    jnp.zeros((b, self.spec.draft_tokens), jnp.int32),
+                    jnp.zeros((b, self.spec.draft_tokens), jnp.int32), False,
                 )
                 if self.draft is not None:
                     for bucket in self.config.scheduler.prefill_buckets:

@@ -149,6 +149,13 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
             "shared_up": (si, h),
             "shared_down": (h, si),
         })
+        shapes.update({
+            "mtp_enorm": (h,), "mtp_hnorm": (h,), "mtp_eh_proj": (h, 2 * h),
+            "mtp_head_norm": (h,), "mtp_head": (v, h),
+        })
+        for name in list(shapes):
+            if not name.startswith("mtp_") and "mtp_" + name not in shapes:
+                shapes["mtp_" + name] = shapes[name]
     return shapes[spec_name]
 
 
@@ -207,6 +214,7 @@ def write_fake_checkpoint(
             n_group=cfg.moe_n_group,
             topk_group=cfg.moe_topk_group,
             routed_scaling_factor=cfg.moe_routed_scaling_factor,
+            num_nextn_predict_layers=cfg.num_nextn_predict_layers,
         )
         hf_cfg.pop("head_dim", None)
     elif cfg.num_experts:

@@ -341,6 +341,13 @@ def _deepseek_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _deepseek_with_mtp_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    specs = _deepseek_specs(cfg)
+    if getattr(cfg, "num_nextn_predict_layers", 0) > 0:
+        specs += _deepseek_mtp_specs(cfg)
+    return specs
+
+
 def _bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
     """HF bert-base naming (reference: bert embedding family weight maps)."""
     L = "encoder.layer.{l}."
@@ -373,6 +380,39 @@ def _bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
         WeightSpec("pooler", "pooler.dense.weight", transpose=True, optional=True),
         WeightSpec("pooler_bias", "pooler.dense.bias", optional=True),
     ]
+
+
+def _mtp_layers(cfg: ModelConfig) -> list:
+    return [cfg.num_layers]  # HF stores MTP as layer index num_hidden_layers
+
+
+def _deepseek_mtp_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """DeepSeek MTP (multi-token prediction) module: an extra MLA+MoE layer at
+    HF layer index ``num_hidden_layers`` plus the embed/hidden combiner and a
+    shared output head (reference: MTP weight plan, RtpLLMOp.cc:26-98; W.h
+    MTP names). Canonical names carry an ``mtp_`` prefix; all optional so
+    non-MTP checkpoints load unchanged."""
+    M = "model.layers.{l}."
+    specs = [
+        WeightSpec("mtp_enorm", M + "enorm.weight", per_layer=True,
+                   optional=True, layers_fn=_mtp_layers),
+        WeightSpec("mtp_hnorm", M + "hnorm.weight", per_layer=True,
+                   optional=True, layers_fn=_mtp_layers),
+        WeightSpec("mtp_eh_proj", M + "eh_proj.weight", per_layer=True,
+                   transpose=True, optional=True, layers_fn=_mtp_layers),
+        WeightSpec("mtp_head_norm", M + "shared_head.norm.weight",
+                   per_layer=True, optional=True, layers_fn=_mtp_layers),
+        WeightSpec("mtp_head", M + "shared_head.head.weight", per_layer=True,
+                   transpose=True, optional=True, layers_fn=_mtp_layers),
+    ]
+    for spec in _deepseek_specs(cfg):
+        if not spec.per_layer:
+            continue
+        specs.append(dataclasses.replace(
+            spec, name="mtp_" + spec.name, optional=True,
+            layers_fn=_mtp_layers,
+        ))
+    return specs
 
 
 def _phi3_specs(cfg: ModelConfig) -> list[WeightSpec]:
@@ -477,8 +517,8 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen2_moe": _llama_family_specs,
     "qwen3_moe": _llama_family_specs,
     "qwen3_next": _qwen3_next_specs,
-    "deepseek_v2": _deepseek_specs,
-    "deepseek_v3": _deepseek_specs,
+    "deepseek_v2": _deepseek_with_mtp_specs,
+    "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
 }
 

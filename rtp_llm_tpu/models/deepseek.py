@@ -112,6 +112,7 @@ class DeepseekModel:
         for i in range(cfg.num_layers):
             x, cache = self._layer(weights, cache, i, x, inputs, slots)
 
+        pre_norm = x  # MTP chains the PRE-final-norm hidden (hnorm input)
         x = rms_norm(x, weights["final_norm"], cfg.rms_norm_eps)
         lm_head = (weights["embed_tokens"].T if cfg.tie_word_embeddings
                    else weights["lm_head"])
@@ -121,10 +122,11 @@ class DeepseekModel:
         all_logits = (x @ lm_head).astype(jnp.float32) if need_all_logits else None
         return ModelOutputs(
             logits=logits, hidden=hidden_last, all_logits=all_logits,
-            all_hidden=x if need_all_hidden else None,
+            all_hidden=pre_norm if need_all_hidden else None,
         ), cache
 
-    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
+    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots,
+               force_moe=None):
         cfg = self.cfg
         b, t, h = x.shape
         hq = cfg.num_attention_heads
@@ -198,8 +200,12 @@ class DeepseekModel:
 
         res = x
         x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
-        p = self._stack_pos(i)
-        if cfg.is_moe_layer(i):
+        if force_moe is None:
+            p = self._stack_pos(i)
+            is_moe = cfg.is_moe_layer(i)
+        else:
+            p, is_moe = 0, force_moe  # MTP module view (engine/mtp.py)
+        if is_moe:
             x = self._moe_mlp(w, p, x)
         else:
             x = self._dense_mlp(w, p, x)
