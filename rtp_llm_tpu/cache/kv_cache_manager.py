@@ -109,13 +109,16 @@ class KVCacheManager:
             return
         self.host_tier.put(h, self.evict_hook(block))
 
-    def allocate(self, token_ids: list[int]) -> BlockAllocation | None:
+    def allocate(self, token_ids: list[int],
+                 allow_reuse: bool = True) -> BlockAllocation | None:
         """Allocate blocks for a new request of len(token_ids) prompt tokens,
         reusing cached prefix blocks where possible. Returns None if the pool
-        (after eviction) cannot cover it; caller keeps the request WAITING."""
+        (after eviction) cannot cover it; caller keeps the request WAITING.
+        allow_reuse=False bypasses prefix matching (multimodal streams: token
+        ids alone don't identify the KV content)."""
         need_total = self.blocks_for_tokens(len(token_ids))
         reused: list[int] = []
-        if self.prefix_cache is not None:
+        if allow_reuse and self.prefix_cache is not None:
             reused = self.prefix_cache.match(token_ids, self.block_size)
             reused = reused[:need_total]
         fresh = self._malloc(need_total - len(reused))
@@ -125,7 +128,7 @@ class KVCacheManager:
         alloc = BlockAllocation(
             blocks=reused + fresh, reuse_len=len(reused) * self.block_size
         )
-        if self.host_tier is not None and fresh:
+        if allow_reuse and self.host_tier is not None and fresh:
             # extend the device prefix hit with host-tier hits: consecutive
             # chain hashes past the device match restore into fresh blocks
             from rtp_llm_tpu.cache.prefix_cache import chain_hashes

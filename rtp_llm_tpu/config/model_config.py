@@ -84,6 +84,13 @@ class ModelConfig:
     v_head_dim: int = 0
     rope_interleave: bool = False
     num_nextn_predict_layers: int = 0  # deepseek MTP module depth
+    # multimodal (qwen2-vl): MRoPE sections + vision token ids + raw vision
+    # tower config (consumed by multimodal/vit.py)
+    mrope_section: Optional[tuple] = None
+    image_token_id: int = 0
+    video_token_id: int = 0
+    vision_start_token_id: int = 0
+    vision_config: Optional[dict] = None
     # dtypes
     dtype: str = "bfloat16"
     # pre-quantized checkpoint info (HF quantization_config: gptq/awq)
@@ -204,6 +211,15 @@ class ModelConfig:
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
             cfg.moe_router_bias = mt == "deepseek_v3"
+        if mt == "qwen2_vl":
+            cfg.attention_bias = True
+            rs = hf.get("rope_scaling") or {}
+            cfg.mrope_section = tuple(rs.get("mrope_section") or ())
+            cfg.rope_scaling = None  # mrope handled by the model, not tables
+            cfg.image_token_id = hf.get("image_token_id", 151655)
+            cfg.video_token_id = hf.get("video_token_id", 151656)
+            cfg.vision_start_token_id = hf.get("vision_start_token_id", 151652)
+            cfg.vision_config = hf.get("vision_config")
         if mt == "qwen3_next":
             cfg.use_qk_norm = True
             cfg.norm_unit_offset = True  # zero-centered (1+w) RMSNorms

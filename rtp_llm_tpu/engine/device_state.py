@@ -29,6 +29,7 @@ class DecodeState(NamedTuple):
     params: SamplingParams  # [B] each
     adapter_ids: jnp.ndarray  # [B] i32 — LoRA adapter per slot (0 = none)
     forced_tokens: jnp.ndarray  # [B] i32 — next-token override (-1 = none)
+    pos_deltas: jnp.ndarray  # [B] i32 — rope position offset (MRoPE delta)
     rng: jax.Array
 
     @staticmethod
@@ -42,6 +43,7 @@ class DecodeState(NamedTuple):
             params=SamplingParams.zeros(batch),
             adapter_ids=jnp.zeros((batch,), jnp.int32),
             forced_tokens=jnp.full((batch,), -1, jnp.int32),
+            pos_deltas=jnp.zeros((batch,), jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -69,7 +71,7 @@ def insert_slot(
     prompt_mask_row: jnp.ndarray,  # [V] bool
     temperature, top_k, top_p, do_sample,
     repetition_penalty, presence_penalty, frequency_penalty, ban_eos,
-    adapter_id=0,
+    adapter_id=0, pos_delta=0,
 ) -> DecodeState:
     """Write one slot's state (jitted with donated state)."""
     p = state.params
@@ -92,6 +94,7 @@ def insert_slot(
         ),
         adapter_ids=state.adapter_ids.at[slot].set(adapter_id),
         forced_tokens=state.forced_tokens.at[slot].set(-1),
+        pos_deltas=state.pos_deltas.at[slot].set(pos_delta),
         rng=state.rng,
     )
 

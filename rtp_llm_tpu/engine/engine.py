@@ -132,6 +132,7 @@ class LlmEngine:
         )
         self._prefill_jits = {}  # bucket_t -> fn
         self._prefill_hidden_jits = {}  # bucket_t -> fn (MTP prefill)
+        self._prefill_mm_jits = {}  # bucket_t -> fn (multimodal prefill)
         self._insert_jit = jax.jit(ds.insert_slot, donate_argnums=(0,))
         self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
         self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
@@ -281,6 +282,7 @@ class LlmEngine:
             kv_lens=kv_lens_new,
             q_offsets=state.kv_lens,
             adapter_ids=state.adapter_ids,
+            pos_deltas=state.pos_deltas,
         )
         out, kv = self.model.forward(weights, kv, inputs)
         rng, key = jax.random.split(state.rng)
@@ -319,6 +321,7 @@ class LlmEngine:
             kv_lens=jnp.where(active, state.kv_lens + t, 0),
             q_offsets=state.kv_lens,
             adapter_ids=state.adapter_ids,
+            pos_deltas=state.pos_deltas,
         )
         out, kv = self.model.forward(weights, kv, inputs,
                                      need_all_logits=True,
@@ -386,6 +389,25 @@ class LlmEngine:
             need_sampling=need_sampling, ban_tokens=ban_tokens,
         )
         return tokens, logprobs, rng
+
+    def _prefill_mm_impl(self, weights, kv, tokens, positions, block_tables,
+                         kv_lens, q_offsets, mrope_positions, mm_embeds,
+                         mm_mask):
+        inputs = ModelInputs(
+            tokens=tokens, positions=positions, block_tables=block_tables,
+            kv_lens=kv_lens, q_offsets=q_offsets,
+            mrope_positions=mrope_positions, mm_embeds=mm_embeds,
+            mm_mask=mm_mask,
+        )
+        out, kv = self.model.forward(weights, kv, inputs)
+        return kv, out.logits
+
+    def _get_prefill_mm_fn(self, bucket: int):
+        fn = self._prefill_mm_jits.get(bucket)
+        if fn is None:
+            fn = jax.jit(self._prefill_mm_impl, donate_argnums=(1,))
+            self._prefill_mm_jits[bucket] = fn
+        return fn
 
     def _prefill_hidden_impl(self, weights, kv, tokens, positions,
                              block_tables, kv_lens, q_offsets,
@@ -667,6 +689,25 @@ class LlmEngine:
             extra = ()
             if state_slot is not None:
                 extra = (jnp.asarray([state_slot], np.int32),)
+            if stream.mm is not None:
+                mm = stream.mm
+                h = self.model.cfg.hidden_size
+                m3 = np.zeros((1, 3, bucket), np.int32)
+                m3[0, :, :t_real] = mm.positions3[:, pos : pos + t_real]
+                emb = np.zeros((1, bucket, h), np.float32)
+                emb[0, :t_real] = mm.embeds[pos : pos + t_real]
+                msk = np.zeros((1, bucket), bool)
+                msk[0, :t_real] = mm.mask[pos : pos + t_real]
+                self.kv, logits = self._get_prefill_mm_fn(bucket)(
+                    self.weights, self.kv,
+                    jnp.asarray(toks), jnp.asarray(positions),
+                    block_row_j[None, :],
+                    jnp.asarray([pos + t_real], np.int32),
+                    jnp.asarray([pos], np.int32),
+                    jnp.asarray(m3), jnp.asarray(emb), jnp.asarray(msk),
+                )
+                pos += t_real
+                continue
             args = (
                 self.weights, self.kv,
                 jnp.asarray(toks), jnp.asarray(positions),
@@ -705,7 +746,7 @@ class LlmEngine:
         packable, chunked = [], []
         for s in streams:
             (packable if s.prompt_len - s.reuse_len <= max_bucket
-             else chunked).append(s)
+             and s.mm is None else chunked).append(s)
         for s in chunked:
             self._run_prefill(s)
         if len(packable) == 1:
@@ -873,6 +914,7 @@ class LlmEngine:
             prow["repetition_penalty"], prow["presence_penalty"],
             prow["frequency_penalty"], prow["ban_eos"],
             np.int32(self._adapter_id_for(stream)),
+            np.int32(stream.mm.delta if stream.mm is not None else 0),
         )
 
         if self.draft is not None:
@@ -1341,14 +1383,21 @@ class LlmEngine:
         prompt_token_ids: List[int],
         config: Optional[GenerateConfig] = None,
         stop_token_sequences: Optional[List[List[int]]] = None,
+        mm=None,
     ) -> GenerateStream:
-        """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36)."""
+        """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36).
+        mm: optional MMInputs (multimodal/processor.py) with vision
+        embeddings + MRoPE positions."""
         if self.is_hybrid and config is not None and config.num_beams > 1:
             raise ValueError("beam search is not supported for hybrid "
                              "linear-attention models")
+        if mm is not None and config is not None and config.num_beams > 1:
+            raise ValueError("beam search with multimodal inputs is not "
+                             "supported")
         stream = GenerateStream(
             prompt_token_ids, config, stop_token_sequences=stop_token_sequences
         )
+        stream.mm = mm
         self.scheduler.enqueue(stream)
         return stream
 
@@ -1360,9 +1409,10 @@ class LlmEngine:
         prompt_token_ids: List[int],
         config: Optional[GenerateConfig] = None,
         max_steps: int = 100_000,
+        mm=None,
     ) -> GenerateStream:
         """Synchronous convenience: enqueue + step to completion."""
-        stream = self.enqueue(prompt_token_ids, config)
+        stream = self.enqueue(prompt_token_ids, config, mm=mm)
         steps = 0
         while not stream.is_finished() and steps < max_steps:
             self.step()

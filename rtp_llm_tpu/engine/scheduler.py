@@ -102,7 +102,8 @@ class FIFOScheduler:
             ) * max(1, s.config.num_beams)  # beams fork the KV footprint
             if need + watermark > self.cache.free_blocks:
                 break  # strict FIFO: do not skip ahead (reference behavior)
-            alloc = self.cache.allocate(s.all_token_ids)
+            alloc = self.cache.allocate(s.all_token_ids,
+                                        allow_reuse=s.mm is None)
             if alloc is None:
                 break
             self.waiting.popleft()
@@ -139,5 +140,8 @@ class FIFOScheduler:
     def release(self, stream: GenerateStream):
         """Free a finished stream's blocks (offering them to the prefix cache)."""
         if stream.alloc is not None:
-            self.cache.free(stream.alloc, token_ids=stream.all_token_ids)
+            self.cache.free(
+                stream.alloc,
+                token_ids=stream.all_token_ids if stream.mm is None else None,
+            )
             stream.alloc = None

@@ -78,6 +78,7 @@ class GenerateStream:
         self.alloc: Optional[BlockAllocation] = None
         self.slot: int = -1  # decode batch slot, -1 = none
         self.reuse_len: int = 0
+        self.mm = None  # MMInputs payload (multimodal/processor.py)
         # think-mode budget tracking (reference: ThinkModeLogitsProcessor)
         self.thinking = False
         self.think_tokens = 0

@@ -91,19 +91,48 @@ class _TensorSource:
                 for k, v in sd.items():
                     self._torch_state[k] = v
 
+    # legacy-name aliases: pre-4.52 VL checkpoints store the text stack at
+    # ``model.*`` and the tower at ``visual.*``
+    _ALIAS_PREFIXES = (
+        ("model.language_model.", "model."),
+        ("model.visual.", "visual."),
+    )
+
+    def _resolve(self, name: str, known) -> str:
+        if name in known:
+            return name
+        for new, old in self._ALIAS_PREFIXES:
+            if name.startswith(new):
+                legacy = old + name[len(new):]
+                if legacy in known:
+                    return legacy
+        return name
+
     def names(self):
-        if self._torch_state is not None:
-            return list(self._torch_state)
-        return list(self._name_to_file)
+        real = (list(self._torch_state) if self._torch_state is not None
+                else list(self._name_to_file))
+        known = set(real)
+        out = list(real)
+        for new, old in self._ALIAS_PREFIXES:
+            for n in real:
+                if n.startswith(old) and not any(
+                    n.startswith(p) for p, _ in self._ALIAS_PREFIXES
+                ):
+                    alias = new + n[len(old):]
+                    if alias not in known:
+                        out.append(alias)
+        return out
 
     def get(self, name: str) -> np.ndarray:
         if self._torch_state is not None:
+            name = self._resolve(name, self._torch_state)
             t = self._torch_state[name]
             import torch
 
             if t.dtype == torch.bfloat16:
                 return t.float().numpy().astype(jnp.bfloat16)
             return t.numpy()
+        name = self._resolve(name, self._name_to_file)
         fname = self._name_to_file[name]
         if fname not in self._open_files:
             from safetensors import safe_open

@@ -165,6 +165,21 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _qwen2_vl_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """Qwen2-VL text stack: the llama/qwen2 spec table re-rooted under
+    ``model.language_model.`` (transformers >= 4.52 layout; the loader's
+    tensor source aliases legacy ``model.layers.*`` checkpoints). The vision
+    tower (``model.visual.*``) is consumed by multimodal/vit.py, not the
+    canonical weight dict."""
+    out = []
+    for spec in _llama_family_specs(cfg):
+        pat = spec.hf_pattern
+        if pat.startswith("model."):
+            pat = "model.language_model." + pat[len("model."):]
+        out.append(dataclasses.replace(spec, hf_pattern=pat))
+    return out
+
+
 def _qn_full_layers(cfg: ModelConfig) -> list:
     return [i for i, t in enumerate(cfg.layer_types or ()) if t == "full_attention"]
 
@@ -517,6 +532,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen2_moe": _llama_family_specs,
     "qwen3_moe": _llama_family_specs,
     "qwen3_next": _qwen3_next_specs,
+    "qwen2_vl": _qwen2_vl_specs,
     "deepseek_v2": _deepseek_with_mtp_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,

@@ -42,6 +42,15 @@ class ModelInputs(NamedTuple):
     # per-row linear-state slot ids for hybrid models (qwen3-next); None =>
     # row index == slot (the decode program's layout)
     state_slots: Optional[jnp.ndarray] = None
+    # multimodal prefill (qwen2-vl): 3D MRoPE positions [B, 3, T]; rows of
+    # precomputed vision embeddings [B, T, H] overriding token embeddings at
+    # mm_mask positions (reference: MultimodalProcessor applying VIT outputs)
+    mrope_positions: Optional[jnp.ndarray] = None
+    mm_embeds: Optional[jnp.ndarray] = None
+    mm_mask: Optional[jnp.ndarray] = None
+    # [B] rope-position offset for decode after a multimodal prefill (MRoPE
+    # delta); slots/attention still use the sequence positions
+    pos_deltas: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:

@@ -103,6 +103,11 @@ class LlamaFamilyModel:
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)  # [B,T,H]
+        if inputs.mm_embeds is not None:
+            # splice precomputed vision embeddings over placeholder tokens
+            # (reference: MultimodalProcessor, cpp/multimodal_processor/)
+            x = jnp.where(inputs.mm_mask[..., None],
+                          inputs.mm_embeds.astype(x.dtype), x)
         if cfg.scale_embeddings:  # gemma
             x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
 
@@ -185,6 +190,12 @@ class LlamaFamilyModel:
             lambda We, se, ze: quantized_matmul(x, We, se, ze)
         )(W, s[i], z[i])
 
+    def _apply_rope(self, x, inputs: ModelInputs):
+        if self.rotary_dim != self.cfg.head_dim or self.cfg.rope_gptj_pairs:
+            return apply_rope_partial_interleaved(
+                x, inputs.positions, self.cos, self.sin, self.rotary_dim)
+        return apply_rope(x, inputs.positions, self.cos, self.sin)
+
     # ---- layer ----
 
     def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
@@ -209,14 +220,8 @@ class LlamaFamilyModel:
         if cfg.use_qk_norm:
             q = self._norm(q, w["q_norm"][i], cfg.rms_norm_eps)
             k = self._norm(k, w["k_norm"][i], cfg.rms_norm_eps)
-        if self.rotary_dim != cfg.head_dim or cfg.rope_gptj_pairs:
-            q = apply_rope_partial_interleaved(
-                q, inputs.positions, self.cos, self.sin, self.rotary_dim)
-            k = apply_rope_partial_interleaved(
-                k, inputs.positions, self.cos, self.sin, self.rotary_dim)
-        else:
-            q = apply_rope(q, inputs.positions, self.cos, self.sin)
-            k = apply_rope(k, inputs.positions, self.cos, self.sin)
+        q = self._apply_rope(q, inputs)
+        k = self._apply_rope(k, inputs)
 
         k_scale = v_scale = None
         if isinstance(cache, dict):  # int8 KV with scales

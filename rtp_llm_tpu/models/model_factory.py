@@ -34,6 +34,15 @@ for _mt in ("deepseek_v2", "deepseek_v3"):
     register_model(_mt, _make_deepseek)
 
 
+def _make_qwen2_vl(cfg: ModelConfig):
+    from rtp_llm_tpu.models.qwen2_vl import Qwen2VLModel
+
+    return Qwen2VLModel(cfg)
+
+
+register_model("qwen2_vl", _make_qwen2_vl)
+
+
 def _make_qwen3_next(cfg: ModelConfig):
     from rtp_llm_tpu.models.qwen3_next import QwenNextModel
 

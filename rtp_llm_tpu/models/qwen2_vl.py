@@ -1,0 +1,51 @@
+"""Qwen2-VL: qwen2 text stack with MRoPE + vision-embedding splice.
+
+Reference analog: the qwen2-vl model desc + multimodal mixin
+(rtp_llm/models_py/, rtp_llm/multimodal/multimodal_mixins/) and the C++
+MultimodalProcessor (cpp/multimodal_processor/) which applies precomputed
+VIT embeddings into the token stream. The vision tower runs in
+multimodal/vit.py; this class is the decode path: standard llama-family
+layers with 3D MRoPE positions during multimodal prefill
+(ModelInputs.mrope_positions) and placeholder-token embedding override
+(mm_embeds/mm_mask). Decode steps use ordinary 1D positions — text
+continuation has identical t/h/w position streams, which reduces MRoPE to
+standard neox rope (the engine offsets positions by the stream's mrope
+delta).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.models.batch import ModelInputs
+from rtp_llm_tpu.models.llama_family import LlamaFamilyModel
+from rtp_llm_tpu.ops.rope import apply_mrope
+
+
+class Qwen2VLModel(LlamaFamilyModel):
+    is_multimodal = True
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        # section id per rotation pair (mrope_section sums to head_dim//2)
+        sec = cfg.mrope_section or (cfg.head_dim // 2,)
+        secmap = np.concatenate(
+            [np.full(n, i % 3, np.int32) for i, n in enumerate(sec)]
+        )
+        assert secmap.shape[0] == cfg.head_dim // 2, (sec, cfg.head_dim)
+        self.secmap = jnp.asarray(secmap)
+
+    def _apply_rope(self, x, inputs: ModelInputs):
+        if inputs.mrope_positions is not None:
+            return apply_mrope(x, inputs.mrope_positions, self.cos, self.sin,
+                               self.secmap)
+        if inputs.pos_deltas is not None:
+            from rtp_llm_tpu.ops.rope import apply_rope
+
+            shifted = jnp.maximum(
+                inputs.positions + inputs.pos_deltas[:, None], 0
+            )
+            return apply_rope(x, shifted, self.cos, self.sin)
+        return super()._apply_rope(x, inputs)

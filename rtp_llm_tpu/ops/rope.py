@@ -144,3 +144,27 @@ def apply_rope_partial_neox(
     rot, rest = x[..., :rotary_dim], x[..., rotary_dim:]
     rot = apply_rope(rot, positions, cos, sin)
     return jnp.concatenate([rot, rest], axis=-1)
+
+
+def apply_mrope(
+    x: jnp.ndarray,  # [B, T, heads, D]
+    positions3: jnp.ndarray,  # [B, 3, T] (t / h / w position streams)
+    cos: jnp.ndarray, sin: jnp.ndarray,  # [P, D//2] tables
+    secmap: jnp.ndarray,  # [D//2] i32 in {0,1,2}: section id per pair
+) -> jnp.ndarray:
+    """Multimodal 3D rotary embedding (qwen2-vl MRoPE): rotation pair j takes
+    its angle from position stream secmap[j] (HF apply_multimodal_rotary_pos_emb
+    with mrope_section; text rows have identical t/h/w so this reduces to
+    standard neox rope)."""
+    half = x.shape[-1] // 2
+    c3 = jnp.moveaxis(cos[positions3], 1, -1)  # [B, T, half, 3]
+    s3 = jnp.moveaxis(sin[positions3], 1, -1)
+    sel = secmap[None, None, :, None]
+    c = jnp.take_along_axis(c3, sel, axis=-1)[..., 0][:, :, None, :]  # [B,T,1,half]
+    s = jnp.take_along_axis(s3, sel, axis=-1)[..., 0][:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    c = c.astype(jnp.float32)
+    s = s.astype(jnp.float32)
+    out = jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)
+    return out.astype(x.dtype)

@@ -1,0 +1,139 @@
+"""Qwen2-VL multimodal: MRoPE + vision-embedding splice, HF-exact through
+the real engine (reference: multimodal_mixins + MultimodalProcessor +
+PositionIdsGenerator MRoPE)."""
+
+import numpy as np
+import pytest
+import torch
+
+from rtp_llm_tpu.config.engine_config import CacheConfig, EngineConfig, SchedulerConfig
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.config.model_config import ModelConfig
+from rtp_llm_tpu.engine import LlmEngine
+from rtp_llm_tpu.loader import CheckpointLoader
+from rtp_llm_tpu.models import create_model
+from rtp_llm_tpu.multimodal import MultimodalProcessor
+from rtp_llm_tpu.multimodal.vit import HfVisionTower
+
+IMG, VSTART, VEND = 150, 151, 152
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    torch.manual_seed(0)
+    cfg = Qwen2VLConfig(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        image_token_id=IMG, vision_start_token_id=VSTART,
+        vision_end_token_id=VEND, tie_word_embeddings=False,
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=64, num_heads=2,
+                           patch_size=4, spatial_merge_size=2,
+                           temporal_patch_size=2, in_channels=3),
+    )
+    path = str(tmp_path_factory.mktemp("qvl") / "m")
+    Qwen2VLForConditionalGeneration(cfg).float().eval().save_pretrained(
+        path, safe_serialization=True
+    )
+    return path
+
+
+def _engine(ckpt):
+    mc = ModelConfig.from_pretrained(ckpt)
+    mc.dtype = "float32"
+    eng = LlmEngine(
+        create_model(mc), CheckpointLoader(mc).load(ckpt),
+        EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                      prefill_buckets=(8, 16)),
+        ),
+    )
+    return mc, eng
+
+
+def _mm_case(ckpt, mc, prompt, grid, seed=0):
+    torch.manual_seed(seed)
+    npatch = int(np.prod(grid))
+    pix = torch.randn(npatch, 3 * 2 * 4 * 4)
+    tower = HfVisionTower(ckpt)
+    embeds, grids = tower.encode_images(
+        pix.numpy(), np.asarray([grid])
+    )
+    mm = MultimodalProcessor(mc).prepare(prompt, embeds, grids)
+    return pix, mm
+
+
+def test_mm_generation_matches_hf(ckpt):
+    from transformers import Qwen2VLForConditionalGeneration
+
+    mc, eng = _engine(ckpt)
+    grid = (1, 4, 4)  # pre-merge -> 4 llm tokens
+    prompt = [1, 5, VSTART] + [IMG] * 4 + [VEND, 9, 7]
+    pix, mm = _mm_case(ckpt, mc, prompt, grid)
+
+    hf = Qwen2VLForConditionalGeneration.from_pretrained(
+        ckpt, dtype=torch.float32
+    ).eval()
+    with torch.no_grad():
+        expect = hf.generate(
+            input_ids=torch.tensor([prompt]), pixel_values=pix,
+            image_grid_thw=torch.tensor([grid]), max_new_tokens=8,
+            do_sample=False, pad_token_id=0, eos_token_id=None,
+        )[0, len(prompt):].tolist()
+
+    # mrope positions must equal HF get_rope_index
+    pos_hf, delta_hf = hf.model.get_rope_index(
+        torch.tensor([prompt]), torch.tensor([grid]), None
+    )
+    assert np.array_equal(pos_hf[:, 0].numpy(), mm.positions3)
+    assert int(delta_hf[0, 0]) == mm.delta
+
+    s = eng.enqueue(prompt, GenerateConfig(max_new_tokens=8, do_sample=False,
+                                           ignore_eos=True), mm=mm)
+    for _ in range(30):
+        if s.is_finished():
+            break
+        eng.step()
+    assert s.output_token_ids == expect
+
+
+def test_text_only_still_matches_hf(ckpt):
+    """The VL model without images must behave as plain qwen2 (+ bias)."""
+    from transformers import Qwen2VLForConditionalGeneration
+
+    mc, eng = _engine(ckpt)
+    prompt = [1, 5, 9, 42, 7]
+    hf = Qwen2VLForConditionalGeneration.from_pretrained(
+        ckpt, dtype=torch.float32
+    ).eval()
+    with torch.no_grad():
+        expect = hf.generate(
+            input_ids=torch.tensor([prompt]), max_new_tokens=6,
+            do_sample=False, pad_token_id=0, eos_token_id=None,
+        )[0, len(prompt):].tolist()
+    out = eng.generate(prompt, GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True,
+    )).output_token_ids
+    assert out == expect
+
+
+def test_mm_streams_no_prefix_pollution(ckpt):
+    """Two prompts with identical token ids but different images must not
+    share KV via the prefix cache."""
+    mc, eng = _engine(ckpt)
+    grid = (1, 4, 4)
+    prompt = [1, VSTART] + [IMG] * 4 + [VEND, 9]
+    _, mm_a = _mm_case(ckpt, mc, prompt, grid, seed=1)
+    _, mm_b = _mm_case(ckpt, mc, prompt, grid, seed=2)
+    gc = lambda: GenerateConfig(max_new_tokens=6, do_sample=False,
+                                ignore_eos=True)
+    out_a = eng.generate(prompt, gc(), mm=mm_a).output_token_ids
+    out_b = eng.generate(prompt, gc(), mm=mm_b).output_token_ids
+    # fresh engines as ground truth
+    _, e2 = _engine(ckpt)
+    assert out_b == e2.generate(prompt, gc(), mm=mm_b).output_token_ids
+    assert out_a != out_b  # different images -> different continuations
