@@ -106,6 +106,8 @@ def _parse_args():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
+    p.add_argument("--multi-steps", type=int, default=8,
+                   help="decode iterations fused per dispatch (scheduler.decode_steps)")
     p.add_argument("--warmup-steps", type=int, default=8)
     p.add_argument("--block-size", type=int, default=32)
     p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
@@ -151,6 +153,7 @@ def main():
             max_batch_size=args.batch,
             max_seq_len=max_seq,
             prefill_buckets=(args.prompt_len,),
+            decode_steps=args.multi_steps,
         ),
         quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
     )
@@ -182,15 +185,18 @@ def main():
     assert all(s.slot >= 0 for s in streams), "not all streams admitted"
 
     # warmup decode (compiles the decode program)
-    for _ in range(args.warmup_steps):
+    k = max(1, args.multi_steps)
+    for _ in range(max(2, args.warmup_steps // k)):
         engine.step()
 
-    # timed decode
+    # timed decode (each engine.step() emits k tokens per stream)
+    n_disp = max(1, args.decode_steps // k)
     t0 = time.time()
-    for _ in range(args.decode_steps):
+    for _ in range(n_disp):
         engine.step()
     decode_time = time.time() - t0
-    decode_tps = args.batch * args.decode_steps / decode_time
+    n_tok_steps = n_disp * k
+    decode_tps = args.batch * n_tok_steps / decode_time
 
     # roofline for vs_baseline
     bpe = 1 if args.quant == "int8" else 2
@@ -199,7 +205,7 @@ def main():
                   * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe
     mlp_bytes = 3 * h * inter * bpe
     lm_head_bytes = mc.vocab_size * h * 2
-    kv_bytes = (args.batch * (args.prompt_len + args.decode_steps / 2)
+    kv_bytes = (args.batch * (args.prompt_len + n_tok_steps / 2)
                 * 2 * mc.num_kv_heads * mc.head_dim * 2 * L)
     step_bytes = L * (attn_bytes + mlp_bytes) + lm_head_bytes + kv_bytes
     ideal_step = step_bytes / (HBM_GBPS[args.hbm] * 1e9)
@@ -212,7 +218,7 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(decode_tps / ideal_tps, 4),
         "detail": {
-            "step_ms_p50": round(decode_time / args.decode_steps * 1e3, 2),
+            "step_ms_p50": round(decode_time / n_tok_steps * 1e3, 2),
             "ideal_step_ms": round(ideal_step * 1e3, 2),
             "ttft_p50_ms": round(float(np.median(ttfts)) * 1e3, 1) if ttfts else None,
             "prefill_total_s": round(prefill_time, 2),

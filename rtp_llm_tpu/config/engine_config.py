@@ -97,6 +97,14 @@ class SchedulerConfig:
     # prefill rounds. 0 = unlimited / no spacing.
     max_prefills_per_step: int = 0
     decode_steps_per_prefill: int = 0
+    # multi-step decode: run N decode iterations inside ONE jitted dispatch
+    # (lax.scan over the fused decode+sample body) and read back N token
+    # vectors at once. Amortizes host->device dispatch N-fold — the TPU
+    # analog of replaying a captured CUDA graph N times between syncs.
+    # Stop conditions are evaluated every N tokens (overshoot tokens are
+    # discarded; their KV rows lie past the accepted length and are never
+    # hashed into the prefix cache).
+    decode_steps: int = 1
     # pipeline decode steps: dispatch step N+1 before reading back step N's
     # tokens (reference analog: the C++ engine's async execution; hides host
     # scheduling + readback latency under device compute). Streams observe

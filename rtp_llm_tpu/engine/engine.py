@@ -144,6 +144,10 @@ class LlmEngine:
         self.spec = config.speculative
         self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2),
                                    static_argnums=(4,))
+        self._decode_multi_jit = jax.jit(
+            self._decode_multi_impl, donate_argnums=(1, 2),
+            static_argnums=(3, 4),
+        )
         self.mtp = None
         if self.spec.method == "mtp" and "mtp_eh_proj" in weights:
             # deepseek MTP module shipped in the target checkpoint
@@ -301,6 +305,24 @@ class LlmEngine:
             forced_tokens=jnp.full_like(state.forced_tokens, -1),
         )
         return kv, state, tokens, logprobs
+
+    def _decode_multi_impl(self, weights, kv, state: ds.DecodeState,
+                           need_sampling=True, n_steps=8):
+        """n_steps fused decode iterations in one program: scan over the
+        decode body, stacking the sampled tokens. One dispatch + one readback
+        per n_steps tokens (reference analog: CUDA-graph replay loops)."""
+
+        def body(carry, _):
+            kv, st = carry
+            kv, st, tokens, logprobs = self._decode_impl(
+                weights, kv, st, need_sampling
+            )
+            return (kv, st), (tokens, logprobs)
+
+        (kv, state), (toks, lps) = jax.lax.scan(
+            body, (kv, state), None, length=n_steps
+        )
+        return kv, state, toks, lps  # [n_steps, B]
 
     def _verify_impl(self, weights, kv, state: ds.DecodeState, drafts,
                      return_hidden=False):
@@ -977,6 +999,9 @@ class LlmEngine:
     def _resolve_tuple(self, tokens_dev, logprobs_dev, streams):
         tokens_h = np.asarray(tokens_dev)
         logprobs_h = np.asarray(logprobs_dev)
+        if tokens_h.ndim == 2:  # multi-step decode: [n_steps, B]
+            self._resolve_multi(tokens_h, logprobs_h, streams)
+            return
         from rtp_llm_tpu.utils.metrics import METRICS
 
         n = 0
@@ -992,6 +1017,30 @@ class LlmEngine:
             )
             if finished:
                 self._release_stream(s)
+        METRICS.inc("engine.tokens_generated", n)
+
+    def _resolve_multi(self, tokens_h, logprobs_h, streams):
+        """Dispatch n_steps stacked token vectors: append per stream until a
+        stop fires; the remaining (overshoot) tokens are discarded and their
+        KV rows lie past the accepted length."""
+        from rtp_llm_tpu.utils.metrics import METRICS
+
+        n = 0
+        k = tokens_h.shape[0]
+        for s in streams:
+            if s.is_finished() or s.slot < 0:
+                continue
+            for j in range(k):
+                tok = int(tokens_h[j, s.slot])
+                self.tokens_generated += 1
+                n += 1
+                finished = s.append_token(
+                    tok, self.eos_ids, float(logprobs_h[j, s.slot]),
+                    max_seq_len=self.config.scheduler.max_seq_len,
+                )
+                if finished:
+                    self._release_stream(s)
+                    break
         METRICS.inc("engine.tokens_generated", n)
 
     def _step_locked(self) -> bool:
@@ -1041,9 +1090,26 @@ class LlmEngine:
             if not active:
                 self.step_count += 1
                 return True
-        extra = self.spec.draft_tokens if use_spec else (
-            1 if (self.async_decode and self._pending is not None) else 0
+        n_multi = self.config.scheduler.decode_steps
+        use_multi = (
+            n_multi > 1
+            and not use_spec
+            and not any(s.config.max_thinking_tokens for s in active)
+            and not any(s.config.no_repeat_ngram_size for s in active)
+            and all(
+                s.total_len + n_multi + 1 <= self.config.scheduler.max_seq_len
+                for s in active
+            )
         )
+        pending = self.async_decode and self._pending is not None
+        if use_spec:
+            extra = self.spec.draft_tokens
+        elif use_multi:
+            # this window writes positions total_len-1 .. total_len+K-2; with
+            # an unresolved window in flight the host total_len is K stale
+            extra = n_multi - 1 + (n_multi if pending else 0)
+        else:
+            extra = 1 if pending else 0
 
         # grow block allocations for the token(s) this step writes
         for s in list(active):
@@ -1114,9 +1180,17 @@ class LlmEngine:
                 self.step_count += 1
                 return True
             with timed("engine.decode_ms"):
-                self.kv, self.state, tokens, logprobs = self._decode_jit(
-                    self.weights, self.kv, self.state, need_sampling
-                )
+                if use_multi:
+                    self.kv, self.state, tokens, logprobs = (
+                        self._decode_multi_jit(
+                            self.weights, self.kv, self.state, need_sampling,
+                            n_multi,
+                        )
+                    )
+                else:
+                    self.kv, self.state, tokens, logprobs = self._decode_jit(
+                        self.weights, self.kv, self.state, need_sampling
+                    )
             if self.async_decode:
                 prev = self._pending
                 self._pending = (tokens, logprobs, active)

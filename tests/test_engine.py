@@ -293,3 +293,53 @@ def test_pd_fusion_ratio_scheduler():
     assert not r2.new_streams and not r3.new_streams  # spacing: 2 decode steps
     r4 = sched.schedule()
     assert len(r4.new_streams) == 1
+
+
+def test_multi_step_decode_matches_single(tmp_path):
+    """decode_steps=N (one dispatch per N tokens) must produce identical
+    outputs to per-step decode, including mid-window EOS stops."""
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "ms"), cfg)
+
+    def build(steps):
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                      prefill_buckets=(16, 64),
+                                      decode_steps=steps),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(cfg), weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    for gc_kwargs in (
+        dict(max_new_tokens=13, do_sample=False, ignore_eos=True),
+        dict(max_new_tokens=9, do_sample=False),  # eos allowed mid-window
+        dict(max_new_tokens=10, do_sample=True, temperature=0.8, top_k=8,
+             ignore_eos=True),
+    ):
+        ref = build(1).generate(prompt, GenerateConfig(**gc_kwargs))
+        multi = build(4).generate(prompt, GenerateConfig(**gc_kwargs))
+        assert multi.output_token_ids == ref.output_token_ids, gc_kwargs
+
+    # batched with staggered finishes
+    e1, e4 = build(1), build(4)
+    gc = lambda n: GenerateConfig(max_new_tokens=n, do_sample=False,
+                                  ignore_eos=True)
+    outs1 = [e1.enqueue(prompt, gc(6)), e1.enqueue([2, 4, 6], gc(11))]
+    outs4 = [e4.enqueue(prompt, gc(6)), e4.enqueue([2, 4, 6], gc(11))]
+    for eng, ss in ((e1, outs1), (e4, outs4)):
+        for _ in range(40):
+            if all(x.is_finished() for x in ss):
+                break
+            eng.step()
+    assert [x.output_token_ids for x in outs4] == [
+        x.output_token_ids for x in outs1]
