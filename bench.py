@@ -106,7 +106,7 @@ def _parse_args():
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
-    p.add_argument("--multi-steps", type=int, default=8,
+    p.add_argument("--multi-steps", type=int, default=16,
                    help="decode iterations fused per dispatch (scheduler.decode_steps)")
     p.add_argument("--warmup-steps", type=int, default=8)
     p.add_argument("--block-size", type=int, default=32)
