@@ -103,7 +103,7 @@ def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8", choices=["int8", "bf16"])
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--multi-steps", type=int, default=16,
