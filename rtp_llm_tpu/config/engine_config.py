@@ -105,6 +105,11 @@ class SchedulerConfig:
     # discarded; their KV rows lie past the accepted length and are never
     # hashed into the prefix cache).
     decode_steps: int = 1
+    # defer per-layer decode KV writes into one batched scatter after the
+    # forward (attention folds the current token from registers). Measured
+    # perf-neutral on v5e (the XLA per-layer scatters overlap well); kept as
+    # an option for kernels/configs where scatter count dominates.
+    defer_kv_writes: bool = False
     # pipeline decode steps: dispatch step N+1 before reading back step N's
     # tokens (reference analog: the C++ engine's async execution; hides host
     # scheduling + readback latency under device compute). Streams observe

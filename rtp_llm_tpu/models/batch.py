@@ -73,3 +73,6 @@ class ModelOutputs(NamedTuple):
     hidden: Optional[jnp.ndarray] = None
     all_logits: Optional[jnp.ndarray] = None
     all_hidden: Optional[jnp.ndarray] = None
+    # deferred KV rows (decode T=1, llama family): ([L,B,Hkv*D], [L,B,Hkv*D])
+    # — the engine batches all layers' cache writes into ONE scatter
+    kv_writes: Optional[tuple] = None

@@ -30,6 +30,8 @@ from rtp_llm_tpu.quant.weight_only import quantized_matmul
 
 
 class LlamaFamilyModel:
+    supports_deferred_kv = True  # decode writes batched into one scatter
+
     """Static model metadata + pure forward.
 
     The KV cache is one array ``[L, 2, num_blocks * block_size, Hkv * D]``
@@ -97,6 +99,7 @@ class LlamaFamilyModel:
         inputs: ModelInputs,
         need_all_logits: bool = False,
         need_all_hidden: bool = False,
+        defer_kv_writes: bool = False,
     ) -> tuple[ModelOutputs, jnp.ndarray]:
         cfg = self.cfg
         b, t = inputs.tokens.shape
@@ -119,8 +122,10 @@ class LlamaFamilyModel:
             tpos, inputs.block_tables, self.block_size, valid
         ).reshape(-1)  # [B*T]
 
+        kv_writes = ([], []) if defer_kv_writes else None
         for i in range(cfg.num_layers):
-            x, cache = self._layer(weights, cache, i, x, inputs, slots)
+            x, cache = self._layer(weights, cache, i, x, inputs, slots,
+                                   kv_writes=kv_writes)
 
         x = self._norm(x, weights["final_norm"], cfg.rms_norm_eps)
 
@@ -151,6 +156,8 @@ class LlamaFamilyModel:
         return ModelOutputs(
             logits=logits, hidden=hidden_last, all_logits=all_logits,
             all_hidden=x if need_all_hidden else None,
+            kv_writes=(jnp.stack(kv_writes[0]), jnp.stack(kv_writes[1]))
+            if kv_writes is not None else None,
         ), cache
 
     # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
@@ -198,7 +205,8 @@ class LlamaFamilyModel:
 
     # ---- layer ----
 
-    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots):
+    def _layer(self, w, cache, i, x, inputs: ModelInputs, slots,
+               kv_writes=None):
         cfg = self.cfg
         b, t, h = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -223,8 +231,19 @@ class LlamaFamilyModel:
         q = self._apply_rope(q, inputs)
         k = self._apply_rope(k, inputs)
 
+        cur_k = cur_v = None
+        if kv_writes is not None:
+            # deferred decode writes (T=1): the engine scatters every layer's
+            # rows in one shot after the forward; attention folds the current
+            # token from registers (ops/attention: cur_k/cur_v)
+            cur_k = k.reshape(-1, hkv * d).reshape(b, hkv * d)
+            cur_v = v.reshape(-1, hkv * d).reshape(b, hkv * d)
+            kv_writes[0].append(cur_k)
+            kv_writes[1].append(cur_v)
         k_scale = v_scale = None
-        if isinstance(cache, dict):  # int8 KV with scales
+        if kv_writes is not None:
+            k_cache, v_cache = cache[i, 0], cache[i, 1]
+        elif isinstance(cache, dict):  # int8 KV with scales
             k_cache, v_cache = cache["data"][i, 0], cache["data"][i, 1]
             k_scale, v_scale = cache["scale"][i, 0], cache["scale"][i, 1]
             k_cache, v_cache, k_scale, v_scale = write_kv_quant(
@@ -258,6 +277,7 @@ class LlamaFamilyModel:
             soft_cap=cfg.attn_soft_cap,
             backend=self.attn_backend,
             k_scale=k_scale, v_scale=v_scale,
+            cur_k=cur_k, cur_v=cur_v,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         if cfg.parallel_residual:

@@ -41,6 +41,7 @@ from rtp_llm_tpu.ops.rope import apply_rope_partial_neox
 
 class QwenNextModel(LlamaFamilyModel):
     is_hybrid = True  # engine: per-slot state, no prefix cache/beam/spec
+    supports_deferred_kv = False  # hybrid forward manages its own caches
 
     def __init__(self, cfg: ModelConfig):
         super().__init__(cfg)

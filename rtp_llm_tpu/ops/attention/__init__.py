@@ -43,6 +43,8 @@ def paged_attention(
     backend: str = "auto",
     k_scale: jnp.ndarray | None = None,  # int8 KV cache per-(slot, head) scales
     v_scale: jnp.ndarray | None = None,
+    cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] deferred current-token K/V
+    cur_v: jnp.ndarray | None = None,  # (decode T=1: cache holds kv_len-1)
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -63,6 +65,7 @@ def paged_attention(
         out = paged_decode_attention(
             q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
             block_size=block_size, sliding_window=sliding_window,
+            cur_k=cur_k, cur_v=cur_v,
         )
         return out[:, None]
     use_pallas_prefill = (
@@ -89,7 +92,7 @@ def paged_attention(
     return paged_attention_ref(
         q, k_cache, v_cache, block_tables, kv_lens, q_offsets, sm_scale,
         block_size=block_size, sliding_window=sliding_window, soft_cap=soft_cap,
-        k_scale=k_scale, v_scale=v_scale,
+        k_scale=k_scale, v_scale=v_scale, cur_k=cur_k, cur_v=cur_v,
     )
 
 

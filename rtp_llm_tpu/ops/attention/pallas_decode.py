@@ -48,6 +48,8 @@ def _decode_kernel(
     kv_lens_ref,  # [B] i32 (SMEM)
     # inputs
     qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
+    curk_ref,  # [1, Hkv*D] VMEM block — current token's K (deferred writes)
+    curv_ref,  # [1, Hkv*D] VMEM block — current token's V
     k_hbm,  # [NS, Hkv*D] ANY/HBM
     v_hbm,  # [NS, Hkv*D] ANY/HBM
     # output
@@ -62,17 +64,24 @@ def _decode_kernel(
     nbuf: int,
     sm_scale: float,
     window: int = 0,
+    has_cur: bool = False,
 ):
     b = pl.program_id(0)
     hq = qe_ref.shape[1]
     hd = qe_ref.shape[2]
 
     kv_len = kv_lens_ref[b]
-    num_blocks = jax.lax.div(kv_len + bs - 1, bs)
+    # deferred-write mode: the cache holds kv_len-1 tokens; the current
+    # token's K/V arrive in VMEM (engine batches all layers' writes into one
+    # scatter after the forward)
+    cached = jax.lax.max(kv_len - 1, 0) if has_cur else kv_len
+    num_blocks = jax.lax.div(cached + bs - 1, bs)
     # sliding window: skip blocks entirely below the window start
     win_start = jax.lax.max(kv_len - window, 0) if window else jnp.int32(0)
     first_blk = jax.lax.div(win_start, bs)
-    num_chunks = jax.lax.div(num_blocks - first_blk + c - 1, c)
+    num_chunks = jax.lax.max(
+        jax.lax.div(num_blocks - first_blk + c - 1, c), 0
+    )
 
     def slab(hbm, blk_idx):
         # clamp overhang blocks of the last chunk to a valid table entry —
@@ -132,7 +141,7 @@ def _decode_kernel(
         pos = (first_blk + ci * c) * bs + jax.lax.broadcasted_iota(
             jnp.int32, (1, c * bs), 1
         )
-        invalid = pos >= kv_len
+        invalid = pos >= (cached if has_cur else kv_len)
         if window:
             invalid = invalid | (pos < win_start)
         s = jnp.where(invalid, NEG_INF, s)
@@ -158,6 +167,22 @@ def _decode_kernel(
     acc0 = jnp.zeros((hq, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_chunks, body, (m0, l0, acc0))
 
+    if has_cur:
+        # fold the in-register current token (position kv_len-1; always
+        # inside any sliding window)
+        ck = curk_ref[0, 0].astype(jnp.float32)  # [HD]
+        cv = curv_ref[0, 0].astype(jnp.float32)
+        s_cur = jax.lax.dot_general(
+            qe, ck[None, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Hq, 1]
+        m_new = jnp.maximum(m, s_cur)
+        alpha = jnp.exp(m - m_new)
+        p_cur = jnp.exp(s_cur - m_new)
+        p_cur = jnp.where(kv_len > 0, p_cur, 0.0)
+        l = l * alpha + p_cur
+        acc = acc * alpha + p_cur * cv[None, :]
+
     out = acc / jnp.maximum(l, 1e-20)
     out = jnp.where(kv_len > 0, out, 0.0)  # inactive rows -> zeros
     o_ref[0] = out.astype(o_ref.dtype)
@@ -169,6 +194,8 @@ def _fullrow_kernel(
     kv_lens_ref,  # [B] i32 (SMEM)
     # inputs
     qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
+    curk_ref,  # [1, Hkv*D] VMEM block (deferred current token, may be unused)
+    curv_ref,  # [1, Hkv*D]
     k_hbm,  # [NS, Hkv*D] ANY/HBM
     v_hbm,  # [NS, Hkv*D] ANY/HBM
     # output
@@ -182,6 +209,7 @@ def _fullrow_kernel(
     mb: int,
     sm_scale: float,
     window: int = 0,
+    has_cur: bool = False,
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -241,12 +269,25 @@ def _fullrow_kernel(
         preferred_element_type=jnp.float32,
     )  # [Hq, MB*BS]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, mb * bs), 1)
-    invalid = pos >= kv_len
+    cached = jax.lax.max(kv_len - 1, 0) if has_cur else kv_len
+    invalid = pos >= cached
     if window:
         invalid = invalid | (pos < jax.lax.max(kv_len - window, 0))
     s = jnp.where(invalid, NEG_INF, s)
+    if has_cur:
+        s_cur = jax.lax.dot_general(
+            qe, curk_ref[0, 0].astype(jnp.float32)[None, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # [Hq, 1]
+        s_cur = jnp.where(kv_len > 0, s_cur, NEG_INF)
+        s = jnp.concatenate([s, s_cur], axis=-1)
+        v = jnp.concatenate(
+            [v.astype(jnp.float32),
+             curv_ref[0, 0].astype(jnp.float32)[None, :]], axis=0)
     m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.where(m > NEG_INF / 2, m, 0.0)
     p = jnp.exp(s - m)
+    p = jnp.where(s > NEG_INF / 2, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
@@ -288,7 +329,9 @@ def paged_decode_attention(
     chunk_blocks: int = CHUNK_BLOCKS,
     nbuf: int = NBUF,
     sliding_window: int = 0,
-    interpret: bool = False,
+    cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] current token's K
+    cur_v: jnp.ndarray | None = None,  # (deferred-write mode: cache holds
+    interpret: bool = False,           #  kv_len-1 tokens)
 ) -> jnp.ndarray:
     b, hq, d = q.shape
     hd = k_cache.shape[1]
@@ -304,11 +347,18 @@ def paged_decode_attention(
 
     mb = block_tables.shape[1]
     fullrow = mb * bs <= FULLROW_MAX_TOKENS
+    has_cur = cur_k is not None
+    if not has_cur:
+        cur_k = jnp.zeros((b, hd), k_cache.dtype)
+        cur_v = jnp.zeros((b, hd), v_cache.dtype)
+    # [B, 1, HD]: a (1, 1, hd) block satisfies Mosaic's last-2-dims rule
+    cur_k = cur_k[:, None, :]
+    cur_v = cur_v[:, None, :]
 
     if fullrow:
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
-            window=sliding_window,
+            window=sliding_window, has_cur=has_cur,
         )
         scratch = [
             pltpu.VMEM((2, mb * bs, hd), k_cache.dtype),
@@ -318,7 +368,7 @@ def paged_decode_attention(
     else:
         kernel = functools.partial(
             _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale,
-            window=sliding_window,
+            window=sliding_window, has_cur=has_cur,
         )
         scratch = [
             pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),
@@ -330,6 +380,10 @@ def paged_decode_attention(
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -343,7 +397,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
         interpret=interpret,
-    )(block_tables, kv_lens, q_exp, k_cache, v_cache)
+    )(block_tables, kv_lens, q_exp, cur_k, cur_v, k_cache, v_cache)
 
     # collapse segments: head h*G+g's output lives in segment h
     of = out_full.reshape(b, hkv, g, hkv, d)

@@ -31,6 +31,8 @@ def paged_attention_ref(
     soft_cap: float = 0.0,
     k_scale: jnp.ndarray | None = None,  # [num_slots, Hkv] (int8 KV cache)
     v_scale: jnp.ndarray | None = None,
+    cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] current token K (deferred
+    cur_v: jnp.ndarray | None = None,  #  writes: cache holds kv_len-1 tokens)
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -56,9 +58,40 @@ def paged_attention_ref(
     if soft_cap > 0.0:
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
-    kv_pos = jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1,1,S]
+    kv_pos = jnp.broadcast_to(
+        jnp.arange(s, dtype=jnp.int32)[None, :], (b, s)
+    )
+    cached_lens = kv_lens
+    if cur_k is not None:
+        # deferred-write decode (T=1): append the in-register current token
+        # at position kv_len-1
+        cached_lens = jnp.maximum(kv_lens - 1, 0)
+        ckf = cur_k.reshape(b, 1, hkv, d).astype(jnp.float32)
+        cvf = cur_v.reshape(b, 1, hkv, d).astype(jnp.float32)
+        if k_scale is not None:
+            pass  # cur rows arrive unquantized
+        kf = jnp.concatenate([kf, ckf], axis=1)
+        vf = jnp.concatenate([vf, cvf], axis=1)
+        scores_cur = jnp.einsum(
+            "bthgd,bshd->bhgts", qf, ckf, precision=_HI
+        ) * sm_scale
+        if soft_cap > 0.0:
+            scores_cur = soft_cap * jnp.tanh(scores_cur / soft_cap)
+        scores = jnp.concatenate([scores, scores_cur], axis=-1)
+        kv_pos = jnp.concatenate(
+            [kv_pos, jnp.maximum(kv_lens - 1, 0)[:, None]], axis=1
+        )
+        s = s + 1
+    kv_pos = kv_pos[:, None, :]  # [B,1,S]
     q_pos = q_offsets[:, None, None] + jnp.arange(t, dtype=jnp.int32)[None, :, None]
     mask = (kv_pos <= q_pos) & (kv_pos < kv_lens[:, None, None])  # [B,T,S]
+    if cur_k is not None:
+        valid_cached = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(s - 1, dtype=jnp.int32)[None, :],
+                              (b, s - 1)) < cached_lens[:, None],
+             (kv_lens > 0)[:, None]], axis=1,
+        )
+        mask &= valid_cached[:, None, :]
     if sliding_window > 0:
         mask &= kv_pos > q_pos - sliding_window
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)

@@ -343,3 +343,35 @@ def test_multi_step_decode_matches_single(tmp_path):
             eng.step()
     assert [x.output_token_ids for x in outs4] == [
         x.output_token_ids for x in outs1]
+
+
+def test_deferred_kv_writes_match(tmp_path):
+    """scheduler.defer_kv_writes (one batched scatter per decode step) must
+    produce identical outputs to in-layer writes."""
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "dk"), cfg)
+
+    def build(defer):
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                      prefill_buckets=(16, 64),
+                                      defer_kv_writes=defer),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(cfg), weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = GenerateConfig(max_new_tokens=10, do_sample=False, ignore_eos=True)
+    ref = build(False).generate(prompt, gc).output_token_ids
+    eng = build(True)
+    assert eng._defer_decode
+    assert eng.generate(prompt, gc).output_token_ids == ref
