@@ -15,6 +15,7 @@ class GenerateConfig:
     max_new_tokens: int = 512
     min_new_tokens: int = 0
     no_repeat_ngram_size: int = 0  # ban repeating n-grams (0 = off)
+    logit_bias: Optional[dict] = None  # token_id -> additive bias (OpenAI)
     # sampling
     temperature: float = 1.0
     top_k: int = 0  # 0 => disabled (full softmax)

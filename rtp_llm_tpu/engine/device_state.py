@@ -19,6 +19,8 @@ import numpy as np
 from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.ops.sampling import SamplingParams
 
+MAX_LOGIT_BIAS = 32  # per-request cap on logit_bias entries
+
 
 class DecodeState(NamedTuple):
     last_tokens: jnp.ndarray  # [B] i32 — token to feed this step
@@ -30,6 +32,8 @@ class DecodeState(NamedTuple):
     adapter_ids: jnp.ndarray  # [B] i32 — LoRA adapter per slot (0 = none)
     forced_tokens: jnp.ndarray  # [B] i32 — next-token override (-1 = none)
     pos_deltas: jnp.ndarray  # [B] i32 — rope position offset (MRoPE delta)
+    bias_ids: jnp.ndarray  # [B, MAX_LOGIT_BIAS] i32 (-1 = empty)
+    bias_vals: jnp.ndarray  # [B, MAX_LOGIT_BIAS] f32
     rng: jax.Array
 
     @staticmethod
@@ -44,6 +48,8 @@ class DecodeState(NamedTuple):
             adapter_ids=jnp.zeros((batch,), jnp.int32),
             forced_tokens=jnp.full((batch,), -1, jnp.int32),
             pos_deltas=jnp.zeros((batch,), jnp.int32),
+            bias_ids=jnp.full((batch, MAX_LOGIT_BIAS), -1, jnp.int32),
+            bias_vals=jnp.zeros((batch, MAX_LOGIT_BIAS), jnp.float32),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -71,7 +77,7 @@ def insert_slot(
     prompt_mask_row: jnp.ndarray,  # [V] bool
     temperature, top_k, top_p, do_sample,
     repetition_penalty, presence_penalty, frequency_penalty, ban_eos,
-    adapter_id=0, pos_delta=0,
+    adapter_id=0, pos_delta=0, bias_ids_row=None, bias_vals_row=None,
 ) -> DecodeState:
     """Write one slot's state (jitted with donated state)."""
     p = state.params
@@ -95,6 +101,14 @@ def insert_slot(
         adapter_ids=state.adapter_ids.at[slot].set(adapter_id),
         forced_tokens=state.forced_tokens.at[slot].set(-1),
         pos_deltas=state.pos_deltas.at[slot].set(pos_delta),
+        bias_ids=state.bias_ids.at[slot].set(
+            bias_ids_row if bias_ids_row is not None
+            else jnp.full_like(state.bias_ids[0], -1)
+        ),
+        bias_vals=state.bias_vals.at[slot].set(
+            bias_vals_row if bias_vals_row is not None
+            else jnp.zeros_like(state.bias_vals[0])
+        ),
         rng=state.rng,
     )
 

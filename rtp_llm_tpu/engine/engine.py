@@ -307,6 +307,7 @@ class LlmEngine:
             out.logits, state.params, state.prompt_mask, state.output_counts,
             self.eos_ids, key, need_sampling=need_sampling,
             forced_tokens=state.forced_tokens, ban_tokens=ban_tokens,
+            bias_ids=state.bias_ids, bias_vals=state.bias_vals,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
@@ -439,12 +440,14 @@ class LlmEngine:
         return kv, out.logits
 
     def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng,
-                           need_sampling=True, ban_tokens=None):
+                           need_sampling=True, ban_tokens=None,
+                           bias_ids=None, bias_vals=None):
         counts = jnp.zeros(logits.shape, jnp.int32)
         rng, key = jax.random.split(rng)
         tokens, logprobs, _ = sample_tokens(
             logits, params, prompt_mask, counts, self.eos_ids, key,
             need_sampling=need_sampling, ban_tokens=ban_tokens,
+            bias_ids=bias_ids, bias_vals=bias_vals,
         )
         return tokens, logprobs, rng
 
@@ -871,6 +874,17 @@ class LlmEngine:
         pmask_j = jnp.asarray(pmask)
         need_sampling = any(s.config.do_sample for s in group)
         ban_kw = {}
+        gb = [self._bias_rows(s.config) for s in group]
+        bias_rows = None
+        if any(i is not None for i, _ in gb):
+            bi = np.full((n_pad, ds.MAX_LOGIT_BIAS), -1, np.int32)
+            bv = np.zeros((n_pad, ds.MAX_LOGIT_BIAS), np.float32)
+            for r, (i_, v_) in enumerate(gb):
+                if i_ is not None:
+                    bi[r], bv[r] = i_, v_
+            ban_kw["bias_ids"] = jnp.asarray(bi)
+            ban_kw["bias_vals"] = jnp.asarray(bv)
+            bias_rows = (bi, bv)
         if any(s.config.no_repeat_ngram_size for s in group):
             bans = np.full((n_pad, self.MAX_NGRAM_BANS), -1, np.int32)
             for r, s in enumerate(group):
@@ -904,7 +918,9 @@ class LlmEngine:
                 rows[r]["temperature"], rows[r]["top_k"], rows[r]["top_p"],
                 rows[r]["do_sample"], rows[r]["repetition_penalty"],
                 rows[r]["presence_penalty"], rows[r]["frequency_penalty"],
-                rows[r]["ban_eos"], np.int32(aids[r]),
+                rows[r]["ban_eos"], np.int32(aids[r]), np.int32(0),
+                jnp.asarray(bias_rows[0][r]) if bias_rows is not None else None,
+                jnp.asarray(bias_rows[1][r]) if bias_rows is not None else None,
             )
             finished = s.append_token(
                 token, self.eos_ids, float(logprobs_h[r]),
@@ -943,6 +959,10 @@ class LlmEngine:
         pmask[0, np.asarray(prompt, np.int64)] = True
         pmask_j = jnp.asarray(pmask)
         ban_kw = {}
+        b_ids, b_vals = self._bias_rows(stream.config)
+        if b_ids is not None:
+            ban_kw["bias_ids"] = jnp.asarray(b_ids[None])
+            ban_kw["bias_vals"] = jnp.asarray(b_vals[None])
         if stream.config.no_repeat_ngram_size:
             bans = np.full((1, self.MAX_NGRAM_BANS), -1, np.int32)
             for j, t in enumerate(self._ngram_bans(
@@ -973,6 +993,8 @@ class LlmEngine:
             prow["frequency_penalty"], prow["ban_eos"],
             np.int32(self._adapter_id_for(stream)),
             np.int32(stream.mm.delta if stream.mm is not None else 0),
+            jnp.asarray(b_ids) if b_ids is not None else None,
+            jnp.asarray(b_vals) if b_vals is not None else None,
         )
 
         if self.draft is not None:
@@ -985,6 +1007,19 @@ class LlmEngine:
         )
         if finished:
             self._release_stream(stream)
+
+    @staticmethod
+    def _bias_rows(config):
+        """Fixed-shape logit_bias rows from a GenerateConfig (None if unset)."""
+        lb = config.logit_bias
+        if not lb:
+            return None, None
+        ids = np.full((ds.MAX_LOGIT_BIAS,), -1, np.int32)
+        vals = np.zeros((ds.MAX_LOGIT_BIAS,), np.float32)
+        for j, (t, v) in enumerate(list(lb.items())[: ds.MAX_LOGIT_BIAS]):
+            ids[j] = int(t)
+            vals[j] = float(v)
+        return ids, vals
 
     @staticmethod
     def _ngram_bans(token_ids, n: int, cap: int):

@@ -101,6 +101,8 @@ def sample_tokens(
     need_sampling: bool = True,
     forced_tokens=None,  # [B] i32, -1 = not forced (think-mode forcing)
     ban_tokens=None,  # [B, M] i32, -1 = empty (no-repeat-ngram bans)
+    bias_ids=None,  # [B, M] i32, -1 = empty (OpenAI logit_bias)
+    bias_vals=None,  # [B, M] f32
 ):
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
@@ -110,6 +112,10 @@ def sample_tokens(
     engine uses it when no active stream samples, skipping the [B,V] sort.
     """
     logits = logits.astype(jnp.float32)
+    if bias_ids is not None:
+        rows = jnp.arange(logits.shape[0])[:, None]
+        safe = jnp.where(bias_ids >= 0, bias_ids, logits.shape[1])
+        logits = logits.at[rows, safe].add(bias_vals, mode="drop")
     logits = apply_penalties(logits, prompt_mask, output_counts, params)
     if len(eos_token_ids) > 0:
         eos = jnp.array(list(eos_token_ids), dtype=jnp.int32)

@@ -200,3 +200,35 @@ def test_no_repeat_ngram_matches_hf(tmp_path):
         no_repeat_ngram_size=2,
     )).output_token_ids
     assert out == hf_out
+
+
+def test_logit_bias(tmp_path):
+    """OpenAI logit_bias: +100 forces a token everywhere, -100 bans one
+    (applied on-device at the first sample and every decode step)."""
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "lb"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+    prompt = [1, 5, 9, 42, 7]
+
+    out = eng.generate(prompt, GenerateConfig(
+        max_new_tokens=5, do_sample=False, ignore_eos=True,
+        logit_bias={"77": 100.0},
+    )).output_token_ids
+    assert out == [77] * 5  # +100 dominates every step
+
+    base = eng.generate(prompt, GenerateConfig(
+        max_new_tokens=5, do_sample=False, ignore_eos=True,
+    )).output_token_ids
+    banned = eng.generate(prompt, GenerateConfig(
+        max_new_tokens=5, do_sample=False, ignore_eos=True,
+        logit_bias={str(base[0]): -100.0},
+    )).output_token_ids
+    assert banned[0] != base[0]
