@@ -1,0 +1,246 @@
+#!/usr/bin/env python
+"""Decompose the multi-step decode program's step time on real hardware.
+
+Round-1 left a 27.3 ms measured vs 11.7 ms roofline gap at b=64 (BENCH_r01).
+This harness times ablated variants of the decode scan body with all large
+operands passed as ARGUMENTS (PERF_NOTES: closed-over constants give wildly
+wrong timings on this stack):
+
+  full       : the engine's real _decode_multi_impl (forward + sampler + state)
+  fwd        : model forward only (fixed token, KV writes included)
+  fwd_nokv   : forward with KV writes AND attention's cache read dropped
+  matmuls    : per-layer qkv/o/mlp matmuls only (weight-read floor)
+  sampler    : penalties + argmax + logprob on a fixed [B,V] logits
+  lmhead     : final-norm + lm_head gather only
+
+Usage: python benchmarks/profile_decode.py [--batch 64] [--steps 16] ...
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def timeit(fn, *args, n=3, donate_chain=None):
+    """Time fn(*args) with block_until_ready; if donate_chain is a tuple of
+    arg indices whose outputs replace them, chain the calls."""
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)  # compile + 1 run
+    best = float("inf")
+    cur_args = list(args)
+    if donate_chain:
+        outs = out if isinstance(out, tuple) else (out,)
+        for ai, oi in donate_chain:
+            cur_args[ai] = outs[oi]
+    for _ in range(n):
+        t0 = time.time()
+        out = fn(*cur_args)
+        jax.block_until_ready(out)
+        best = min(best, time.time() - t0)
+        if donate_chain:
+            outs = out if isinstance(out, tuple) else (out,)
+            for ai, oi in donate_chain:
+                cur_args[ai] = outs[oi]
+    return best, out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="qwen2-7b")
+    p.add_argument("--quant", default="int8")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--prompt-len", type=int, default=512)
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--variants", default="full,fwd,matmuls,sampler,lmhead")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from bench import MODELS, build_device_weights
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, QuantConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.model_config import ModelConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.engine import device_state as ds
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.models.batch import ModelInputs
+
+    mc = ModelConfig(model_type="qwen2", **MODELS[args.model])
+    model = create_model(mc)
+    t0 = time.time()
+    weights = build_device_weights(mc, args.quant)
+    jax.block_until_ready(weights)
+    print(f"weights built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    b = args.batch
+    import math
+    max_seq = args.prompt_len + 256
+    blocks_needed = b * math.ceil(max_seq / args.block_size) + 8
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=args.block_size,
+                          test_num_blocks=blocks_needed,
+                          enable_prefix_cache=False),
+        scheduler=SchedulerConfig(
+            max_batch_size=b, max_seq_len=max_seq,
+            prefill_buckets=(args.prompt_len,),
+            decode_steps=args.steps,
+        ),
+        quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
+    )
+    eng = LlmEngine(model, weights, econf)
+
+    # synthetic decode state: slot i active at kv_len=prompt_len with a
+    # disjoint block range (KV contents are garbage — irrelevant for timing)
+    mb = eng.max_blocks_per_seq
+    bt = np.zeros((b, mb), np.int32)
+    per = math.ceil(max_seq / args.block_size)
+    for i in range(b):
+        bt[i, :per] = 1 + np.arange(i * per, (i + 1) * per) % (blocks_needed - 1)
+    state = eng.state._replace(
+        last_tokens=jnp.asarray(np.random.randint(0, mc.vocab_size, b), jnp.int32),
+        kv_lens=jnp.full((b,), args.prompt_len, jnp.int32),
+        block_tables=jnp.asarray(bt),
+    )
+    kv = eng.kv
+    K = args.steps
+    results = {}
+    want = args.variants.split(",")
+
+    if "full" in want:
+        t, out = timeit(
+            eng._decode_multi_jit, weights, kv, state, False, K,
+            donate_chain=((1, 0), (2, 1)),
+        )
+        kv, state = out[0], out[1]
+        results["full"] = t / K
+
+    if "fwd" in want:
+        def fwd_only(weights, kv, state):
+            def body(carry, _):
+                kv, st = carry
+                active = st.kv_lens > 0
+                kv_lens_new = jnp.where(active, st.kv_lens + 1, 0)
+                inputs = ModelInputs(
+                    tokens=st.last_tokens[:, None],
+                    positions=jnp.where(active, st.kv_lens, 0)[:, None],
+                    block_tables=st.block_tables,
+                    kv_lens=kv_lens_new,
+                    q_offsets=st.kv_lens,
+                )
+                out, kv = model.forward(weights, kv, inputs)
+                st = st._replace(
+                    kv_lens=kv_lens_new,
+                    last_tokens=out.logits[:, 0].astype(jnp.int32) % 7 + 3,
+                )
+                return (kv, st), None
+            (kv, state), _ = jax.lax.scan(body, (kv, state), None, length=K)
+            return kv, state
+        fj = jax.jit(fwd_only, donate_argnums=(1, 2))
+        t, out = timeit(fj, weights, kv, state, donate_chain=((1, 0), (2, 1)))
+        kv, state = out
+        results["fwd"] = t / K
+
+    if "matmuls" in want:
+        # weight-read floor: x -> per-layer qkv/o/gate/up/down matmuls, no
+        # attention / KV / embedding / sampling
+        def mm_only(weights, x):
+            def body(x, _):
+                for i in range(mc.num_layers):
+                    q = model._linear(weights, "q_proj", i, x)
+                    k = model._linear(weights, "k_proj", i, x)
+                    v = model._linear(weights, "v_proj", i, x)
+                    # fold k/v in so nothing is dead code
+                    a = q + (k.sum(-1, keepdims=True)
+                             + v.sum(-1, keepdims=True)).astype(q.dtype)
+                    x = model._linear(weights, "o_proj", i, a)
+                    g = model._linear(weights, "gate_proj", i, x)
+                    u = model._linear(weights, "up_proj", i, x)
+                    x = model._linear(weights, "down_proj", i, jax.nn.silu(g) * u)
+                return x, None
+            x, _ = jax.lax.scan(body, x, None, length=K)
+            return x
+        x0 = jnp.zeros((b, 1, mc.hidden_size), jnp.bfloat16)
+        mj = jax.jit(mm_only)
+        t, _ = timeit(mj, weights, x0)
+        results["matmuls"] = t / K
+
+    if "attn" in want:
+        # attention-only: per-layer paged_attention over the real cache
+        from rtp_llm_tpu.ops.attention import paged_attention
+
+        def attn_only(kv, state):
+            q0 = jnp.ones((b, 1, mc.num_attention_heads, mc.head_dim),
+                          jnp.bfloat16)
+            def body(acc, _):
+                for i in range(mc.num_layers):
+                    o = paged_attention(
+                        q0 + acc[..., :1, :1, :1] * 0, kv[i, 0], kv[i, 1],
+                        state.block_tables, state.kv_lens, state.kv_lens - 1,
+                        mc.head_dim ** -0.5, block_size=args.block_size,
+                        backend=model.attn_backend,
+                    )
+                    acc = acc + o.mean()
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                  length=K)
+            return acc
+        aj = jax.jit(attn_only)
+        t, _ = timeit(aj, kv, state)
+        results["attn"] = t / K
+
+    if "sampler" in want:
+        from rtp_llm_tpu.ops.sampling import sample_tokens
+
+        def sampler_only(logits, state):
+            def body(st, _):
+                rng, key = jax.random.split(st.rng)
+                toks, lps, counts = sample_tokens(
+                    logits + st.last_tokens[:, None].astype(jnp.float32) * 0,
+                    st.params, st.prompt_mask, st.output_counts,
+                    eng.eos_ids, key, need_sampling=False,
+                    forced_tokens=st.forced_tokens,
+                    bias_ids=st.bias_ids, bias_vals=st.bias_vals,
+                )
+                st = st._replace(last_tokens=toks, output_counts=counts,
+                                 rng=rng)
+                return st, (toks, lps)
+            st, outs = jax.lax.scan(body, state, None, length=K)
+            return st, outs
+        logits0 = jnp.zeros((b, mc.vocab_size), jnp.float32)
+        sj = jax.jit(sampler_only, donate_argnums=(1,))
+        t, out = timeit(sj, logits0, state, donate_chain=((1, 0),))
+        state = out[0]
+        results["sampler"] = t / K
+
+    if "lmhead" in want:
+        def lmhead_only(weights, x):
+            def body(x, _):
+                h = x @ jnp.eye(mc.hidden_size, dtype=x.dtype)  # keep alive
+                logits = (h @ weights["lm_head"]).astype(jnp.float32)
+                return x + logits.mean().astype(x.dtype) * 0, logits.argmax(-1)
+            x, toks = jax.lax.scan(body, x, None, length=K)
+            return x, toks
+        x0 = jnp.zeros((b, mc.hidden_size), jnp.bfloat16)
+        lj = jax.jit(lmhead_only)
+        t, _ = timeit(lj, weights, x0)
+        results["lmhead"] = t / K
+
+    print("\n=== per-step times (ms), K=%d, b=%d ===" % (K, b))
+    for k, v in results.items():
+        print(f"{k:10s} {v*1e3:8.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,8 @@ class BeamGroup:
         self.beams: List[Beam] = []
         self.finished: List[BeamHypothesis] = []
         self.done = False
+        # effective new-token budget (engine clamps to max_seq_len headroom)
+        self.max_new = stream.config.max_new_tokens
 
     @property
     def prompt_len(self) -> int:

@@ -113,6 +113,14 @@ def insert_slot(
     )
 
 
+def set_counts_row(state: DecodeState, slot: jnp.ndarray,
+                   counts_row: jnp.ndarray) -> DecodeState:
+    """Restore one slot's output-token counts (preemption recompute re-enters
+    decode with its generation history intact, so frequency/presence penalties
+    must see the pre-preemption counts)."""
+    return state._replace(output_counts=state.output_counts.at[slot].set(counts_row))
+
+
 def clear_slot(state: DecodeState, slot: jnp.ndarray) -> DecodeState:
     """Deactivate a slot (kv_len=0 masks it everywhere)."""
     return state._replace(kv_lens=state.kv_lens.at[slot].set(0))

@@ -137,6 +137,7 @@ class LlmEngine:
         self._clear_jit = jax.jit(ds.clear_slot, donate_argnums=(0,))
         self._set_blocks_jit = jax.jit(ds.set_block_row, donate_argnums=(0,))
         self._set_ban_jit = jax.jit(ds.set_ban_eos, donate_argnums=(0,))
+        self._set_counts_jit = jax.jit(ds.set_counts_row, donate_argnums=(0,))
         self._set_forced_jit = jax.jit(ds.set_forced, donate_argnums=(0,))
         self._first_sample_jit = jax.jit(
             self._first_sample_impl, static_argnums=(4,)
@@ -328,13 +329,20 @@ class LlmEngine:
         kw, vw = kv_writes  # [L, B, HD]
         l, b, hd = kw.shape
         ns = kv.shape[2]
+        # int32 index math: the OOB sentinel from token_slots is 2**30, so the
+        # largest index is (2l-1)*ns + 2**30 — must stay below int32 max for
+        # mode="drop" to see a positive out-of-range index (not a wrapped
+        # negative one that silently corrupts row 0's neighborhood)
+        assert l * 2 * ns + (1 << 30) < (1 << 31), (
+            f"KV pool too large for int32 deferred-write indices "
+            f"(layers={l}, slots={ns})")
         slots = token_slots(
             jnp.where(active, state.kv_lens, 0)[:, None],
             state.block_tables, self.block_size, active[:, None],
         ).reshape(-1)  # [B] (invalid -> OOB drop)
-        base = (jnp.arange(l, dtype=jnp.int64) * 2)[:, None] * ns  # [L,1]
-        idx_k = (base + slots[None, :].astype(jnp.int64)).reshape(-1)
-        idx_v = (base + ns + slots[None, :].astype(jnp.int64)).reshape(-1)
+        base = (jnp.arange(l, dtype=jnp.int32) * 2)[:, None] * ns  # [L,1]
+        idx_k = (base + slots[None, :].astype(jnp.int32)).reshape(-1)
+        idx_v = (base + ns + slots[None, :].astype(jnp.int32)).reshape(-1)
         flat = kv.reshape(l * 2 * ns, hd)
         flat = flat.at[jnp.concatenate([idx_k, idx_v])].set(
             jnp.concatenate([kw.reshape(-1, hd), vw.reshape(-1, hd)]
@@ -573,53 +581,62 @@ class LlmEngine:
         logprobs = np.asarray(self._logsoftmax_jit(logits))[0]
         k = stream.config.num_beams
         group = BeamGroup(stream, k, self.cache_mgr, self.block_size)
-        group.init_from_prefill(
-            stream.alloc.blocks, logprobs, self.eos_ids,
+        # effective budget: never let a beam outgrow max_seq_len (its block
+        # table row is fixed at max_blocks_per_seq)
+        group.max_new = max(1, min(
             stream.config.max_new_tokens,
+            self.config.scheduler.max_seq_len - stream.prompt_len,
+        ))
+        group.init_from_prefill(
+            stream.alloc.blocks, logprobs, self.eos_ids, group.max_new,
         )
         # block ownership: beam 0 inherits the stream allocation; others share
         # full blocks and fork the partial tail
         parent_blocks = stream.alloc.blocks
         stream.alloc.blocks = []  # ownership moves to the beams
         p = stream.prompt_len
-        self._beam_fix_blocks(group, parent_blocks, seq_len=p)
         self._beam_groups.append(group)
+        if not self._beam_fix_blocks(group, parent_blocks, seq_len=p):
+            # pool exhausted before the fork: finish with the best first token
+            group.beams[0].blocks = list(parent_blocks)
+            for b in group.beams[1:]:
+                b.blocks = []
+            self._finish_beam_group(group)
 
-    def _beam_fix_blocks(self, group, parent_blocks, seq_len):
+    def _beam_fix_blocks(self, group, parent_blocks, seq_len) -> bool:
         """Give each beam writable KV coverage for its pending token at
         ``seq_len``. Beam 0 inherits parent_blocks; the rest share full blocks
-        (ref) and copy the partial tail when one exists."""
+        (ref) and copy the partial tail when one exists. All fresh blocks are
+        claimed in one malloc so OOM leaves no partial refcounts; returns
+        False on OOM (caller finishes the group)."""
         bs = self.block_size
         pool = self.cache_mgr.pool
+        k = len(group.beams)
         need_fresh_tail = seq_len % bs == 0  # pending token opens a new block
+        n_fresh = (k - 1) + (1 if need_fresh_tail else 0)
+        fresh = self.cache_mgr._malloc(n_fresh) if n_fresh else []
+        if fresh is None:
+            return False
         copies_src, copies_dst = [], []
+        fi = 0
         for i, beam in enumerate(group.beams):
             if i == 0:
                 blocks = list(parent_blocks)
                 if need_fresh_tail:
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks += fresh
+                    blocks.append(fresh[fi]); fi += 1
+            elif need_fresh_tail:
+                shared = list(parent_blocks)
+                pool.ref(shared)
+                blocks = shared + [fresh[fi]]; fi += 1
             else:
-                if need_fresh_tail:
-                    shared = list(parent_blocks)
-                    pool.ref(shared)
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks = shared + fresh
-                else:
-                    shared = list(parent_blocks[:-1])
-                    pool.ref(shared)
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks = shared + fresh
-                    copies_src.append(parent_blocks[-1])
-                    copies_dst.append(fresh[0])
+                shared = list(parent_blocks[:-1])
+                pool.ref(shared)
+                blocks = shared + [fresh[fi]]
+                copies_src.append(parent_blocks[-1])
+                copies_dst.append(fresh[fi]); fi += 1
             beam.blocks = blocks
         self.copy_blocks(copies_src, copies_dst)
+        return True
 
     def _beam_step(self, group):
         """One decode+rerank step for a beam group."""
@@ -646,7 +663,7 @@ class LlmEngine:
         lp = np.asarray(logprobs)
         children = group.advance(
             lp, self.eos_ids if not stream.config.ignore_eos else (),
-            stream.config.max_new_tokens,
+            group.max_new,
         )
         self.tokens_generated += len(children)
 
@@ -654,7 +671,10 @@ class LlmEngine:
             self._finish_beam_group(group)
             return
 
-        # rebuild beams: per-parent forking of KV tails at position n+1
+        # rebuild beams: per-parent forking of KV tails at position n+1.
+        # All fresh blocks are claimed in one malloc; on OOM the old beams are
+        # intact, so the group finishes with its best hypothesis instead of
+        # raising out of step() (one bad request must not kill the batch).
         old_beams = group.beams
         bs = self.block_size
         pool = self.cache_mgr.pool
@@ -662,9 +682,16 @@ class LlmEngine:
         need_fresh_tail = new_pos % bs == 0
         from rtp_llm_tpu.engine.beam import Beam
 
+        used_parents = {p for (p, _t, _s) in children}
+        n_fresh = (len(children) - len(used_parents)
+                   + (len(used_parents) if need_fresh_tail else 0))
+        fresh_all = self.cache_mgr._malloc(n_fresh) if n_fresh else []
+        if fresh_all is None:
+            self._finish_beam_group(group)
+            return
+        fi = 0
         new_beams = [None] * len(children)
         copies_src, copies_dst = [], []
-        used_parents = {p for (p, _t, _s) in children}
         inherited = set()  # parents whose block list one child took over
         for ci, (parent, tok, score) in enumerate(children):
             pbeam = old_beams[parent]
@@ -672,27 +699,17 @@ class LlmEngine:
                 inherited.add(parent)
                 blocks = list(pbeam.blocks)
                 if need_fresh_tail:
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks += fresh
+                    blocks.append(fresh_all[fi]); fi += 1
+            elif need_fresh_tail:
+                shared = list(pbeam.blocks)
+                pool.ref(shared)
+                blocks = shared + [fresh_all[fi]]; fi += 1
             else:
-                if need_fresh_tail:
-                    shared = list(pbeam.blocks)
-                    pool.ref(shared)
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks = shared + fresh
-                else:
-                    shared = list(pbeam.blocks[:-1])
-                    pool.ref(shared)
-                    fresh = self.cache_mgr._malloc(1)
-                    if fresh is None:
-                        raise RuntimeError("KV pool exhausted during beam fork")
-                    blocks = shared + fresh
-                    copies_src.append(pbeam.blocks[-1])
-                    copies_dst.append(fresh[0])
+                shared = list(pbeam.blocks[:-1])
+                pool.ref(shared)
+                blocks = shared + [fresh_all[fi]]
+                copies_src.append(pbeam.blocks[-1])
+                copies_dst.append(fresh_all[fi]); fi += 1
             new_beams[ci] = Beam(
                 tokens=pbeam.tokens + [tok], cum_logprob=score, blocks=blocks
             )
@@ -723,9 +740,11 @@ class LlmEngine:
     # ---- prefill path ----
 
     def _prefill_forward(self, stream: GenerateStream, state_slot=None):
-        """Chunked prefill of stream's non-reused prompt; returns last-chunk
-        logits [1, V] (the distribution for the first generated token)."""
-        prompt = stream.prompt_token_ids
+        """Chunked prefill of stream's non-reused context; returns last-chunk
+        logits [1, V] (the distribution for the first generated token). For
+        preemption recompute the context includes previously generated tokens
+        (stream.context_token_ids)."""
+        prompt = stream.context_token_ids
         p = len(prompt)
         self._apply_restores(stream.alloc)
         r = stream.reuse_len
@@ -753,12 +772,25 @@ class LlmEngine:
             if stream.mm is not None:
                 mm = stream.mm
                 h = self.model.cfg.hidden_size
+                mm_len = mm.positions3.shape[1]
+                if p > mm_len:
+                    # recompute covers generated tokens past the prompt: text
+                    # continuation positions (pos + delta), no vision embeds
+                    tail = np.arange(mm_len, p, dtype=np.int32) + int(mm.delta)
+                    pos3 = np.concatenate(
+                        [mm.positions3, np.tile(tail, (3, 1))], axis=1)
+                    embs = np.concatenate(
+                        [mm.embeds, np.zeros((p - mm_len, h), mm.embeds.dtype)])
+                    mask = np.concatenate(
+                        [mm.mask, np.zeros((p - mm_len,), bool)])
+                else:
+                    pos3, embs, mask = mm.positions3, mm.embeds, mm.mask
                 m3 = np.zeros((1, 3, bucket), np.int32)
-                m3[0, :, :t_real] = mm.positions3[:, pos : pos + t_real]
+                m3[0, :, :t_real] = pos3[:, pos : pos + t_real]
                 emb = np.zeros((1, bucket, h), np.float32)
-                emb[0, :t_real] = mm.embeds[pos : pos + t_real]
+                emb[0, :t_real] = embs[pos : pos + t_real]
                 msk = np.zeros((1, bucket), bool)
-                msk[0, :t_real] = mm.mask[pos : pos + t_real]
+                msk[0, :t_real] = mask[pos : pos + t_real]
                 self.kv, logits = self._get_prefill_mm_fn(bucket)(
                     self.weights, self.kv,
                     jnp.asarray(toks), jnp.asarray(positions),
@@ -806,8 +838,8 @@ class LlmEngine:
             return
         packable, chunked = [], []
         for s in streams:
-            (packable if s.prompt_len - s.reuse_len <= max_bucket
-             and s.mm is None else chunked).append(s)
+            (packable if len(s.context_token_ids) - s.reuse_len <= max_bucket
+             and s.mm is None and not s.is_recompute else chunked).append(s)
         for s in chunked:
             self._run_prefill(s)
         if len(packable) == 1:
@@ -930,8 +962,11 @@ class LlmEngine:
                 self._release_stream(s)
 
     def _run_prefill(self, stream: GenerateStream):
-        """Chunked prefill, then first-token sample + decode-slot insertion."""
-        prompt = stream.prompt_token_ids
+        """Chunked prefill, then first-token sample + decode-slot insertion.
+        Preemption recompute (stream.is_recompute) prefills the generated
+        context too and re-enters decode with the pending last token — no new
+        sample is drawn and no duplicate token is appended."""
+        prompt = stream.context_token_ids
         p = len(prompt)
         blocks = stream.alloc.blocks
         block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
@@ -941,6 +976,10 @@ class LlmEngine:
         # decode slot is assigned before the forward
         pre_slot = self._free_slots.pop() if self.is_hybrid else None
         logits = self._prefill_forward(stream, state_slot=pre_slot)
+
+        if stream.is_recompute:
+            self._reinsert_recomputed(stream, block_row, block_row_j, pre_slot)
+            return
 
         # sample the first generated token from the last-chunk logits
         ban = stream.needs_eos_ban()
@@ -1007,6 +1046,46 @@ class LlmEngine:
         )
         if finished:
             self._release_stream(stream)
+
+    def _reinsert_recomputed(self, stream, block_row, block_row_j, pre_slot):
+        """Decode-slot insertion for a preemption-recompute stream: the last
+        generated token is pending (its KV row is written by the next decode
+        step), no new token is sampled or appended, and the device penalty
+        statistics are restored from the generation history."""
+        pending = int(stream.output_token_ids[-1])
+        ctx_len = stream.total_len - 1
+        ban = stream.needs_eos_ban()
+        prow = ds.params_row_from_config(stream.config, ban)
+        pmask = np.zeros((self.model.cfg.vocab_size,), bool)
+        pmask[np.asarray(stream.prompt_token_ids, np.int64)] = True
+        b_ids, b_vals = self._bias_rows(stream.config)
+        slot = pre_slot if pre_slot is not None else self._free_slots.pop()
+        stream.slot = slot
+        self.slots[slot] = stream
+        self._slot_nblocks[slot] = len(stream.alloc.blocks)
+        self._slot_ban[slot] = ban
+        self._slot_forced[slot] = -1
+        self.state = self._insert_jit(
+            self.state, jnp.int32(slot), jnp.int32(pending),
+            jnp.int32(ctx_len), block_row_j, jnp.asarray(pmask),
+            prow["temperature"], prow["top_k"], prow["top_p"],
+            prow["do_sample"], prow["repetition_penalty"],
+            prow["presence_penalty"], prow["frequency_penalty"],
+            prow["ban_eos"],
+            np.int32(self._adapter_id_for(stream)),
+            np.int32(stream.mm.delta if stream.mm is not None else 0),
+            jnp.asarray(b_ids) if b_ids is not None else None,
+            jnp.asarray(b_vals) if b_vals is not None else None,
+        )
+        counts = np.zeros((self.model.cfg.vocab_size,), np.int32)
+        np.add.at(counts, np.asarray(stream.output_token_ids, np.int64), 1)
+        self.state = self._set_counts_jit(
+            self.state, jnp.int32(slot), jnp.asarray(counts)
+        )
+        if self.draft is not None:
+            self.draft.prefill(stream.context_token_ids, block_row)
+        if self.mtp is not None:
+            self.mtp.set_slot_hidden(slot, self._mtp_seed_hidden)
 
     @staticmethod
     def _bias_rows(config):
@@ -1116,6 +1195,13 @@ class LlmEngine:
 
     def _step_locked(self) -> bool:
         from rtp_llm_tpu.utils.metrics import METRICS, timed
+
+        # release streams finished outside the engine loop (client abort,
+        # frontend stop-string hit): without this their KV blocks and decode
+        # slot leak, and the device keeps decoding garbage rows for them
+        for s in self.scheduler.running:
+            if s.is_finished() and (s.slot >= 0 or s.alloc is not None):
+                self._release_stream(s)
 
         # prefill admission needs resolved slot/block state; idle steps flush
         if self.scheduler.waiting or not self.scheduler.running:

@@ -95,10 +95,14 @@ class FIFOScheduler:
             if s.is_finished():  # cancelled while waiting
                 self.waiting.popleft()
                 continue
+            # preempted streams recompute their full generated context
+            # (vLLM-style recompute): context = all tokens except the pending
+            # last one, which re-enters decode directly
+            ctx_len = s.total_len - 1 if s.output_token_ids else s.prompt_len
             need = self.cache.estimate_peak_blocks(
-                s.prompt_len,
-                min(s.config.max_new_tokens,
-                    self.config.max_seq_len - s.prompt_len),
+                ctx_len,
+                min(s.config.max_new_tokens - len(s.output_token_ids),
+                    self.config.max_seq_len - ctx_len),
             ) * max(1, s.config.num_beams)  # beams fork the KV footprint
             if need + watermark > self.cache.free_blocks:
                 break  # strict FIFO: do not skip ahead (reference behavior)
@@ -108,7 +112,7 @@ class FIFOScheduler:
                 break
             self.waiting.popleft()
             s.alloc = alloc
-            s.reuse_len = min(alloc.reuse_len, s.prompt_len - 1)
+            s.reuse_len = min(alloc.reuse_len, ctx_len - 1)
             s.state = StreamState.RUNNING
             new_streams.append(s)
 

@@ -104,6 +104,21 @@ class GenerateStream:
     def all_token_ids(self) -> List[int]:
         return self.prompt_token_ids + self.output_token_ids
 
+    @property
+    def is_recompute(self) -> bool:
+        """True when re-admitted after preemption with generated output: the
+        prefill must cover the generated tokens too (vLLM-style recompute)."""
+        return bool(self.output_token_ids)
+
+    @property
+    def context_token_ids(self) -> List[int]:
+        """Tokens the prefill must compute KV for: the full history minus the
+        pending last generated token (which re-enters decode directly). Equals
+        the prompt for fresh streams."""
+        if self.output_token_ids:
+            return self.all_token_ids[:-1]
+        return self.prompt_token_ids
+
     def is_finished(self) -> bool:
         return self.state in (StreamState.FINISHED, StreamState.STOPPED)
 

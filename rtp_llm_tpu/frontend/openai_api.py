@@ -68,13 +68,21 @@ class OpenAIApp:
         return seqs
 
     async def _collect(self, stream, detok: IncrementalDetokenizer):
-        """Drain a stream to completion (non-streaming response)."""
+        """Drain a stream to completion (non-streaming response). A stop
+        string that only materializes in decoded text (tokenizing differently
+        from the encoded stop sequences) finishes the stream immediately so
+        the engine stops spending decode capacity on it."""
+        from rtp_llm_tpu.engine.stream import FinishReason
+
         loop = asyncio.get_running_loop()
         while True:
             out = await loop.run_in_executor(None, stream.next_output)
             if out.error:
                 raise web.HTTPInternalServerError(text=out.error)
-            detok.push(out.new_tokens)
+            _, hit = detok.push(out.new_tokens)
+            if hit and not out.finished:
+                stream.finish(FinishReason.STOP)
+                return out
             if out.finished:
                 return out
 
@@ -306,12 +314,20 @@ class OpenAIApp:
                     out = await loop.run_in_executor(None, stream.next_output)
                     if out.error:
                         break
-                    text, _hit = detok.push(out.new_tokens)
-                    if out.finished:
+                    text, hit = detok.push(out.new_tokens)
+                    if hit and not out.finished:
+                        # stop string seen only in decoded text: finish the
+                        # stream (frees its decode slot next engine step) and
+                        # close this response with finish_reason "stop"
+                        from rtp_llm_tpu.engine.stream import FinishReason
+
+                        stream.finish(FinishReason.STOP)
+                    if out.finished or hit:
                         text += detok.finalize()
                         await emit_text(text)
-                        finish = (stream.finish_reason.value
-                                  if stream.finish_reason else "stop")
+                        finish = ("stop" if hit else
+                                  (stream.finish_reason.value
+                                   if stream.finish_reason else "stop"))
                         if parser is not None:
                             r, c, tool_calls = parser.finalize()
                             if r:

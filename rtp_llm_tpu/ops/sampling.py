@@ -69,16 +69,24 @@ TOPK_CAP = 64
 
 
 def _topk_topp_mask(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
-    """Mask logits outside the per-row top-k / top-p nucleus with NEG_INF."""
+    """Mask logits outside the per-row top-k / top-p nucleus with NEG_INF.
+
+    Rows with top_k disabled (<=0 or > cap) keep their full distribution on
+    the k side; rows with top_p >= 1 keep it on the p side — so the OpenAI
+    default (top_k=0, top_p=1.0) samples the untruncated distribution,
+    matching the reference CUDA sampler's full-softmax semantics."""
     v = logits.shape[-1]
     cap = min(TOPK_CAP, v)
     sorted_logits, _ = jax.lax.top_k(logits, cap)  # [B, cap] desc
-    # top-k threshold: value of the k-th largest (k=0 -> cap)
-    k = jnp.where(params.top_k > 0, jnp.clip(params.top_k, 1, cap), cap)
+    # top-k threshold: value of the k-th largest; k<=0 or k>cap disables
+    k_active = (params.top_k > 0) & (params.top_k <= cap)
+    k = jnp.where(k_active, jnp.clip(params.top_k, 1, cap), cap)
     kth = jnp.take_along_axis(sorted_logits, (k - 1)[:, None], axis=-1)  # [B,1]
-    keep_k = logits >= kth
+    keep_k = (logits >= kth) | ~k_active[:, None]
     # top-p over the candidate set: smallest prefix with cumsum >= top_p
-    # (softmax over the full row so probabilities are exact)
+    # (softmax over the full row so probabilities are exact; a nucleus wider
+    # than the cap degrades to top-cap — negligible mass for LLM logits)
+    p_active = params.top_p < 1.0
     lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
     probs_sorted = jnp.exp(sorted_logits - lse)  # [B, cap]
     cum = jnp.cumsum(probs_sorted, axis=-1)
@@ -87,7 +95,7 @@ def _topk_topp_mask(logits: jnp.ndarray, params: SamplingParams) -> jnp.ndarray:
     thresh = jnp.min(
         jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
-    keep_p = logits >= thresh
+    keep_p = (logits >= thresh) | ~p_active[:, None]
     return jnp.where(keep_k & keep_p, logits, NEG_INF)
 
 

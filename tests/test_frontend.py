@@ -320,3 +320,49 @@ async def _logprobs_roundtrip(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_streaming_stop_string_finishes_stream(fake_dir):
+    asyncio.run(_streaming_stop_string(fake_dir))
+
+
+async def _streaming_stop_string(fake_dir):
+    """A stop word hit must (a) deliver the content BEFORE the stop word,
+    (b) close with finish_reason 'stop', and (c) finish the engine stream so
+    decode capacity is freed (advisor round-1 finding)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            # discover the deterministic output first
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w5 w6"}],
+                "max_tokens": 8, "temperature": 0.0,
+            })
+            full = (await r.json())["choices"][0]["message"]["content"]
+            words = full.split()
+            assert len(words) >= 3, full
+            stop_word = words[2]
+            prefix = full[: full.find(stop_word)]
+
+            r = await client.post("/v1/chat/completions", json={
+                "messages": [{"role": "user", "content": "w5 w6"}],
+                "max_tokens": 8, "temperature": 0.0, "stream": True,
+                "stop": [stop_word],
+            })
+            raw = (await r.read()).decode()
+            events = [l[6:] for l in raw.splitlines() if l.startswith("data: ")]
+            assert events[-1] == "[DONE]"
+            chunks = [json.loads(e) for e in events[:-1]]
+            text = "".join(
+                c["choices"][0]["delta"].get("content", "") for c in chunks
+            )
+            assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+            assert text == prefix, (text, prefix, full)
+        finally:
+            await client.close()
+    finally:
+        runner.stop()

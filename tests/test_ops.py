@@ -148,3 +148,59 @@ def test_repetition_penalty_and_eos_ban():
     )
     # 0 penalized away, 3 (eos) banned -> 1 wins
     assert int(toks[0]) == 1
+
+
+def test_sample_unrestricted_keeps_full_distribution():
+    """top_k=0 + top_p=1.0 (the OpenAI default) must sample the FULL
+    distribution, not a silently truncated top-64 (advisor round-1 finding):
+    with uniform logits over V >> 64 every token is reachable."""
+    from rtp_llm_tpu.ops.sampling import TOPK_CAP, _topk_topp_mask
+
+    v = 4 * TOPK_CAP
+    logits = jnp.zeros((1, v), jnp.float32)
+    params = _mk_params(1, do_sample=jnp.array([True]),
+                        temperature=jnp.array([1.0]))
+    masked = _topk_topp_mask(logits, params)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(logits))
+    # and end-to-end: tokens outside the top-cap must appear
+    seen_past_cap = False
+    for i in range(50):
+        toks, _, _ = sample_tokens(
+            logits, params, jnp.zeros((1, v), bool),
+            jnp.zeros((1, v), jnp.int32), [], jax.random.key(i),
+        )
+        if int(toks[0]) >= TOPK_CAP:
+            seen_past_cap = True
+            break
+    assert seen_past_cap
+
+
+def test_sample_topk_above_cap_degrades_to_unrestricted():
+    """Requested top_k > TOPK_CAP cannot be honored exactly; it must degrade
+    to the full distribution (less restrictive) rather than silently
+    truncating at the cap."""
+    from rtp_llm_tpu.ops.sampling import TOPK_CAP, _topk_topp_mask
+
+    v = 4 * TOPK_CAP
+    logits = jnp.zeros((1, v), jnp.float32)
+    params = _mk_params(1, do_sample=jnp.array([True]),
+                        top_k=jnp.array([TOPK_CAP + 10], jnp.int32))
+    masked = _topk_topp_mask(logits, params)
+    np.testing.assert_allclose(np.asarray(masked), np.asarray(logits))
+
+
+def test_sample_mixed_rows_restricted_and_not():
+    """Per-row semantics: a restricted row keeps its nucleus while an
+    unrestricted row in the same batch keeps everything."""
+    from rtp_llm_tpu.ops.sampling import NEG_INF, _topk_topp_mask
+
+    v = 256
+    base = jnp.arange(v, dtype=jnp.float32) / v  # increasing
+    logits = jnp.stack([base, base])
+    params = _mk_params(
+        2, do_sample=jnp.array([True, True]),
+        top_k=jnp.array([2, 0], jnp.int32),
+    )
+    masked = np.asarray(_topk_topp_mask(logits, params))
+    assert (masked[0] == NEG_INF).sum() == v - 2  # top-2 only
+    np.testing.assert_allclose(masked[1], np.asarray(base))

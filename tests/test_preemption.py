@@ -1,0 +1,127 @@
+"""Preemption / external-finish robustness tests (advisor round-1 findings).
+
+Reference analog: FIFOScheduler evaluateRunningMemory eviction + stream
+re-admission (cpp/engine_base/schedulers/FIFOScheduler.cc); the TPU engine
+preempts to WAITING and recomputes the full generated context on re-admission
+(vLLM-style recompute).
+"""
+
+import numpy as np
+
+from rtp_llm_tpu.config.generate_config import GenerateConfig
+from rtp_llm_tpu.engine.stream import StreamState
+
+from tests.test_engine import (
+    EOS, VOCAB, expected_chain, greedy, make_engine, mock_next,
+)
+
+
+def test_preempted_stream_recomputes_and_continues_exactly():
+    """Pool exhaustion mid-decode preempts a stream; its continuation after
+    re-admission must be token-for-token identical to an uninterrupted run
+    (no duplicate first token, no lost KV positions)."""
+    # 10 blocks x 4 = 40 token-slots; two streams peak at 2 x 24 = 48
+    eng = make_engine(max_batch=4, num_blocks=10, block_size=4,
+                      max_seq_len=40, prefix_cache=False)
+    a = eng.enqueue([1, 2, 3, 4], greedy(20))
+    b = eng.enqueue([5, 6, 7, 8], greedy(20))
+    preempted = False
+    for _ in range(300):
+        if a.is_finished() and b.is_finished():
+            break
+        eng.step()
+        for s in (a, b):
+            if s.state == StreamState.WAITING and s.output_token_ids:
+                preempted = True
+    assert a.is_finished() and b.is_finished()
+    assert preempted, "test setup must actually trigger preemption"
+    assert a.output_token_ids == expected_chain([1, 2, 3, 4], 20)
+    assert b.output_token_ids == expected_chain([5, 6, 7, 8], 20)
+
+
+def test_preemption_with_prefix_cache_enabled():
+    eng = make_engine(max_batch=4, num_blocks=10, block_size=4,
+                      max_seq_len=40, prefix_cache=True)
+    a = eng.enqueue([1, 2, 3, 4], greedy(20))
+    b = eng.enqueue([5, 6, 7, 8], greedy(20))
+    for _ in range(300):
+        if a.is_finished() and b.is_finished():
+            break
+        eng.step()
+    assert a.output_token_ids == expected_chain([1, 2, 3, 4], 20)
+    assert b.output_token_ids == expected_chain([5, 6, 7, 8], 20)
+
+
+def test_no_block_leak_across_preemption_cycles():
+    eng = make_engine(max_batch=4, num_blocks=10, block_size=4,
+                      max_seq_len=40, prefix_cache=False)
+    free0 = eng.cache_mgr.pool.free_blocks
+    streams = [eng.enqueue([i + 1] * 4, greedy(16)) for i in range(3)]
+    for _ in range(400):
+        if all(s.is_finished() for s in streams):
+            break
+        eng.step()
+    assert all(s.is_finished() for s in streams)
+    assert eng.cache_mgr.pool.free_blocks == free0
+
+
+def test_externally_aborted_stream_releases_slot_and_blocks():
+    """Client disconnect aborts a RUNNING stream from the frontend thread; the
+    engine sweep must release its decode slot and KV blocks next step."""
+    eng = make_engine(max_batch=2, num_blocks=32, block_size=4,
+                      prefix_cache=False)
+    free0 = eng.cache_mgr.pool.free_blocks
+    s = eng.enqueue([1, 2, 3], greedy(30))
+    for _ in range(3):
+        eng.step()
+    assert s.slot >= 0
+    s.abort()  # external: e.g. ConnectionResetError in the HTTP handler
+    eng.step()
+    assert s.slot == -1
+    assert all(st is None for st in eng.slots)
+    eng.step()  # idle step flushes pending
+    assert eng.cache_mgr.pool.free_blocks == free0
+
+
+def test_beam_oom_finishes_with_best_hypothesis():
+    """Beam fork under pool exhaustion must finish the group with its best
+    hypothesis instead of raising out of step() (which would abort every
+    running stream). Admission's peak estimate normally prevents this, so
+    simulate concurrent pressure by draining the pool after admission."""
+    eng = make_engine(max_batch=2, num_blocks=64, block_size=4,
+                      max_seq_len=64, prefix_cache=False)
+    free0 = eng.cache_mgr.pool.free_blocks
+    cfg = GenerateConfig(max_new_tokens=16, num_beams=4, do_sample=False,
+                         ignore_eos=True)
+    s = eng.enqueue([1, 2, 3, 4, 5, 6, 7, 8], cfg)
+    eng.step()  # admit + beam prefill + first fork
+    assert eng._beam_groups, "beam group must be live before draining"
+    hog = eng.cache_mgr._malloc(eng.cache_mgr.pool.free_blocks)
+    assert hog
+    for _ in range(60):
+        if s.is_finished():
+            break
+        eng.step()
+    assert s.is_finished()
+    assert len(s.output_token_ids) >= 1
+    # all beam blocks released
+    assert not eng._beam_groups
+    eng.cache_mgr.pool.free(hog)
+    assert eng.cache_mgr.pool.free_blocks == free0
+
+
+def test_beam_respects_max_seq_len():
+    """num_beams with max_new_tokens > max_seq_len headroom must clamp (the
+    block-table row is fixed at max_blocks_per_seq) and finish cleanly."""
+    eng = make_engine(max_batch=2, num_blocks=64, block_size=4, max_seq_len=16)
+    free0 = eng.cache_mgr.pool.free_blocks
+    cfg = GenerateConfig(max_new_tokens=500, num_beams=2, do_sample=False,
+                         ignore_eos=True)
+    s = eng.enqueue([1, 2, 3, 4, 5, 6], cfg)
+    for _ in range(60):
+        if s.is_finished():
+            break
+        eng.step()
+    assert s.is_finished()
+    assert 1 <= len(s.output_token_ids) <= 16 - 6
+    assert eng.cache_mgr.pool.free_blocks == free0
