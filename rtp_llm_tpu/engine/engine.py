@@ -96,9 +96,16 @@ class LlmEngine:
                 cache_sharding, replicated, state_sharding,
             )
 
-            if mesh.devices.size > 1 and getattr(model, "attn_backend", None):
-                # GSPMD cannot auto-partition a pallas_call; use the XLA
-                # reference attention until the shard_map kernel path lands
+            if hasattr(model, "mesh"):
+                # multi-device: the attention dispatch wraps the Pallas
+                # decode kernel in shard_map over (dp, tp) — kv heads are
+                # tp-sharded so the kernel is per-shard local (models whose
+                # layout can't shard fall back to the XLA ref path inside
+                # paged_attention)
+                model.mesh = mesh if mesh.devices.size > 1 else None
+            elif mesh.devices.size > 1 and getattr(model, "attn_backend", None):
+                # models without shard_map support (MLA latent cache, hybrid
+                # linear state): XLA ref attention under GSPMD
                 model.attn_backend = "ref"
 
             self.kv = jax.device_put(self.kv, cache_sharding(mesh, mc))

@@ -66,6 +66,7 @@ class LlamaFamilyModel:
         )
         self.block_size = 16  # set by init_cache
         self.attn_backend = "auto"  # auto | pallas | ref
+        self.mesh = None  # set by the engine; enables the shard_map kernel path
 
     # ---- cache ----
 
@@ -277,6 +278,7 @@ class LlamaFamilyModel:
             soft_cap=cfg.attn_soft_cap,
             backend=self.attn_backend,
             k_scale=k_scale, v_scale=v_scale,
+            mesh=self.mesh,
             cur_k=cur_k, cur_v=cur_v,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)

@@ -29,6 +29,62 @@ def default_backend() -> str:
         return "ref"
 
 
+def _pallas_decode_sharded(
+    mesh, q, k_cache, v_cache, block_tables, kv_lens, sm_scale, block_size,
+    sliding_window, cur_k, cur_v, interpret,
+):
+    """Run the Pallas decode kernel under a live mesh via shard_map.
+
+    GSPMD cannot auto-partition a pallas_call, but the kernel is perfectly
+    local once operands are placed: kv heads (cache lane dim + q/out head dim)
+    shard over "tp" — the same split the k/v projections use — and the decode
+    batch shards over "dp" (reference analog: per-rank local attention after
+    the TP head split, models_py/distributed/collective_torch.py:189)."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
+
+    has_cur = cur_k is not None
+    hd = k_cache.shape[1]
+    if not has_cur:  # shard_map needs concrete operands
+        cur_k = jnp.zeros((q.shape[0], hd), k_cache.dtype)
+        cur_v = jnp.zeros((q.shape[0], hd), v_cache.dtype)
+
+    def local(q, k_cache, v_cache, block_tables, kv_lens, cur_k, cur_v):
+        return paged_decode_attention(
+            q, k_cache, v_cache, block_tables, kv_lens, sm_scale,
+            block_size=block_size, sliding_window=sliding_window,
+            cur_k=cur_k if has_cur else None,
+            cur_v=cur_v if has_cur else None,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(
+            P("dp", "tp", None),   # q [B, Hq, D]
+            P(None, "tp"),         # k_cache [NS, Hkv*D]
+            P(None, "tp"),         # v_cache
+            P("dp", None),         # block_tables
+            P("dp"),               # kv_lens
+            P("dp", "tp"),         # cur_k
+            P("dp", "tp"),         # cur_v
+        ),
+        out_specs=P("dp", "tp", None),
+        # pallas_call out_shapes don't carry vma metadata; replication over
+        # unused axes (cp) is guaranteed by construction here
+        check_vma=False,
+    )
+    return fn(q, k_cache, v_cache, block_tables, kv_lens, cur_k, cur_v)
+
+
 def paged_attention(
     q: jnp.ndarray,  # [B, T, Hq, D]
     k_cache: jnp.ndarray,  # [slots, Hkv*D]
@@ -45,6 +101,7 @@ def paged_attention(
     v_scale: jnp.ndarray | None = None,
     cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] deferred current-token K/V
     cur_v: jnp.ndarray | None = None,  # (decode T=1: cache holds kv_len-1)
+    mesh=None,  # live jax.sharding.Mesh => shard_map-wrapped kernel
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -59,6 +116,22 @@ def paged_attention(
         and soft_cap == 0.0
         and k_scale is None  # int8 KV: pallas dequant support pending
     )
+    multi = mesh is not None and mesh.devices.size > 1
+    if use_pallas and multi:
+        tp = mesh.shape.get("tp", 1)
+        dp = mesh.shape.get("dp", 1)
+        # per-shard locality requirements (else XLA ref path below)
+        use_pallas = (
+            hkv % tp == 0 and hq % tp == 0 and b % dp == 0
+            and (hq // tp) % (hkv // tp) == 0
+        )
+        if use_pallas:
+            out = _pallas_decode_sharded(
+                mesh, q[:, 0], k_cache, v_cache, block_tables, kv_lens,
+                sm_scale, block_size, sliding_window, cur_k, cur_v,
+                interpret=jax.default_backend() == "cpu",
+            )
+            return out[:, None]
     if use_pallas:
         from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
 
