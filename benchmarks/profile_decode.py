@@ -17,6 +17,7 @@ Usage: python benchmarks/profile_decode.py [--batch 64] [--steps 16] ...
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -25,13 +26,27 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 
-def timeit(fn, *args, n=3, donate_chain=None):
-    """Time fn(*args) with block_until_ready; if donate_chain is a tuple of
-    arg indices whose outputs replace them, chain the calls."""
+def _sync(out):
+    """Force completion of the whole program by fetching ONE element derived
+    from an output leaf. On the tunneled axon platform block_until_ready can
+    return before execution and big-array fetches run at tunnel bandwidth, so
+    a scalar fetch is the only trustworthy sync."""
     import jax
+    import numpy as np
 
+    leaf = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")][-1]
+    np.asarray(leaf.ravel()[-1:])
+
+
+def timeit(fn, *args, n=3, donate_chain=None):
+    """Time fn(*args) with a forced scalar fetch; if donate_chain is given,
+    outputs replace the donated args between calls. Returns (best_s, out).
+
+    NOTE: each measurement includes a fixed per-dispatch tunnel overhead
+    (~30 ms on this stack) — callers must difference two K values (slope)
+    to get true per-iteration device time."""
     out = fn(*args)
-    jax.block_until_ready(out)  # compile + 1 run
+    _sync(out)  # compile + 1 run
     best = float("inf")
     cur_args = list(args)
     if donate_chain:
@@ -41,7 +56,7 @@ def timeit(fn, *args, n=3, donate_chain=None):
     for _ in range(n):
         t0 = time.time()
         out = fn(*cur_args)
-        jax.block_until_ready(out)
+        _sync(out)
         best = min(best, time.time() - t0)
         if donate_chain:
             outs = out if isinstance(out, tuple) else (out,)
@@ -114,19 +129,12 @@ def main():
         block_tables=jnp.asarray(bt),
     )
     kv = eng.kv
-    K = args.steps
+    K1 = args.steps
+    K2 = args.steps * 4
     results = {}
     want = args.variants.split(",")
 
-    if "full" in want:
-        t, out = timeit(
-            eng._decode_multi_jit, weights, kv, state, False, K,
-            donate_chain=((1, 0), (2, 1)),
-        )
-        kv, state = out[0], out[1]
-        results["full"] = t / K
-
-    if "fwd" in want:
+    def fwd_only_k(K):
         def fwd_only(weights, kv, state):
             def body(carry, _):
                 kv, st = carry
@@ -147,60 +155,94 @@ def main():
                 return (kv, st), None
             (kv, state), _ = jax.lax.scan(body, (kv, state), None, length=K)
             return kv, state
-        fj = jax.jit(fwd_only, donate_argnums=(1, 2))
-        t, out = timeit(fj, weights, kv, state, donate_chain=((1, 0), (2, 1)))
-        kv, state = out
-        results["fwd"] = t / K
+        return jax.jit(fwd_only, donate_argnums=(1, 2))
 
-    if "matmuls" in want:
-        # weight-read floor: x -> per-layer qkv/o/gate/up/down matmuls, no
-        # attention / KV / embedding / sampling
+    def fwd_nosample_k(K):
+        """Forward + argmax only (drop penalties/logsoftmax/counts)."""
+        def f(weights, kv, state):
+            def body(carry, _):
+                kv, st = carry
+                active = st.kv_lens > 0
+                kv_lens_new = jnp.where(active, st.kv_lens + 1, 0)
+                inputs = ModelInputs(
+                    tokens=st.last_tokens[:, None],
+                    positions=jnp.where(active, st.kv_lens, 0)[:, None],
+                    block_tables=st.block_tables,
+                    kv_lens=kv_lens_new,
+                    q_offsets=st.kv_lens,
+                )
+                out, kv = model.forward(weights, kv, inputs)
+                toks = jnp.argmax(out.logits, axis=-1).astype(jnp.int32)
+                st = st._replace(kv_lens=kv_lens_new, last_tokens=toks)
+                return (kv, st), toks
+            (kv, state), toks = jax.lax.scan(body, (kv, state), None, length=K)
+            return kv, state, toks
+        return jax.jit(f, donate_argnums=(1, 2))
+
+    def matmuls_k(K):
         def mm_only(weights, x):
             def body(x, _):
                 for i in range(mc.num_layers):
                     q = model._linear(weights, "q_proj", i, x)
                     k = model._linear(weights, "k_proj", i, x)
                     v = model._linear(weights, "v_proj", i, x)
-                    # fold k/v in so nothing is dead code
                     a = q + (k.sum(-1, keepdims=True)
                              + v.sum(-1, keepdims=True)).astype(q.dtype)
                     x = model._linear(weights, "o_proj", i, a)
                     g = model._linear(weights, "gate_proj", i, x)
                     u = model._linear(weights, "up_proj", i, x)
-                    x = model._linear(weights, "down_proj", i, jax.nn.silu(g) * u)
+                    x = model._linear(weights, "down_proj", i,
+                                      jax.nn.silu(g) * u)
+                    x = jnp.tanh(x)  # keep magnitudes sane across iterations
                 return x, None
             x, _ = jax.lax.scan(body, x, None, length=K)
             return x
-        x0 = jnp.zeros((b, 1, mc.hidden_size), jnp.bfloat16)
-        mj = jax.jit(mm_only)
-        t, _ = timeit(mj, weights, x0)
-        results["matmuls"] = t / K
+        return jax.jit(mm_only)
 
-    if "attn" in want:
-        # attention-only: per-layer paged_attention over the real cache
+    def attn_k(K):
         from rtp_llm_tpu.ops.attention import paged_attention
 
-        def attn_only(kv, state):
-            q0 = jnp.ones((b, 1, mc.num_attention_heads, mc.head_dim),
-                          jnp.bfloat16)
+        def attn_only(kv, state, q0):
             def body(acc, _):
+                q = q0 + (acc * 0).astype(q0.dtype)
                 for i in range(mc.num_layers):
                     o = paged_attention(
-                        q0 + acc[..., :1, :1, :1] * 0, kv[i, 0], kv[i, 1],
+                        q, kv[i, 0], kv[i, 1],
                         state.block_tables, state.kv_lens, state.kv_lens - 1,
                         mc.head_dim ** -0.5, block_size=args.block_size,
                         backend=model.attn_backend,
                     )
-                    acc = acc + o.mean()
+                    acc = acc + o.astype(jnp.float32).mean()
                 return acc, None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
                                   length=K)
             return acc
-        aj = jax.jit(attn_only)
-        t, _ = timeit(aj, kv, state)
-        results["attn"] = t / K
+        return jax.jit(attn_only)
 
-    if "sampler" in want:
+    def kvwrite_k(K):
+        """Per-layer KV writes only (slice + scatter + slab write-back)."""
+        from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
+
+        def f(kv, state, rows_k, rows_v):
+            def body(carry, _):
+                kv, st = carry
+                active = st.kv_lens > 0
+                kv_lens_new = jnp.where(active, st.kv_lens + 1, 0)
+                slots = token_slots(
+                    st.kv_lens[:, None], st.block_tables,
+                    args.block_size, active[:, None],
+                ).reshape(-1)
+                for i in range(mc.num_layers):
+                    kc, vc = kv[i, 0], kv[i, 1]
+                    kc, vc = write_kv(kc, vc, rows_k, rows_v, slots)
+                    kv = kv.at[i, 0].set(kc).at[i, 1].set(vc)
+                st = st._replace(kv_lens=kv_lens_new)
+                return (kv, st), None
+            (kv, state), _ = jax.lax.scan(body, (kv, state), None, length=K)
+            return kv, state
+        return jax.jit(f, donate_argnums=(0, 1))
+
+    def sampler_k(K):
         from rtp_llm_tpu.ops.sampling import sample_tokens
 
         def sampler_only(logits, state):
@@ -218,28 +260,64 @@ def main():
                 return st, (toks, lps)
             st, outs = jax.lax.scan(body, state, None, length=K)
             return st, outs
-        logits0 = jnp.zeros((b, mc.vocab_size), jnp.float32)
-        sj = jax.jit(sampler_only, donate_argnums=(1,))
-        t, out = timeit(sj, logits0, state, donate_chain=((1, 0),))
-        state = out[0]
-        results["sampler"] = t / K
+        return jax.jit(sampler_only, donate_argnums=(1,))
 
-    if "lmhead" in want:
-        def lmhead_only(weights, x):
-            def body(x, _):
-                h = x @ jnp.eye(mc.hidden_size, dtype=x.dtype)  # keep alive
-                logits = (h @ weights["lm_head"]).astype(jnp.float32)
-                return x + logits.mean().astype(x.dtype) * 0, logits.argmax(-1)
-            x, toks = jax.lax.scan(body, x, None, length=K)
-            return x, toks
-        x0 = jnp.zeros((b, mc.hidden_size), jnp.bfloat16)
-        lj = jax.jit(lmhead_only)
-        t, _ = timeit(lj, weights, x0)
-        results["lmhead"] = t / K
+    hq, d, hkv = mc.num_attention_heads, mc.head_dim, mc.num_kv_heads
+    variants = {
+        "full": lambda K: (
+            lambda kv, state: eng._decode_multi_jit(weights, kv, state,
+                                                    False, K),
+            "kvstate"),
+        "fwd": lambda K: (functools.partial(fwd_only_k(K), weights),
+                          "kvstate"),
+        "fwd_nosample": lambda K: (
+            functools.partial(fwd_nosample_k(K), weights), "kvstate"),
+        "matmuls": lambda K: (matmuls_k(K), "x"),
+        "attn": lambda K: (attn_k(K), "attn"),
+        "kvwrite": lambda K: (kvwrite_k(K), "kvrows"),
+        "sampler": lambda K: (sampler_k(K), "logits"),
+    }
 
-    print("\n=== per-step times (ms), K=%d, b=%d ===" % (K, b))
-    for k, v in results.items():
-        print(f"{k:10s} {v*1e3:8.2f}")
+    x0 = jax.device_put(
+        jnp.asarray(np.random.standard_normal((b, 1, mc.hidden_size)) * 0.02,
+                    jnp.bfloat16))
+    q0 = jax.device_put(
+        jnp.asarray(np.random.standard_normal((b, 1, hq, d)), jnp.bfloat16))
+    logits0 = jax.device_put(
+        jnp.asarray(np.random.standard_normal((b, mc.vocab_size)),
+                    jnp.float32))
+    rows0 = jax.device_put(
+        jnp.asarray(np.random.standard_normal((b, hkv, d)), jnp.bfloat16))
+
+    for name in want:
+        mk = variants[name]
+        ts = {}
+        for K in (K1, K2):
+            fn, kind = mk(K)
+            if kind == "kvstate":
+                t, out = timeit(fn, kv, state, donate_chain=((0, 0), (1, 1)))
+                kv, state = out[0], out[1]
+            elif kind == "x":
+                t, _ = timeit(fn, weights, x0)
+            elif kind == "attn":
+                t, _ = timeit(fn, kv, state, q0)
+            elif kind == "kvrows":
+                t, out = timeit(fn, kv, state, rows0, rows0,
+                                donate_chain=((0, 0), (1, 1)))
+                kv, state = out[0], out[1]
+            elif kind == "logits":
+                t, out = timeit(fn, logits0, state, donate_chain=((1, 0),))
+                state = out[0]
+            ts[K] = t
+            print(f"  {name} K={K}: total {t*1e3:.1f} ms", file=sys.stderr)
+        slope = (ts[K2] - ts[K1]) / (K2 - K1)
+        fixed = ts[K1] - slope * K1
+        results[name] = (slope, fixed)
+
+    print("\n=== per-step device time (slope) ===")
+    print(f"{'variant':14s} {'ms/step':>8s} {'fixed ms/dispatch':>18s}")
+    for k, (sl, fx) in results.items():
+        print(f"{k:14s} {sl*1e3:8.2f} {fx*1e3:18.1f}")
 
 
 if __name__ == "__main__":

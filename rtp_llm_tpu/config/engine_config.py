@@ -50,6 +50,13 @@ class ParallelConfig:
     pp_size: int = 1  # reserved (reference defines but does not implement PP)
     cp_size: int = 1  # prefill context parallel (long context)
 
+    # MoE dispatch (reference: fused-MoE strategies + DeepEP wrapper config)
+    moe_capacity_factor: float = 2.0  # expert capacity = N*K/E * this
+    # EPLB closed loop (reference: ExpertBalancer, eplb/ep_balancer.py:53):
+    # collect per-expert gating counts each step and rebalance the most
+    # unbalanced MoE layer every eplb_interval steps; 0 = off
+    eplb_interval: int = 0
+
     # multi-host
     num_hosts: int = 1
     host_index: int = 0
@@ -124,14 +131,15 @@ class SpeculativeConfig:
 
     method: none | prompt_lookup (deterministic n-gram proposer; the
     reference's 'deterministic' sp_type) | vanilla (a small draft model
-    proposes K greedy tokens, engine/draft.py). MTP / EAGLE plug into the
-    same verify path in a later round."""
+    proposes K greedy tokens, engine/draft.py) | mtp (deepseek MTP module,
+    engine/mtp.py) | eagle (feature-level single-layer head, engine/eagle.py).
+    All share the engine's T=K+1 verify program."""
 
-    method: str = "none"  # none | prompt_lookup | vanilla (draft model)
+    method: str = "none"  # none | prompt_lookup | vanilla | mtp | eagle
     draft_tokens: int = 4  # K: proposals verified per step
     ngram_min: int = 2
     ngram_max: int = 4
-    sp_model_path: str = ""  # draft checkpoint dir (method == "vanilla")
+    sp_model_path: str = ""  # draft / EAGLE checkpoint dir
 
     @property
     def enabled(self) -> bool:

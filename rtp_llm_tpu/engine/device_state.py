@@ -34,10 +34,15 @@ class DecodeState(NamedTuple):
     pos_deltas: jnp.ndarray  # [B] i32 — rope position offset (MRoPE delta)
     bias_ids: jnp.ndarray  # [B, MAX_LOGIT_BIAS] i32 (-1 = empty)
     bias_vals: jnp.ndarray  # [B, MAX_LOGIT_BIAS] f32
+    # EPLB: accumulated per-expert gating counts [n_moe_layers, E] i32
+    # ([0,0] when disabled); the engine reads + resets every eplb_interval
+    # steps (reference: ExpertBalancer::stepForward)
+    moe_gating: jnp.ndarray
     rng: jax.Array
 
     @staticmethod
-    def init(batch: int, max_blocks: int, vocab: int, seed: int = 0) -> "DecodeState":
+    def init(batch: int, max_blocks: int, vocab: int, seed: int = 0,
+             gating_shape: tuple = (0, 0)) -> "DecodeState":
         return DecodeState(
             last_tokens=jnp.zeros((batch,), jnp.int32),
             kv_lens=jnp.zeros((batch,), jnp.int32),
@@ -50,6 +55,7 @@ class DecodeState(NamedTuple):
             pos_deltas=jnp.zeros((batch,), jnp.int32),
             bias_ids=jnp.full((batch, MAX_LOGIT_BIAS), -1, jnp.int32),
             bias_vals=jnp.zeros((batch, MAX_LOGIT_BIAS), jnp.float32),
+            moe_gating=jnp.zeros(gating_shape, jnp.int32),
             rng=jax.random.PRNGKey(seed),
         )
 
@@ -109,6 +115,7 @@ def insert_slot(
             bias_vals_row if bias_vals_row is not None
             else jnp.zeros_like(state.bias_vals[0])
         ),
+        moe_gating=state.moe_gating,
         rng=state.rng,
     )
 

@@ -42,12 +42,14 @@ logger = logging.getLogger(__name__)
 
 class LlmEngine:
     def __init__(self, model, weights: dict, config: EngineConfig, mesh=None,
-                 draft=None):
+                 draft=None, eagle=None):
         """mesh: optional jax.sharding.Mesh ("dp","tp"); when given, the KV
         cache shards kv-heads over tp and the decode batch shards over dp
         (weights should be loaded with parallel.make_weight_shard_fn).
         draft: optional (draft_model, draft_weights) for vanilla draft-model
-        speculative decoding (engine/draft.py)."""
+        speculative decoding (engine/draft.py).
+        eagle: optional EAGLE head weight dict (loader.load_eagle_weights)
+        for feature-level speculative decoding (engine/eagle.py)."""
         self.model = model
         self.weights = weights
         self.config = config
@@ -88,8 +90,26 @@ class LlmEngine:
         }.get(config.quant.kv_cache_dtype) or jnp.dtype(config.quant.kv_cache_dtype)
         self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype,
                                    max_slots=sc.max_batch_size)
+        # EPLB closed loop (reference: ExpertBalancer::stepForward,
+        # NormalExecutor.cc:190-193): decode programs accumulate per-expert
+        # gating counts into device state; every eplb_interval steps the host
+        # reads them and permutes the hottest layer's experts
+        if hasattr(model, "moe_capacity_factor"):
+            model.moe_capacity_factor = config.parallel.moe_capacity_factor
+        self._moe_layer_ids = [
+            i for i in range(mc.num_layers)
+            if getattr(mc, "num_experts", 0) and mc.is_moe_layer(i)
+        ] if hasattr(mc, "is_moe_layer") else []
+        self._collect_gating = bool(
+            config.parallel.eplb_interval and self._moe_layer_ids
+        )
+        gating_shape = (
+            (len(self._moe_layer_ids), mc.num_experts)
+            if self._collect_gating else (0, 0)
+        )
         self.state = ds.DecodeState.init(
-            sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size, config.seed
+            sc.max_batch_size, self.max_blocks_per_seq, mc.vocab_size,
+            config.seed, gating_shape=gating_shape,
         )
         if mesh is not None:
             from rtp_llm_tpu.parallel.shardings import (
@@ -164,6 +184,10 @@ class LlmEngine:
             self._decode_multi_impl, donate_argnums=(1, 2),
             static_argnums=(3, 4),
         )
+        # feature-level proposer (consumes the target's pre-norm hidden):
+        # MtpRunner (deepseek MTP) or EagleRunner — both share the same
+        # prefill/propose/update_hidden contract, so the engine plumbing
+        # treats them uniformly through self.mtp
         self.mtp = None
         if self.spec.method == "mtp" and "mtp_eh_proj" in weights:
             # deepseek MTP module shipped in the target checkpoint
@@ -172,6 +196,13 @@ class LlmEngine:
             self.mtp = MtpRunner(
                 model, weights, num_blocks, cc.block_size,
                 sc.prefill_buckets, self.max_blocks_per_seq,
+                sc.max_batch_size,
+            )
+        elif self.spec.method == "eagle" and eagle is not None:
+            from rtp_llm_tpu.engine.eagle import EagleRunner
+
+            self.mtp = EagleRunner(
+                model, weights, eagle, num_blocks, cc.block_size,
                 sc.max_batch_size,
             )
         self.draft = None
@@ -220,6 +251,10 @@ class LlmEngine:
         loads_by_layer: {stack_layer_pos: np[E] token counts}. The permutation
         relabels experts (outputs unchanged); the weight swap retraces the
         step programs on next use."""
+        with self.device_lock:
+            return self._apply_expert_balance_locked(loads_by_layer, num_shards)
+
+    def _apply_expert_balance_locked(self, loads_by_layer, num_shards=None):
         from rtp_llm_tpu.parallel import eplb
 
         if num_shards is None:
@@ -232,15 +267,37 @@ class LlmEngine:
         perm = eplb.balance_plan(load, max(num_shards, 1))
         before = eplb.imbalance(load, max(num_shards, 1))
         after = eplb.imbalance(load, max(num_shards, 1), perm)
-        with self.device_lock:
-            self.weights = eplb.apply_layer_permutation(
-                self.weights, layer, perm
-            )
+        self.weights = eplb.apply_layer_permutation(
+            self.weights, layer, perm
+        )
         from rtp_llm_tpu.utils.metrics import METRICS
 
         METRICS.inc("engine.eplb_rebalances")
         return {"layer": layer, "imbalance_before": before,
                 "imbalance_after": after, "perm": perm.tolist()}
+
+    def _eplb_tick(self):
+        """Closed-loop EPLB: every eplb_interval steps read the device-side
+        gating accumulator, rebalance the hottest layer, reset the counts.
+        Runs under device_lock from the step loop."""
+        interval = self.config.parallel.eplb_interval
+        if (not self._collect_gating or interval <= 0
+                or self.step_count == 0
+                or self.step_count % interval != 0):
+            return
+        loads = np.asarray(self.state.moe_gating)  # syncs; amortized by interval
+        if loads.sum() == 0:
+            return
+        result = self._apply_expert_balance_locked({
+            lid: loads[j] for j, lid in enumerate(self._moe_layer_ids)
+        })
+        if result is not None:
+            self.state = self.state._replace(
+                moe_gating=jnp.zeros_like(self.state.moe_gating)
+            )
+            logger.info("EPLB rebalanced layer %s (imbalance %.3f -> %.3f)",
+                        result["layer"], result["imbalance_before"],
+                        result["imbalance_after"])
 
     # ---- dynamic LoRA ----
 
@@ -304,12 +361,19 @@ class LlmEngine:
             adapter_ids=state.adapter_ids,
             pos_deltas=state.pos_deltas,
         )
+        fwd_kw = {}
+        if self._collect_gating:
+            fwd_kw["need_moe_gating"] = True
         if self._defer_decode:
             out, kv = self.model.forward(weights, kv, inputs,
-                                         defer_kv_writes=True)
+                                         defer_kv_writes=True, **fwd_kw)
             kv = self._apply_kv_writes(kv, out.kv_writes, state, active)
         else:
-            out, kv = self.model.forward(weights, kv, inputs)
+            out, kv = self.model.forward(weights, kv, inputs, **fwd_kw)
+        if self._collect_gating and out.moe_gating is not None:
+            state = state._replace(
+                moe_gating=state.moe_gating + out.moe_gating
+            )
         rng, key = jax.random.split(state.rng)
         tokens, logprobs, new_counts = sample_tokens(
             out.logits, state.params, state.prompt_mask, state.output_counts,
@@ -1367,6 +1431,7 @@ class LlmEngine:
         METRICS.set_gauge("engine.waiting_streams", self.scheduler.pending)
         METRICS.set_gauge("engine.kv_free_blocks", self.cache_mgr.pool.free_blocks)
         self.step_count += 1
+        self._eplb_tick()
         return True
 
     def _spec_decode_step(self, active):

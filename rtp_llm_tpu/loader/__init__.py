@@ -7,7 +7,10 @@ stacked along a leading layer axis so the model forward can ``lax.scan`` over
 layers (one compiled layer body instead of N inlined copies).
 """
 
-from rtp_llm_tpu.loader.loader import CheckpointLoader, load_model_weights
+from rtp_llm_tpu.loader.loader import (
+    CheckpointLoader, load_eagle_weights, load_model_weights,
+)
 from rtp_llm_tpu.loader.weight_maps import WeightSpec, get_weight_specs
 
-__all__ = ["CheckpointLoader", "load_model_weights", "WeightSpec", "get_weight_specs"]
+__all__ = ["CheckpointLoader", "load_eagle_weights", "load_model_weights",
+           "WeightSpec", "get_weight_specs"]

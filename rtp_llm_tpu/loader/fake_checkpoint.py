@@ -277,3 +277,33 @@ def write_fake_tokenizer(path: str, vocab_size: int = 128) -> str:
     )
     fast.save_pretrained(path)
     return path
+
+
+def write_fake_eagle_checkpoint(path: str, cfg: ModelConfig,
+                                seed: int = 7, scale: float = 0.05) -> str:
+    """Write an HF-format EAGLE head checkpoint (fc + one llama decoder
+    layer matching ``cfg``'s geometry) for loader/engine tests."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h = cfg.hidden_size
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+    inter = cfg.intermediate_size
+
+    def w(shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    tensors = {
+        "fc.weight": w((h, 2 * h)),  # HF [out, in]
+        "layers.0.self_attn.q_proj.weight": w((hq * d, h)),
+        "layers.0.self_attn.k_proj.weight": w((hkv * d, h)),
+        "layers.0.self_attn.v_proj.weight": w((hkv * d, h)),
+        "layers.0.self_attn.o_proj.weight": w((h, hq * d)),
+        "layers.0.mlp.gate_proj.weight": w((inter, h)),
+        "layers.0.mlp.up_proj.weight": w((inter, h)),
+        "layers.0.mlp.down_proj.weight": w((h, inter)),
+        "layers.0.post_attention_layernorm.weight": np.ones(h, np.float32),
+    }
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    return path

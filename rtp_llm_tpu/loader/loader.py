@@ -307,3 +307,62 @@ def load_model_weights(
         model_config = ModelConfig.from_pretrained(model_path)
     loader = CheckpointLoader(model_config, transform=transform, shard_fn=shard_fn)
     return model_config, loader.load(model_path)
+
+
+# ---- EAGLE head checkpoints (speculative decoding) ----
+
+# HF EAGLE checkpoint names (yuhuili/EAGLE-* format) -> canonical keys.
+# All linear weights transpose to the canonical [in, out] layout.
+_EAGLE_NAME_MAP = {
+    "fc.weight": "fc",
+    "embed_tokens.weight": "embed_tokens",
+    "layers.0.self_attn.q_proj.weight": "q_proj",
+    "layers.0.self_attn.k_proj.weight": "k_proj",
+    "layers.0.self_attn.v_proj.weight": "v_proj",
+    "layers.0.self_attn.o_proj.weight": "o_proj",
+    "layers.0.mlp.gate_proj.weight": "gate_proj",
+    "layers.0.mlp.up_proj.weight": "up_proj",
+    "layers.0.mlp.down_proj.weight": "down_proj",
+    "layers.0.post_attention_layernorm.weight": "post_attn_norm",
+}
+
+
+def load_eagle_weights(model_path: str, dtype=None) -> dict:
+    """Load an HF-format EAGLE draft-head checkpoint (fc + one llama decoder
+    layer; reference: EAGLE propose-model plan, RtpLLMOp.cc:26-98 and EAGLE3
+    weight names in cpp/models/models_weight/W.h).
+
+    Returns a canonical dict for engine/eagle.EagleRunner: linear weights in
+    [in, out] layout, norms as vectors; ``embed_tokens`` only if shipped
+    (otherwise the runner shares the target's)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    src = _TensorSource(model_path)
+    try:
+        out = {}
+        norms = ("post_attn_norm",)
+        for hf_name, key in _EAGLE_NAME_MAP.items():
+            arr = None
+            for cand in (hf_name, "model." + hf_name):
+                try:
+                    arr = src.get(cand)
+                    break
+                except KeyError:
+                    continue
+            if arr is None:
+                continue
+            arr = np.asarray(arr, np.float32)
+            if key == "embed_tokens" or key in norms:
+                out[key] = jnp.asarray(arr, dtype)
+            else:
+                out[key] = jnp.asarray(arr.T, dtype)  # HF [out,in] -> [in,out]
+        missing = {"fc", "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
+                   "up_proj", "down_proj", "post_attn_norm"} - set(out)
+        if missing:
+            raise ValueError(
+                f"EAGLE checkpoint at {model_path} missing tensors: "
+                f"{sorted(missing)}")
+        return out
+    finally:
+        src.close()

@@ -76,3 +76,6 @@ class ModelOutputs(NamedTuple):
     # deferred KV rows (decode T=1, llama family): ([L,B,Hkv*D], [L,B,Hkv*D])
     # — the engine batches all layers' cache writes into ONE scatter
     kv_writes: Optional[tuple] = None
+    # per-MoE-layer gating counts [n_moe_layers, E] i32 for the EPLB loop
+    # (reference: need_moe_gating / GptModelOutputs.moe_gating, OpData.h:102)
+    moe_gating: Optional[jnp.ndarray] = None

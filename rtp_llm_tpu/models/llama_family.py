@@ -67,6 +67,7 @@ class LlamaFamilyModel:
         self.block_size = 16  # set by init_cache
         self.attn_backend = "auto"  # auto | pallas | ref
         self.mesh = None  # set by the engine; enables the shard_map kernel path
+        self.moe_capacity_factor = 2.0  # engine sets from ParallelConfig
 
     # ---- cache ----
 
@@ -101,6 +102,7 @@ class LlamaFamilyModel:
         need_all_logits: bool = False,
         need_all_hidden: bool = False,
         defer_kv_writes: bool = False,
+        need_moe_gating: bool = False,
     ) -> tuple[ModelOutputs, jnp.ndarray]:
         cfg = self.cfg
         b, t = inputs.tokens.shape
@@ -124,9 +126,11 @@ class LlamaFamilyModel:
         ).reshape(-1)  # [B*T]
 
         kv_writes = ([], []) if defer_kv_writes else None
+        gating_out = [] if need_moe_gating else None
         for i in range(cfg.num_layers):
             x, cache = self._layer(weights, cache, i, x, inputs, slots,
-                                   kv_writes=kv_writes)
+                                   kv_writes=kv_writes,
+                                   gating_out=gating_out)
 
         x = self._norm(x, weights["final_norm"], cfg.rms_norm_eps)
 
@@ -159,6 +163,7 @@ class LlamaFamilyModel:
             all_hidden=x if need_all_hidden else None,
             kv_writes=(jnp.stack(kv_writes[0]), jnp.stack(kv_writes[1]))
             if kv_writes is not None else None,
+            moe_gating=jnp.stack(gating_out) if gating_out else None,
         ), cache
 
     # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
@@ -207,7 +212,7 @@ class LlamaFamilyModel:
     # ---- layer ----
 
     def _layer(self, w, cache, i, x, inputs: ModelInputs, slots,
-               kv_writes=None):
+               kv_writes=None, gating_out=None):
         cfg = self.cfg
         b, t, h = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
@@ -287,23 +292,25 @@ class LlamaFamilyModel:
             normed = rms_norm(res, w["input_norm"][i], cfg.rms_norm_eps) \
                 if cfg.norm_type == "rmsnorm" else layer_norm_nobias(
                     res, w["input_norm"][i], cfg.rms_norm_eps)
-            mlp = self._moe_mlp(w, i, normed) if cfg.is_moe_layer(i) \
-                else self._dense_mlp(w, i, normed, aids)
+            mlp = (self._moe_mlp(w, i, normed, gating_out)
+                   if cfg.is_moe_layer(i)
+                   else self._dense_mlp(w, i, normed, aids))
             return res + x + mlp, cache
         if cfg.sandwich_norms:
             # gemma2: x + post_attn_norm(attn_out); ffn sandwiched likewise
             x = res + rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
             res = x
             h = rms_norm(x, w["pre_ffn_norm"][i], cfg.rms_norm_eps)
-            h = self._moe_mlp(w, i, h) if cfg.is_moe_layer(i) \
-                else self._dense_mlp(w, i, h, aids)
+            h = (self._moe_mlp(w, i, h, gating_out)
+                 if cfg.is_moe_layer(i)
+                 else self._dense_mlp(w, i, h, aids))
             return res + rms_norm(h, w["post_ffn_norm"][i], cfg.rms_norm_eps), cache
         x = res + x
 
         res = x
         x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
         if cfg.is_moe_layer(i):
-            x = self._moe_mlp(w, i, x)
+            x = self._moe_mlp(w, i, x, gating_out)
         else:
             x = self._dense_mlp(w, i, x, aids)
         return res + x, cache
@@ -313,11 +320,12 @@ class LlamaFamilyModel:
         up = self._linear(w, "up_proj", i, x, aids)
         return self._linear(w, "down_proj", i, self._act(gate) * up, aids)
 
-    def _moe_mlp(self, w, i, x):
-        """Dense-dispatch MoE: every expert computes every token, combined by
-        the (masked, renormalized) router weights. Correct + simple; the
-        EP-sharded ragged version replaces this in the parallel MoE module.
-        """
+    def _moe_mlp(self, w, i, x, gating_out=None):
+        """Routed-expert MLP. bf16 experts: sort + ragged grouped GEMM
+        (ops/moe.py; under a mesh GSPMD partitions it over the expert-sharded
+        weights). Quantized experts: capacity dispatch + per-expert quantized
+        GEMMs (parallel/ep_moe.py). gating_out: list collecting per-layer
+        [E] token counts for EPLB (reference: need_moe_gating)."""
         cfg = self.cfg
         b, t, h = x.shape
         xt = x.reshape(-1, h)  # [N,H]
@@ -334,6 +342,12 @@ class LlamaFamilyModel:
                 jnp.sum(top_vals, axis=-1, keepdims=True), 1e-20
             )
 
+        if gating_out is not None:
+            e = w["moe_gate"].shape[1]
+            gating_out.append(jnp.sum(
+                top_idx.reshape(-1)[:, None] == jnp.arange(e)[None, :],
+                axis=0,
+            ).astype(jnp.int32))
         if "moe_gate.scale" not in w:
             from rtp_llm_tpu.ops.moe import fused_moe
 
@@ -342,20 +356,27 @@ class LlamaFamilyModel:
                 w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
             )
         else:
-            # quantized experts: dense-compute fallback (ragged grouped GEMM
-            # over int8 experts is the Pallas dequant-GEMM's job)
-            comb = jnp.zeros(scores.shape, scores.dtype).at[
-                jnp.arange(xt.shape[0])[:, None], top_idx
-            ].add(top_vals)
-            gate = self._expert_linear(w, "moe_gate", i, xt)
-            up = self._expert_linear(w, "moe_up", i, xt)
-            act = jax.nn.silu(gate) * up  # [E,N,I']
-            s_down = w.get("moe_down.scale")
-            down = jax.vmap(
-                lambda a, We, se: quantized_matmul(a, We, se),
-                in_axes=(0, 0, 0),
-            )(act, w["moe_down"][i], s_down[i])
-            out = jnp.einsum("enh,ne->nh", down.astype(jnp.float32), comb)
+            # quantized experts: capacity dispatch + per-expert quantized
+            # GEMMs (parallel/ep_moe.py) — each expert computes only its
+            # assigned tokens, weights stay int8/int4 in HBM; under a mesh
+            # the experts are tp-sharded and combine is one psum (kills the
+            # round-1 dense all-expert fallback)
+            from rtp_llm_tpu.parallel.ep_moe import ep_moe
+
+            scales = {"gate": w["moe_gate.scale"][i],
+                      "up": w["moe_up.scale"][i],
+                      "down": w["moe_down.scale"][i]}
+            zeros_d = None
+            if "moe_gate.zero" in w:
+                zeros_d = {"gate": w["moe_gate.zero"][i],
+                           "up": w["moe_up.zero"][i],
+                           "down": w["moe_down.zero"][i]}
+            out, _ = ep_moe(
+                xt, top_idx, top_vals,
+                w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
+                mesh=self.mesh, scales=scales, zeros=zeros_d,
+                capacity_factor=self.moe_capacity_factor,
+            )
 
         if "shared_gate" in w:
             sg = self._linear(w, "shared_gate", i, xt)

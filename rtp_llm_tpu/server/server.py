@@ -64,6 +64,13 @@ def build_engine(
 
     draft = None
     sp = config.speculative
+    eagle = None
+    if sp.method == "eagle" and sp.sp_model_path:
+        # EAGLE feature-level draft head (engine/eagle.py)
+        from rtp_llm_tpu.loader import load_eagle_weights
+
+        logger.info("loading EAGLE head from %s", sp.sp_model_path)
+        eagle = load_eagle_weights(sp.sp_model_path)
     if sp.method == "vanilla" and sp.sp_model_path:
         # vanilla draft-model speculative decoding: load the small draft
         # checkpoint alongside (reference: sp_model loading, sp_type vanilla)
@@ -72,7 +79,8 @@ def build_engine(
         draft_weights = CheckpointLoader(draft_cfg).load(sp.sp_model_path)
         draft = (create_model(draft_cfg), draft_weights)
 
-    return LlmEngine(model, weights, config, mesh=mesh, draft=draft)
+    return LlmEngine(model, weights, config, mesh=mesh, draft=draft,
+                     eagle=eagle)
 
 
 def serve(config: EngineConfig):

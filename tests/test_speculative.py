@@ -178,3 +178,43 @@ def test_draft_model_spec_matches_normal(tmp_path):
         eng.step()
     assert s1.output_token_ids == normal
     assert len(s2.output_token_ids) == 10
+
+
+def test_eagle_spec_matches_normal(tmp_path):
+    """EAGLE proposer (engine/eagle.py): output must exactly match normal
+    greedy decode regardless of proposal quality, the HF-format head must
+    load (loader.load_eagle_weights), and the acceptance metric must fire.
+    Reference: EAGLE propose-model plan, RtpLLMOp.cc:26-98."""
+    from rtp_llm_tpu.loader import load_eagle_weights
+    from rtp_llm_tpu.loader.fake_checkpoint import write_fake_eagle_checkpoint
+
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "t"), cfg)
+    eagle_dir = write_fake_eagle_checkpoint(str(tmp_path / "e"), cfg)
+    ew = load_eagle_weights(eagle_dir, dtype=jnp.float32)
+    assert ew["fc"].shape == (2 * cfg.hidden_size, cfg.hidden_size)
+    assert "embed_tokens" not in ew  # shares the target's
+
+    base = _build_engine(ckpt, tiny_config("qwen2"), spec=False)
+
+    cfg2 = tiny_config("qwen2")
+    cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    model = create_model(cfg2)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=256),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+        speculative=SpeculativeConfig(method="eagle", draft_tokens=3),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(model, weights, econf, eagle=ew)
+    assert eng.mtp is not None, "EagleRunner must be active"
+
+    gc = lambda: GenerateConfig(max_new_tokens=12, do_sample=False,
+                                ignore_eos=True)
+    prompts = [[1, 5, 9, 2, 5, 9, 2], [7, 3, 3, 7, 3, 3]]
+    for p in prompts:
+        want = base.generate(p, gc()).output_token_ids
+        got = eng.generate(p, gc()).output_token_ids
+        assert got == want
