@@ -48,6 +48,9 @@ class OpenAIApp:
         self.tok = tokenizer
         self.model_name = model_name
         self.renderer = create_renderer(tokenizer, model_type)
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        self.tool_detector = get_tool_detector(model_type)
         self.sem = asyncio.Semaphore(max_concurrency)
         self.start_time = time.time()
         self.request_count = 0
@@ -220,7 +223,7 @@ class OpenAIApp:
                 if chat:
                     from rtp_llm_tpu.frontend.output_parsers import parse_output
 
-                    parsed = parse_output(text)
+                    parsed = parse_output(text, detector=self.tool_detector)
                     message = {"role": "assistant", "content": parsed.content}
                     if parsed.reasoning_content:
                         message["reasoning_content"] = parsed.reasoning_content
@@ -294,7 +297,8 @@ class OpenAIApp:
             # streaming reasoning/tool renderers, rtp_llm/openai/renderers/)
             from rtp_llm_tpu.frontend.output_parsers import StreamingOutputParser
 
-            parser = StreamingOutputParser() if chat else None
+            parser = (StreamingOutputParser(detector=self.tool_detector)
+                      if chat else None)
 
             async def emit_text(text):
                 if parser is None:

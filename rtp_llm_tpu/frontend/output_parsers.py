@@ -73,13 +73,18 @@ def parse_tool_calls(text: str) -> Tuple[Optional[List[dict]], str]:
 
 
 def parse_output(text: str, enable_thinking: bool = True,
-                 enable_tools: bool = True) -> ParsedOutput:
+                 enable_tools: bool = True, detector=None) -> ParsedOutput:
+    """detector: a frontend.tool_detectors.ToolDetector for the model
+    family's tool wire format (None = hermes/qwen default)."""
     reasoning = None
     if enable_thinking:
         reasoning, text = parse_reasoning(text)
     tool_calls = None
     if enable_tools:
-        tool_calls, text = parse_tool_calls(text)
+        if detector is not None:
+            tool_calls, text = detector.parse(text)
+        else:
+            tool_calls, text = parse_tool_calls(text)
     return ParsedOutput(
         content=text.strip(), reasoning_content=reasoning, tool_calls=tool_calls
     )
@@ -95,21 +100,26 @@ class StreamingOutputParser:
     buffered whole and returned as parsed tool calls at finalize.
     """
 
-    _TAGS = ("<think>", "</think>", "<tool_call>")
+    def __init__(self, enable_thinking: bool = True, enable_tools: bool = True,
+                 detector=None):
+        from rtp_llm_tpu.frontend.tool_detectors import ToolDetector
 
-    def __init__(self, enable_thinking: bool = True, enable_tools: bool = True):
         self.enable_thinking = enable_thinking
         self.enable_tools = enable_tools
+        self.detector = detector or ToolDetector()
+        self._bot = self.detector.bot_token
+        self._tags = ("<think>", "</think>", self._bot)
+        self._maxtag = max(len(t) for t in self._tags)
         self._mode = "content"  # content | think | tool
         self._buf = ""          # undecided tail (possible partial tag)
-        self._tool_buf = ""     # everything from the first <tool_call> on
+        self._tool_buf = ""     # everything from the first tool marker on
 
     def _holdback(self, text: str) -> Tuple[str, str]:
         """Split text into (emit, hold) where hold is the longest suffix that
         could still grow into one of the tags."""
-        for n in range(min(len(text), 11), 0, -1):  # len("<tool_call>") == 11
+        for n in range(min(len(text), self._maxtag), 0, -1):
             tail = text[-n:]
-            if any(t.startswith(tail) for t in self._TAGS):
+            if any(t.startswith(tail) for t in self._tags):
                 return text[:-n], text[-n:]
         return text, ""
 
@@ -125,7 +135,7 @@ class StreamingOutputParser:
             tag = "</think>" if self._mode == "think" else "<think>"
             sink = reasoning_out if self._mode == "think" else content_out
             idx = self._buf.find(tag) if self.enable_thinking else -1
-            tool_idx = self._buf.find("<tool_call>") if self.enable_tools else -1
+            tool_idx = self._buf.find(self._bot) if self.enable_tools else -1
             if tool_idx != -1 and (idx == -1 or tool_idx < idx) \
                     and self._mode != "think":
                 sink.append(self._buf[:tool_idx])
@@ -153,7 +163,7 @@ class StreamingOutputParser:
             self._buf = ""
         tool_calls = None
         if self._tool_buf:
-            tool_calls, rest = parse_tool_calls(self._tool_buf)
+            tool_calls, rest = self.detector.parse(self._tool_buf)
             content += rest
             self._tool_buf = ""
         return reasoning, content, tool_calls

@@ -110,3 +110,105 @@ def test_streaming_parser_multiple_tools():
     p.push('<tool_call>{"name": "b", "arguments": {}}</tool_call>')
     _, _, tools = p.finalize()
     assert [t["function"]["name"] for t in tools] == ["a", "b"]
+
+
+class TestToolDetectors:
+    """Model-family tool wire formats (frontend/tool_detectors.py; reference:
+    sglang_helpers/function_call/*_detector.py)."""
+
+    def test_deepseek_v31_format(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("deepseek_v31")
+        text = ("I will check.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>"
+                'get_weather<｜tool▁sep｜>{"city": "Hangzhou"}'
+                "<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+        calls, rest = det.parse(text)
+        assert rest == "I will check."
+        assert len(calls) == 1
+        assert calls[0]["function"]["name"] == "get_weather"
+        assert json.loads(calls[0]["function"]["arguments"]) == {
+            "city": "Hangzhou"}
+
+    def test_deepseek_v31_multiple_calls(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("deepseek_v3")
+        text = ("<｜tool▁calls▁begin｜>"
+                "<｜tool▁call▁begin｜>a<｜tool▁sep｜>{}<｜tool▁call▁end｜>"
+                '<｜tool▁call▁begin｜>b<｜tool▁sep｜>{"x":1}<｜tool▁call▁end｜>'
+                "<｜tool▁calls▁end｜>")
+        calls, rest = det.parse(text)
+        assert [c["function"]["name"] for c in calls] == ["a", "b"]
+        assert rest == ""
+
+    def test_kimi_k2_format(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("kimi_k2")
+        text = ("Let me call it.<|tool_calls_section_begin|>"
+                "<|tool_call_begin|>functions.get_time:0"
+                '<|tool_call_argument_begin|>{"tz": "UTC"}<|tool_call_end|>'
+                "<|tool_calls_section_end|>")
+        calls, rest = det.parse(text)
+        assert rest == "Let me call it."
+        assert calls[0]["function"]["name"] == "get_time"
+        assert json.loads(calls[0]["function"]["arguments"]) == {"tz": "UTC"}
+
+    def test_glm4_moe_format(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("glm4_moe")
+        text = ("<tool_call>get_weather\n"
+                "<arg_key>city</arg_key>\n<arg_value>Beijing</arg_value>\n"
+                "<arg_key>days</arg_key>\n<arg_value>3</arg_value>"
+                "</tool_call>")
+        calls, rest = det.parse(text)
+        assert calls[0]["function"]["name"] == "get_weather"
+        assert json.loads(calls[0]["function"]["arguments"]) == {
+            "city": "Beijing", "days": 3}
+
+    def test_glm4_moe_no_args(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("glm4_moe")
+        calls, _ = det.parse("<tool_call>get_time</tool_call>")
+        assert calls[0]["function"]["name"] == "get_time"
+        assert json.loads(calls[0]["function"]["arguments"]) == {}
+
+    def test_qwen3_coder_format(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("qwen3_coder")
+        text = ("<tool_call><function=read_file>"
+                "<parameter=path>/tmp/x.txt</parameter>"
+                "<parameter=limit>10</parameter>"
+                "</function></tool_call>")
+        calls, rest = det.parse(text)
+        assert calls[0]["function"]["name"] == "read_file"
+        assert json.loads(calls[0]["function"]["arguments"]) == {
+            "path": "/tmp/x.txt", "limit": 10}
+
+    def test_default_hermes_for_unknown_models(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("llama")
+        text = '<tool_call>{"name": "f", "arguments": {"a": 1}}</tool_call>'
+        calls, _ = det.parse(text)
+        assert calls[0]["function"]["name"] == "f"
+
+    def test_streaming_parser_with_deepseek_detector(self):
+        from rtp_llm_tpu.frontend.output_parsers import StreamingOutputParser
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        p = StreamingOutputParser(detector=get_tool_detector("deepseek_v31"))
+        chunks = ["ok ", "<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>f",
+                  '<｜tool▁sep｜>{"a":1}<｜tool▁call▁end｜><｜tool▁calls▁end｜>']
+        content = ""
+        for c in chunks:
+            _, out = p.push(c)
+            content += out
+        r, c2, calls = p.finalize()
+        content += c2
+        assert content.strip() == "ok"
+        assert calls and calls[0]["function"]["name"] == "f"
