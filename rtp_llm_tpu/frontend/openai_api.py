@@ -42,7 +42,9 @@ class OpenAIApp:
         access_log_path: Optional[str] = None,
         enable_access_log: bool = True,
         pd_forwarder=None,  # PrefillForwarder when this app is a prefill role
+        model_path: str = "",  # for downstream head discovery (_heads)
     ):
+        self.model_path = model_path
         self.pd_forwarder = pd_forwarder
         self.runner = runner
         self.tok = tokenizer
@@ -436,8 +438,18 @@ class OpenAIApp:
 
     async def embeddings(self, request: web.Request):
         """OpenAI /v1/embeddings (reference: EmbeddingService,
-        embedding/embedding_endpoint.py)."""
-        body = await request.json()
+        embedding/embedding_endpoint.py). embedding_type selects the
+        downstream head: dense (default) | sparse | colbert."""
+        return await self._embeddings_impl(await request.json())
+
+    def _embeddings_typed(self, etype: str):
+        async def handler(request: web.Request):
+            body = await request.json()
+            body["embedding_type"] = etype
+            return await self._embeddings_impl(body)
+        return handler
+
+    async def _embeddings_impl(self, body: dict):
         inputs = body.get("input")
         if inputs is None:
             raise web.HTTPBadRequest(text='"input" required')
@@ -448,26 +460,109 @@ class OpenAIApp:
         prompts = [
             i if isinstance(i, list) else self.tok.encode(i) for i in inputs
         ]
-        from rtp_llm_tpu.engine.embedding import EmbeddingEngine
-
-        if not hasattr(self, "_embed_engine"):
-            self._embed_engine = EmbeddingEngine(self.runner.engine)
         loop = asyncio.get_running_loop()
-        vecs = await loop.run_in_executor(
-            None, self._embed_engine.embed, prompts,
-            body.get("pooling", "last"),
-        )
+        emb = self._get_embed_engine()
+        etype = body.get("embedding_type", body.get("type", "dense"))
+        if etype == "sparse":
+            excl = [t for t in (
+                getattr(self.tok, "cls_token_id", None),
+                getattr(self.tok, "eos_token_id", None),
+                getattr(self.tok, "pad_token_id", None),
+                getattr(self.tok, "unk_token_id", None),
+            ) if t is not None]
+            maps = await loop.run_in_executor(
+                None, emb.embed_sparse, prompts, self._heads(), excl)
+            if body.get("return_decoded"):
+                maps = [{self.tok.decode([k]): v for k, v in m.items()}
+                        for m in maps]
+            else:
+                maps = [{str(k): v for k, v in m.items()} for m in maps]
+            data = [{"object": "embedding", "index": i, "embedding": m,
+                     "embedding_type": "sparse"} for i, m in enumerate(maps)]
+        elif etype == "colbert":
+            mats = await loop.run_in_executor(
+                None, emb.embed_colbert, prompts, self._heads())
+            data = [{"object": "embedding", "index": i,
+                     "embedding": m.tolist(), "embedding_type": "colbert"}
+                    for i, m in enumerate(mats)]
+        else:
+            vecs = await loop.run_in_executor(
+                None, emb.embed, prompts, body.get("pooling", "last"),
+            )
+            data = [{"object": "embedding", "index": i, "embedding": v.tolist()}
+                    for i, v in enumerate(vecs)]
         return web.json_response({
             "object": "list",
             "model": self.model_name,
-            "data": [
-                {"object": "embedding", "index": i, "embedding": v.tolist()}
-                for i, v in enumerate(vecs)
-            ],
+            "data": data,
             "usage": {
                 "prompt_tokens": sum(len(p) for p in prompts),
                 "total_tokens": sum(len(p) for p in prompts),
             },
+        })
+
+    def _get_embed_engine(self):
+        from rtp_llm_tpu.engine.embedding import EmbeddingEngine
+
+        if not hasattr(self, "_embed_engine"):
+            self._embed_engine = EmbeddingEngine(self.runner.engine)
+        return self._embed_engine
+
+    def _heads(self) -> dict:
+        """Downstream head weights (sparse/colbert/classifier), lazily loaded
+        from the model dir (reference: models/downstream_modules/)."""
+        if not hasattr(self, "_downstream_heads"):
+            from rtp_llm_tpu.engine.embedding import load_downstream_heads
+
+            path = getattr(self, "model_path", "") or ""
+            self._downstream_heads = load_downstream_heads(path) if path else {}
+        return self._downstream_heads
+
+    async def rerank(self, request: web.Request):
+        """Cross-encoder reranking (reference: reranker_module.py): body
+        {"query": str, "documents": [str]} -> relevance-sorted results."""
+        body = await request.json()
+        query = body.get("query")
+        docs = body.get("documents") or body.get("docs")
+        if query is None or not docs:
+            raise web.HTTPBadRequest(text='"query" and "documents" required')
+        heads = self._heads()
+        if "classifier" not in heads:
+            raise web.HTTPBadRequest(
+                text="model has no classifier head (rerank unsupported)")
+        sep = getattr(self.tok, "sep_token", None) or "\n"
+        pairs = [self.tok.encode(f"{query}{sep}{d}") for d in docs]
+        loop = asyncio.get_running_loop()
+        scores = await loop.run_in_executor(
+            None, self._get_embed_engine().rerank, pairs, heads)
+        items = sorted(
+            ({"index": i, "document": d, "relevance_score": float(s)}
+             for i, (d, s) in enumerate(zip(docs, scores))),
+            key=lambda x: x["relevance_score"], reverse=True,
+        )
+        return web.json_response({"model": self.model_name, "results": items})
+
+    async def classify(self, request: web.Request):
+        """Sequence classification head (reference: classifier/classifier.py):
+        body {"input": str|[str]} -> per-class logits."""
+        body = await request.json()
+        inputs = body.get("input")
+        if inputs is None:
+            raise web.HTTPBadRequest(text='"input" required')
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        heads = self._heads()
+        if "classifier" not in heads:
+            raise web.HTTPBadRequest(text="model has no classifier head")
+        prompts = [i if isinstance(i, list) else self.tok.encode(i)
+                   for i in inputs]
+        loop = asyncio.get_running_loop()
+        logits = await loop.run_in_executor(
+            None, self._get_embed_engine().classify, prompts, heads)
+        return web.json_response({
+            "model": self.model_name,
+            "data": [{"index": i, "logits": row.tolist()}
+                     for i, row in enumerate(logits)],
         })
 
     def _log_done(self, rid, route, stream, token_ids, t_start):
@@ -630,6 +725,11 @@ class OpenAIApp:
             web.post("/v1/completions", self.completions),
             web.post("/", self.completions),
             web.post("/v1/embeddings", self.embeddings),
+            web.post("/v1/embeddings/dense", self.embeddings),
+            web.post("/v1/embeddings/sparse", self._embeddings_typed("sparse")),
+            web.post("/v1/embeddings/colbert", self._embeddings_typed("colbert")),
+            web.post("/v1/rerank", self.rerank),
+            web.post("/v1/classifier", self.classify),
             web.post("/tokenizer/encode", self.tokenizer_encode),
             web.get("/v1/models", self.models),
             web.get("/health", self.health),

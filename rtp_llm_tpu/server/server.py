@@ -135,6 +135,7 @@ def serve(config: EngineConfig):
         or config.server.model_path.rstrip("/").rsplit("/", 1)[-1],
         model_type=engine.model.cfg.model_type,
         pd_forwarder=pd_forwarder,
+        model_path=config.server.model_path,
     )
     app = api.build_app()
     grpc_srv = None

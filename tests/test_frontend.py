@@ -366,3 +366,75 @@ async def _streaming_stop_string(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_downstream_heads_sparse_colbert_rerank(fake_dir, tmp_path):
+    """Sparse/colbert embeddings + rerank/classifier heads over HTTP
+    (reference: models/downstream_modules/ — BGE-M3 sparse/colbert,
+    cross-encoder reranker, sequence classifier)."""
+    asyncio.run(_downstream_heads(fake_dir, tmp_path))
+
+
+async def _downstream_heads(fake_dir, tmp_path):
+    import numpy as np
+    import torch
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    h = runner.engine.model.cfg.hidden_size
+    # fake aux heads in the reference's on-disk formats
+    heads_dir = str(tmp_path / "heads")
+    import os as _os
+    _os.makedirs(heads_dir, exist_ok=True)
+    torch.save({"weight": torch.randn(1, h) * 0.1,
+                "bias": torch.zeros(1)},
+               _os.path.join(heads_dir, "sparse_linear.pt"))
+    torch.save({"weight": torch.randn(8, h) * 0.1,
+                "bias": torch.zeros(8)},
+               _os.path.join(heads_dir, "colbert_linear.pt"))
+    from rtp_llm_tpu.engine.embedding import load_downstream_heads
+
+    api.model_path = heads_dir
+    heads = load_downstream_heads(heads_dir)
+    assert heads["sparse_linear"].shape == (h, 1)
+    assert heads["colbert_linear"].shape == (h, 8)
+    heads["classifier"] = np.random.default_rng(0).standard_normal(
+        (h, 2)).astype(np.float32) * 0.1
+    api._downstream_heads = heads  # classifier head injected for the test
+
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/embeddings", json={
+                "input": "w1 w2 w3", "embedding_type": "sparse"})
+            assert r.status == 200
+            d = (await r.json())["data"][0]
+            assert d["embedding_type"] == "sparse"
+            assert all(float(v) > 0 for v in d["embedding"].values())
+
+            r = await client.post("/v1/embeddings/colbert",
+                                  json={"input": "w1 w2 w3"})
+            assert r.status == 200
+            mat = (await r.json())["data"][0]["embedding"]
+            assert len(mat) == 3 and len(mat[0]) == 8
+            import math as _m
+            n0 = _m.sqrt(sum(x * x for x in mat[0]))
+            assert abs(n0 - 1.0) < 1e-3  # normalized per token
+
+            r = await client.post("/v1/rerank", json={
+                "query": "w1 w2", "documents": ["w3 w4", "w5"]})
+            assert r.status == 200
+            res = (await r.json())["results"]
+            assert len(res) == 2
+            assert res[0]["relevance_score"] >= res[1]["relevance_score"]
+            assert all(0.0 <= x["relevance_score"] <= 1.0 for x in res)
+
+            r = await client.post("/v1/classifier", json={"input": ["w1 w2"]})
+            assert r.status == 200
+            logits = (await r.json())["data"][0]["logits"]
+            assert len(logits) == 2
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
