@@ -183,5 +183,8 @@ class EngineConfig:
     enable_profiling: bool = False
     warmup: bool = True
     seed: int = 0
+    # trie-constrained decode config JSON (reference: TreeDecodeConfig,
+    # PrefixToCandidateTokens.h:24); "" = off
+    tree_decode_config_path: str = ""
 
     GROUPS = ("parallel", "cache", "scheduler", "quant", "speculative", "server")

@@ -178,6 +178,12 @@ class LlmEngine:
             and not isinstance(self.kv, dict)
         )
         self.spec = config.speculative
+        self.tree_config = None
+        if config.tree_decode_config_path:
+            from rtp_llm_tpu.engine.logits_processors import TreeDecodeConfig
+
+            self.tree_config = TreeDecodeConfig.from_file(
+                config.tree_decode_config_path)
         self._verify_jit = jax.jit(self._verify_impl, donate_argnums=(1, 2),
                                    static_argnums=(4,))
         self._decode_multi_jit = jax.jit(
@@ -349,7 +355,7 @@ class LlmEngine:
     MAX_NGRAM_BANS = 16  # per-row cap on no-repeat-ngram banned tokens
 
     def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True,
-                     ban_tokens=None):
+                     ban_tokens=None, allow_tokens=None):
         active = state.kv_lens > 0
         kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
         inputs = ModelInputs(
@@ -380,6 +386,7 @@ class LlmEngine:
             self.eos_ids, key, need_sampling=need_sampling,
             forced_tokens=state.forced_tokens, ban_tokens=ban_tokens,
             bias_ids=state.bias_ids, bias_vals=state.bias_vals,
+            allow_tokens=allow_tokens,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
@@ -520,13 +527,13 @@ class LlmEngine:
 
     def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng,
                            need_sampling=True, ban_tokens=None,
-                           bias_ids=None, bias_vals=None):
+                           bias_ids=None, bias_vals=None, allow_tokens=None):
         counts = jnp.zeros(logits.shape, jnp.int32)
         rng, key = jax.random.split(rng)
         tokens, logprobs, _ = sample_tokens(
             logits, params, prompt_mask, counts, self.eos_ids, key,
             need_sampling=need_sampling, ban_tokens=ban_tokens,
-            bias_ids=bias_ids, bias_vals=bias_vals,
+            bias_ids=bias_ids, bias_vals=bias_vals, allow_tokens=allow_tokens,
         )
         return tokens, logprobs, rng
 
@@ -910,7 +917,8 @@ class LlmEngine:
         packable, chunked = [], []
         for s in streams:
             (packable if len(s.context_token_ids) - s.reuse_len <= max_bucket
-             and s.mm is None and not s.is_recompute else chunked).append(s)
+             and s.mm is None and not s.is_recompute
+             and s.tree_state is None else chunked).append(s)
         for s in chunked:
             self._run_prefill(s)
         if len(packable) == 1:
@@ -1080,6 +1088,14 @@ class LlmEngine:
                     self.MAX_NGRAM_BANS)):
                 bans[0, j] = t
             ban_kw["ban_tokens"] = jnp.asarray(bans)
+        if stream.tree_state is not None:
+            cands = stream.tree_state.allowed()
+            if cands:
+                from rtp_llm_tpu.engine.logits_processors import MAX_ALLOW
+
+                allows = np.full((1, MAX_ALLOW), -1, np.int32)
+                allows[0, : len(cands)] = cands[:MAX_ALLOW]
+                ban_kw["allow_tokens"] = jnp.asarray(allows)
         tokens, logprobs, rng = self._first_sample_jit(
             logits, params, pmask_j, self.state.rng,
             bool(stream.config.do_sample), **ban_kw,
@@ -1303,6 +1319,7 @@ class LlmEngine:
             self.spec.enabled
             and not self.is_hybrid
             and not any(s.config.do_sample for s in active)
+            and self.tree_config is None
             and not any(s.config.max_thinking_tokens for s in active)
             and not any(s.config.no_repeat_ngram_size for s in active)
             and all(
@@ -1322,6 +1339,7 @@ class LlmEngine:
         use_multi = (
             n_multi > 1
             and not use_spec
+            and self.tree_config is None
             and not any(s.config.max_thinking_tokens for s in active)
             and not any(s.config.no_repeat_ngram_size for s in active)
             and all(
@@ -1383,25 +1401,40 @@ class LlmEngine:
         else:
             need_sampling = any(s.config.do_sample for s in active)
             use_ban = any(s.config.no_repeat_ngram_size for s in active)
-            if use_ban:
-                # bans depend on the full token history: resolve any pending
-                # step first and stay synchronous while banning is active
+            use_tree = self.tree_config is not None and any(
+                s.tree_state is not None for s in active)
+            if use_ban or use_tree:
+                # bans / trie allow-lists depend on the full token history:
+                # resolve any pending step first and stay synchronous
                 self._resolve_pending()
                 active = [s for s in self.scheduler.running if s.slot >= 0]
                 if not active:
                     self.step_count += 1
                     return True
-                bans = np.full((len(self.slots), self.MAX_NGRAM_BANS), -1,
-                               np.int32)
-                for s in active:
-                    n = s.config.no_repeat_ngram_size
-                    for j, t in enumerate(self._ngram_bans(
-                            s.all_token_ids, n, self.MAX_NGRAM_BANS)):
-                        bans[s.slot, j] = t
+                kw = {}
+                if use_ban:
+                    bans = np.full((len(self.slots), self.MAX_NGRAM_BANS), -1,
+                                   np.int32)
+                    for s in active:
+                        n = s.config.no_repeat_ngram_size
+                        for j, t in enumerate(self._ngram_bans(
+                                s.all_token_ids, n, self.MAX_NGRAM_BANS)):
+                            bans[s.slot, j] = t
+                    kw["ban_tokens"] = jnp.asarray(bans)
+                if use_tree:
+                    from rtp_llm_tpu.engine.logits_processors import MAX_ALLOW
+
+                    allows = np.full((len(self.slots), MAX_ALLOW), -1,
+                                     np.int32)
+                    for s in active:
+                        cands = (s.tree_state.allowed()
+                                 if s.tree_state is not None else None)
+                        if cands:
+                            allows[s.slot, : len(cands)] = cands[:MAX_ALLOW]
+                    kw["allow_tokens"] = jnp.asarray(allows)
                 with timed("engine.decode_ms"):
                     self.kv, self.state, tokens, logprobs = self._decode_jit(
-                        self.weights, self.kv, self.state, need_sampling,
-                        ban_tokens=jnp.asarray(bans),
+                        self.weights, self.kv, self.state, need_sampling, **kw,
                     )
                 self._resolve_tuple(tokens, logprobs, active)
                 METRICS.set_gauge("engine.running_streams", len(active))
@@ -1701,6 +1734,13 @@ class LlmEngine:
             prompt_token_ids, config, stop_token_sequences=stop_token_sequences
         )
         stream.mm = mm
+        if self.tree_config is not None:
+            from rtp_llm_tpu.engine.logits_processors import TreeDecodeState
+
+            st = TreeDecodeState(self.tree_config)
+            for t in prompt_token_ids:
+                st.update(int(t))
+            stream.tree_state = st
         self.scheduler.enqueue(stream)
         return stream
 

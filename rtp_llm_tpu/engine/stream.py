@@ -82,6 +82,9 @@ class GenerateStream:
         # think-mode budget tracking (reference: ThinkModeLogitsProcessor)
         self.thinking = False
         self.think_tokens = 0
+        # trie-constrained decode walk (engine/logits_processors.py); set by
+        # the engine at enqueue when a TreeDecodeConfig is loaded
+        self.tree_state = None
 
         # output side
         self._out_q: "queue.Queue[StreamOutput]" = queue.Queue()
@@ -152,6 +155,8 @@ class GenerateStream:
         if self.first_token_time is None:
             self.first_token_time = time.time()
         self.output_token_ids.append(int(token))
+        if self.tree_state is not None:
+            self.tree_state.update(int(token))
         cfg0 = self.config
         if cfg0.think_start_token_id is not None:
             if token == cfg0.think_start_token_id:

@@ -111,7 +111,8 @@ def sample_tokens(
     ban_tokens=None,  # [B, M] i32, -1 = empty (no-repeat-ngram bans)
     bias_ids=None,  # [B, M] i32, -1 = empty (OpenAI logit_bias)
     bias_vals=None,  # [B, M] f32
-):
+    allow_tokens=None,  # [B, M] i32, -1-padded allow-list; all-(-1) row =
+):                      # unconstrained (tree/trie-constrained decode)
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
     Greedy rows take argmax of penalized logits; sampling rows draw from the
@@ -137,6 +138,17 @@ def sample_tokens(
         rows = jnp.arange(logits.shape[0])[:, None]
         safe = jnp.where(ban_tokens >= 0, ban_tokens, logits.shape[1])
         logits = logits.at[rows, safe].set(NEG_INF, mode="drop")
+    if allow_tokens is not None:
+        # trie-constrained decode (reference: TreeLogitsProcessor +
+        # PrefixToCandidateTokens.h:24): rows with any allowed id keep ONLY
+        # those candidates; all-(-1) rows are unconstrained
+        rows = jnp.arange(logits.shape[0])[:, None]
+        constrained = jnp.any(allow_tokens >= 0, axis=1)  # [B]
+        safe = jnp.where(allow_tokens >= 0, allow_tokens, logits.shape[1])
+        keep = jnp.zeros(logits.shape, bool).at[rows, safe].set(
+            True, mode="drop")
+        logits = jnp.where(
+            constrained[:, None] & ~keep, NEG_INF, logits)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

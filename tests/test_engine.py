@@ -375,3 +375,53 @@ def test_deferred_kv_writes_match(tmp_path):
     eng = build(True)
     assert eng._defer_decode
     assert eng.generate(prompt, gc).output_token_ids == ref
+
+
+def test_tree_constrained_decode(tmp_path):
+    """Trie-constrained ("tree") decode: after start_token the next tokens
+    must follow prefix_dict until end_token (reference: TreeLogitsProcessor +
+    PrefixToCandidateTokens.h:24). The MockModel's greedy argmax would pick
+    mock_next(t); the trie must override it."""
+    import json as _json
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.model_config import ModelConfig
+    from rtp_llm_tpu.engine import LlmEngine
+
+    # trie: "" -> [50], "50" -> [60, 61], "50_60" -> [] (dead end -> end).
+    # ids chosen so the mock logits rank the candidates above the always-
+    # allowed end token (end must stay reachable every step by design)
+    cfgp = tmp_path / "tree.json"
+    cfgp.write_text(_json.dumps({
+        "start_token_id": 5,
+        "end_token_id": 7,
+        "sep": "_",
+        "prefix_dict": {"": [50], "50": [60, 61], "50_60": []},
+    }))
+    mc = ModelConfig(model_type="qwen2", vocab_size=VOCAB, num_layers=1,
+                     eos_token_id=[EOS])
+    cfg = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64,
+                          enable_prefix_cache=False),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(8, 16)),
+        tree_decode_config_path=str(cfgp),
+    )
+    eng = LlmEngine(MockModel(mc), {}, cfg)
+
+    # prompt ends with the start token 5 -> constrained from the first
+    # generated token: 10, then 20 or 21, then dead end -> end token 7,
+    # then unconstrained (mock chain resumes)
+    s = eng.generate([1, 2, 5], greedy(6))
+    out = s.output_token_ids
+    assert out[0] == 50
+    assert out[1] in (60, 61)
+    assert out[2] == 7
+    # past the region: normal greedy chain from token 7
+    assert out[3] == mock_next(7)
+
+    # without a start token in prompt/output flow, generation is unconstrained
+    s2 = eng.generate([1], greedy(3))
+    assert s2.output_token_ids == expected_chain([1], 3)
