@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from collections import deque
 
 from rtp_llm_tpu.cache.block_pool import BlockPool
 from rtp_llm_tpu.cache.prefix_cache import PrefixBlockCache
@@ -53,6 +54,10 @@ class KVCacheManager:
         self.host_tier = None
         self.evict_hook = None  # callable(block_id) -> np rows pytree
         self._block_pyhash: dict[int, int] = {}  # block -> python chain hash
+        # versioned membership journal for cache-aware routing (reference:
+        # GetCacheStatus version diffs consumed by FlexLB, proto :683)
+        self.hash_version = 0
+        self._journal: deque = deque(maxlen=8192)  # (version, op, hash)
         if use_native:
             from rtp_llm_tpu.cache.native import (
                 NativeBlockPool, NativePrefixBlockCache,
@@ -95,14 +100,17 @@ class KVCacheManager:
             b = self.prefix_cache.pop_lru()
             if b is None:
                 return None
-            self._spill_to_host(b)
+            h = self._block_pyhash.pop(b, None)
+            if h is not None:
+                self.hash_version += 1
+                self._journal.append((self.hash_version, "-", h))
+            self._spill_to_host(b, h)
             self.pool.free([b])  # drop the cache's reference
         return self.pool.malloc(n)
 
-    def _spill_to_host(self, block: int):
+    def _spill_to_host(self, block: int, h: int | None):
         """Save an evicted prefix block's device rows into the host tier
         (reference: memory-tier connector async write; synchronous here)."""
-        h = self._block_pyhash.pop(block, None)
         if self.host_tier is None or self.evict_hook is None or h is None:
             return
         if h in self.host_tier:
@@ -172,7 +180,7 @@ class KVCacheManager:
                 self.block_size,
             )
             self.pool.ref(retained)  # cache's reference
-            if self.host_tier is not None and retained:
+            if retained:
                 from rtp_llm_tpu.cache.prefix_cache import chain_hashes
 
                 hashes = chain_hashes(
@@ -182,9 +190,35 @@ class KVCacheManager:
                 for h, b in zip(hashes, alloc.blocks[:n_full]):
                     if b in bset:
                         self._block_pyhash[b] = h
+                        self.hash_version += 1
+                        self._journal.append((self.hash_version, "+", h))
         self.pool.free(alloc.blocks)
         alloc.blocks = []
 
     def estimate_peak_blocks(self, prompt_len: int, max_new_tokens: int) -> int:
         """Admission estimate (reference: estimatePeakNeedBlocks)."""
         return self.blocks_for_tokens(prompt_len + max_new_tokens)
+
+    # ---- cache-aware routing feed (reference: GetCacheStatus diffs) ----
+
+    def cache_hash_diff(self, from_version: int = 0) -> dict:
+        """Versioned prefix-cache membership for the cluster router. Returns
+        {"version", "base", "added", "removed"}: base=True means ``added`` is
+        the FULL current hash set (caller's version too old for the journal
+        window, or 0)."""
+        cur = self.hash_version
+        if from_version >= cur:
+            return {"version": cur, "base": False, "added": [], "removed": []}
+        oldest = self._journal[0][0] if self._journal else cur + 1
+        if from_version + 1 < oldest:
+            return {
+                "version": cur, "base": True,
+                "added": list(self._block_pyhash.values()), "removed": [],
+            }
+        added, removed = [], []
+        for ver, op, h in self._journal:
+            if ver <= from_version:
+                continue
+            (added if op == "+" else removed).append(h)
+        return {"version": cur, "base": False,
+                "added": added, "removed": removed}

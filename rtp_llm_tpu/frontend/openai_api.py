@@ -685,10 +685,11 @@ class OpenAIApp:
 
     async def cache_status(self, request: web.Request):
         """Reference: GetCacheStatus RPC / cache-aware routing feed
-        (proto :683, consumed by FlexLB)."""
+        (proto :683, consumed by FlexLB). ``?from_version=N`` returns the
+        versioned prefix-hash diff since N (base=true => full set)."""
         eng = self.runner.engine
         mgr = eng.cache_mgr
-        return web.json_response({
+        out = {
             "block_size": mgr.block_size,
             "total_blocks": mgr.pool.num_blocks,
             "free_blocks": mgr.pool.free_blocks,
@@ -697,7 +698,13 @@ class OpenAIApp:
             "prefix_cache_entries": len(mgr.prefix_cache)
             if mgr.prefix_cache is not None else 0,
             "backend": mgr.backend,
-        })
+        }
+        fv = request.query.get("from_version")
+        if fv is not None:
+            out.update(mgr.cache_hash_diff(int(fv)))
+        else:
+            out["version"] = mgr.hash_version
+        return web.json_response(out)
 
     async def worker_status(self, request: web.Request):
         eng = self.runner.engine

@@ -1,13 +1,17 @@
-"""Cluster router: least-loaded request routing across backend workers.
+"""Cluster router: cache-aware + least-loaded routing across workers.
 
 Analog of the reference's FlexLB (rtp_llm/flexlb Java LB: RequestScheduler /
-DefaultRouter / worker-status polling) collapsed to an asyncio proxy: polls
-each backend's /worker_status, routes each request to the worker with the
-most available concurrency (dead workers are excluded until they pass a
-health check again), and streams responses through unchanged.
+DefaultRouter / worker-status polling + cache-aware scheduling fed by
+GetCacheStatus version diffs) collapsed to an asyncio proxy: polls each
+backend's /worker_status and versioned /cache_status prefix-hash diffs,
+scores each request by prefix-cache overlap (token-id prompts are hashed
+with the same chain function the KV manager uses; text prompts are hashed
+when --tokenizer-path is given) plus available concurrency, and streams
+responses through unchanged. Dead workers are excluded until they pass a
+health check again.
 
 Run: python -m rtp_llm_tpu.server.router --port 8080 \
-         --workers host1:8088,host2:8088
+         --workers host1:8088,host2:8088 [--tokenizer-path DIR]
 """
 
 from __future__ import annotations
@@ -33,15 +37,26 @@ class WorkerState:
         self.waiting = 0
         self.inflight = 0  # router-side in-flight counter
         self.last_seen = 0.0
+        # cache-aware routing state (reference: FlexLB cache table)
+        self.cache_hashes: set = set()
+        self.cache_version = 0
+        self.block_size = 0
 
 
 class Router:
-    def __init__(self, workers: List[str], poll_interval: float = 1.0):
+    def __init__(self, workers: List[str], poll_interval: float = 1.0,
+                 tokenizer_path: str = "", cache_weight: float = 4.0):
         self.workers: Dict[str, WorkerState] = {
             w: WorkerState(w) for w in workers
         }
         self.poll_interval = poll_interval
+        self.cache_weight = cache_weight  # score per matched prefix block
         self._session: Optional[aiohttp.ClientSession] = None
+        self._tok = None
+        if tokenizer_path:
+            from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+
+            self._tok = TokenizerFactory.create(tokenizer_path)
 
     async def start(self):
         self._session = aiohttp.ClientSession()
@@ -66,24 +81,93 @@ class Router:
                 w.last_seen = time.time()
         except Exception:
             w.alive = False
+            return
+        try:
+            async with self._session.get(
+                f"http://{w.address}/cache_status",
+                params={"from_version": str(w.cache_version)},
+                timeout=aiohttp.ClientTimeout(total=2),
+            ) as resp:
+                st = await resp.json()
+                w.block_size = int(st.get("block_size", 0))
+                if st.get("base"):
+                    w.cache_hashes = set(st.get("added", []))
+                else:
+                    w.cache_hashes |= set(st.get("added", []))
+                    w.cache_hashes -= set(st.get("removed", []))
+                w.cache_version = int(st.get("version", w.cache_version))
+        except Exception:
+            pass  # cache-status optional: plain least-loaded routing
 
-    def pick(self) -> Optional[WorkerState]:
-        """Least-loaded alive worker (reference: DefaultRouter)."""
+    def _prompt_hashes(self, body: bytes, path: str) -> list:
+        """Chain hashes of the request prompt (same function the KV manager
+        uses), or [] when the prompt cannot be tokenized router-side."""
+        try:
+            import json as _json
+
+            from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+
+            d = _json.loads(body)
+            bs = max((w.block_size for w in self.workers.values()
+                      if w.block_size), default=0)
+            if not bs:
+                return []
+            ids = None
+            prompt = d.get("prompt")
+            if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+                ids = [int(t) for t in prompt]
+            elif self._tok is not None:
+                if "messages" in d:
+                    from rtp_llm_tpu.frontend.chat_renderer import create_renderer
+
+                    if not hasattr(self, "_renderer"):
+                        self._renderer = create_renderer(self._tok)
+                    ids = self._renderer.render(d["messages"]).token_ids
+                elif isinstance(prompt, str):
+                    ids = self._tok.encode(prompt)
+            if not ids:
+                return []
+            return chain_hashes(ids[: 64 * bs], bs)
+        except Exception:
+            return []
+
+    def _cache_score(self, w: WorkerState, hashes: list) -> int:
+        """Consecutive prefix blocks this worker already holds."""
+        n = 0
+        for h in hashes:
+            if h in w.cache_hashes:
+                n += 1
+            else:
+                break
+        return n
+
+    def pick(self, prompt_hashes: Optional[list] = None) -> Optional[WorkerState]:
+        """Cache-aware least-loaded pick (reference: FlexLB RequestScheduler:
+        prefix-cache overlap weighted against load)."""
         alive = [w for w in self.workers.values() if w.alive]
         if not alive:
             return None
+        hashes = prompt_hashes or []
         return max(
             alive,
-            key=lambda w: (w.available_concurrency - w.inflight, -w.waiting),
+            key=lambda w: (
+                self._cache_score(w, hashes) * self.cache_weight
+                + (w.available_concurrency - w.inflight)
+                - w.waiting,
+            ),
         )
 
     async def proxy(self, request: web.Request) -> web.StreamResponse:
-        w = self.pick()
+        body = await request.read()
+        hashes = (
+            self._prompt_hashes(body, request.path)
+            if request.path.endswith("completions") else []
+        )
+        w = self.pick(hashes)
         if w is None:
             raise web.HTTPServiceUnavailable(text="no alive workers")
         w.inflight += 1
         try:
-            body = await request.read()
             async with self._session.request(
                 request.method,
                 f"http://{w.address}{request.path_qs}",
@@ -111,6 +195,8 @@ class Router:
                     "running": w.running,
                     "waiting": w.waiting,
                     "inflight": w.inflight,
+                    "cache_version": w.cache_version,
+                    "cache_entries": len(w.cache_hashes),
                 }
                 for a, w in self.workers.items()
             }
@@ -130,9 +216,13 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--workers", required=True,
                    help="comma-separated host:port backend list")
+    p.add_argument("--tokenizer-path", default="",
+                   help="tokenizer dir for cache-aware routing of text prompts")
+    p.add_argument("--cache-weight", type=float, default=4.0)
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
-    router = Router(args.workers.split(","))
+    router = Router(args.workers.split(","), tokenizer_path=args.tokenizer_path,
+                    cache_weight=args.cache_weight)
     web.run_app(router.build_app(), host=args.host, port=args.port, print=None)
 
 

@@ -93,3 +93,97 @@ def test_resolve_world_config_file(tmp_path, monkeypatch):
     w = resolve_world(ParallelConfig())
     assert [x.host for x in w.workers] == ["h1", "h2"]
     assert w.host_index == 1
+
+
+def _stub_cache_backend(name: str, hashes, block_size=4, available=4):
+    """Backend with a versioned /cache_status feed."""
+    async def worker_status(request):
+        return web.json_response({
+            "alive": True, "available_concurrency": available,
+            "running_query_len": 0, "waiting_query_len": 0,
+        })
+
+    async def cache_status(request):
+        return web.json_response({
+            "block_size": block_size, "version": len(hashes),
+            "base": True, "added": list(hashes), "removed": [],
+        })
+
+    async def echo(request):
+        return web.json_response({"served_by": name})
+
+    app = web.Application()
+    app.router.add_get("/worker_status", worker_status)
+    app.router.add_get("/cache_status", cache_status)
+    app.router.add_post("/v1/completions", echo)
+    return app
+
+
+def test_cache_aware_routing_prefers_prefix_holder():
+    asyncio.run(_cache_aware())
+
+
+async def _cache_aware():
+    """A worker holding the request's prefix blocks must win over an equally
+    loaded one (reference: FlexLB cache-aware scheduling fed by
+    GetCacheStatus version diffs)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+    from rtp_llm_tpu.server.router import Router
+
+    prompt = list(range(100, 120))  # 20 tokens, block 4 -> 5 chain hashes
+    hot = chain_hashes(prompt, 4)
+    b1 = TestServer(_stub_cache_backend("cold", []))
+    b2 = TestServer(_stub_cache_backend("hot", hot))
+    await b1.start_server()
+    await b2.start_server()
+    try:
+        router = Router([f"{b1.host}:{b1.port}", f"{b2.host}:{b2.port}"],
+                        poll_interval=0.1)
+        client = TestClient(TestServer(router.build_app()))
+        await client.start_server()
+        try:
+            await asyncio.sleep(0.4)
+            st = await (await client.get("/router_status")).json()
+            assert any(w["cache_entries"] == len(hot)
+                       for w in st["workers"].values())
+            # token-id prompt: router hashes it and prefers the holder
+            for _ in range(3):
+                r = await client.post("/v1/completions",
+                                      json={"prompt": prompt, "max_tokens": 1})
+                assert (await r.json())["served_by"] == "hot"
+            # unrelated prompt: falls back to load-only (either worker ok)
+            r = await client.post(
+                "/v1/completions",
+                json={"prompt": list(range(500, 520)), "max_tokens": 1})
+            assert (await r.json())["served_by"] in ("hot", "cold")
+        finally:
+            await client.close()
+    finally:
+        await b1.close()
+        await b2.close()
+
+
+def test_cache_status_diff_journal(tmp_path):
+    """KVCacheManager's versioned hash journal: inserts publish '+', evictions
+    publish '-', and stale versions fall back to a base snapshot."""
+    from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+
+    mgr = KVCacheManager(num_blocks=8, block_size=4, backend="python")
+    a = mgr.allocate(list(range(8)))
+    mgr.free(a, token_ids=list(range(8)))  # 2 full blocks -> 2 '+' entries
+    d = mgr.cache_hash_diff(0)
+    assert d["version"] == 2 and len(d["added"]) == 2 and not d["removed"]
+    v1 = d["version"]
+
+    b = mgr.allocate(list(range(100, 108)))
+    mgr.free(b, token_ids=list(range(100, 108)))
+    d2 = mgr.cache_hash_diff(v1)
+    assert d2["version"] == 4 and len(d2["added"]) == 2 and not d2["base"]
+
+    # exhaust the pool to force LRU eviction of cached blocks
+    big = mgr.allocate(list(range(200, 224)))  # 6 blocks; pool is 7 usable
+    assert big is not None
+    d3 = mgr.cache_hash_diff(d2["version"])
+    assert d3["removed"], "evictions must publish removals"
