@@ -36,6 +36,41 @@ def int8_quantize(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return q, np.squeeze(scale, axis=-2)
 
 
+FP8_MAX = 448.0  # float8_e4m3fn
+
+
+def fp8_quantize(w: np.ndarray, block: int = 0):
+    """FP8 (e4m3) weight quantization (reference: QuantMethod FP8Quant /
+    per-block fp8, model_loader/per_block_fp8_quant_weight.py).
+
+    block == 0: per-tensor scale (scalar).
+    block > 0 : per-(in-block, out-block) scales, stored pre-expanded to
+    [in/block, out] so the groupwise dequant-matmul path applies unchanged
+    (the per-out-block structure is a repeat along out columns).
+    Returns (q fp8 [..., in, out], scale f32)."""
+    import jax.numpy as jnp  # noqa: F811 (module alias for dtype only)
+
+    wf = np.asarray(w, np.float32)
+    if block <= 0:
+        amax = float(np.max(np.abs(wf))) or 1e-8
+        scale = np.float32(amax / FP8_MAX)
+        q = np.asarray(
+            jnp.asarray(wf / scale).astype(jnp.float8_e4m3fn))
+        return q, np.asarray(scale, np.float32)
+    *lead, k, n = wf.shape
+    gi = max(k // block, 1)
+    go = max(n // block, 1)
+    bi, bo = k // gi, n // go
+    wb = wf.reshape(*lead, gi, bi, go, bo)
+    amax = np.maximum(np.abs(wb).max(axis=(-3, -1), keepdims=True), 1e-8)
+    scale = (amax / FP8_MAX).astype(np.float32)  # [..., gi, 1, go, 1]
+    q = np.asarray(jnp.asarray(wb / scale).astype(jnp.float8_e4m3fn))
+    q = q.reshape(*lead, k, n)
+    # expand to [.., gi, out]: repeat each out-block's scale across its cols
+    scale = np.repeat(scale[..., :, 0, :, 0], bo, axis=-1)
+    return q, scale
+
+
 def int4_quantize_groupwise(
     w: np.ndarray, group_size: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -98,6 +133,12 @@ def make_quant_transform(quant: QuantConfig):
                 np.asarray(arr, np.float32), quant.group_size
             )
             return {"": q, ".scale": s}
+        if quant.method == QuantMethod.FP8:
+            block = quant.fp8_block_size
+            if block and arr.shape[-2] % block != 0:
+                block = 0  # irregular shapes fall back to per-tensor
+            q, s = fp8_quantize(np.asarray(arr, np.float32), block)
+            return {"": q, ".scale": s}
         return {"": arr.astype(jnp.bfloat16)}
 
     return transform
@@ -118,6 +159,9 @@ def quantized_matmul(
     """
     if scale is None:
         return x @ w
+    if scale.ndim == 0 or scale.size == 1:  # per-tensor fp8
+        y = jnp.matmul(x, w.astype(x.dtype))
+        return y * jnp.asarray(scale, x.dtype).reshape(())
     if scale.ndim == w.ndim - 1:  # per-out-channel int8
         y = jnp.matmul(x, w.astype(x.dtype))
         return y * scale.astype(x.dtype)

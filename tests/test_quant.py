@@ -92,3 +92,90 @@ def test_quantized_model_close_to_bf16(tmp_path, method):
     assert rel < (0.25 if method == "int8" else 0.45), rel
     # top-1 agreement on this tiny model
     assert np.argmax(lf) == np.argmax(lq)
+
+
+class TestFP8:
+    """FP8 e4m3 weight quantization (reference: QuantMethod FP8Quant /
+    per-block fp8 loader, per_block_fp8_quant_weight.py)."""
+
+    def test_fp8_per_tensor_roundtrip(self):
+        from rtp_llm_tpu.quant.weight_only import fp8_quantize
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+        q, s = fp8_quantize(w, block=0)
+        assert str(q.dtype) == "float8_e4m3fn" and s.ndim == 0
+        deq = np.asarray(jnp.asarray(q).astype(jnp.float32)) * float(s)
+        rel = np.abs(deq - w).mean() / np.abs(w).mean()
+        assert rel < 0.05
+
+    def test_fp8_per_block_roundtrip(self):
+        from rtp_llm_tpu.quant.weight_only import fp8_quantize
+
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((64, 64)).astype(np.float32)
+        w[:32] *= 100.0  # block structure matters: huge first in-block
+        q, s = fp8_quantize(w, block=32)
+        assert s.shape == (2, 64)
+        g = 32
+        deq = np.zeros_like(w)
+        qf = np.asarray(jnp.asarray(q).astype(jnp.float32))
+        for gi in range(2):
+            deq[gi * g:(gi + 1) * g] = qf[gi * g:(gi + 1) * g] * s[gi][None, :]
+        rel = np.abs(deq - w).mean() / np.abs(w).mean()
+        assert rel < 0.05
+
+    def test_fp8_matmul_matches_dequant(self):
+        from rtp_llm_tpu.quant.weight_only import fp8_quantize, quantized_matmul
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+        w = rng.standard_normal((64, 32)).astype(np.float32) * 0.1
+        for block in (0, 32):
+            q, s = fp8_quantize(w, block=block)
+            got = np.asarray(quantized_matmul(x, jnp.asarray(q),
+                                              jnp.asarray(s)))
+            if block == 0:
+                deq = np.asarray(jnp.asarray(q).astype(jnp.float32)) * float(s)
+            else:
+                qf = np.asarray(jnp.asarray(q).astype(jnp.float32))
+                deq = qf * np.repeat(s, 32, axis=0).reshape(64, 32)
+            want = np.asarray(x) @ deq
+            np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-3)
+
+    def test_fp8_model_generates(self, tmp_path):
+        """End-to-end: fp8-quantized engine generates the same first tokens
+        as bf16 (tiny weights, greedy)."""
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, QuantConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.engine import LlmEngine
+        from rtp_llm_tpu.loader import CheckpointLoader
+        from rtp_llm_tpu.loader.fake_checkpoint import (
+            tiny_config, write_fake_checkpoint,
+        )
+        from rtp_llm_tpu.models import create_model
+        from rtp_llm_tpu.quant import make_quant_transform
+
+        cfg = tiny_config("qwen2")
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        def eng(quant):
+            cfg = tiny_config("qwen2")
+            cfg.dtype = "float32"
+            qc = QuantConfig(method=quant, fp8_block_size=16) if quant else None
+            transform = make_quant_transform(qc) if qc else None
+            weights = CheckpointLoader(cfg, transform=transform).load(ckpt)
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(cfg), weights, econf)
+
+        gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+        base = eng(None).generate([1, 5, 9], gc).output_token_ids
+        got = eng("fp8").generate([1, 5, 9], gc).output_token_ids
+        assert len(got) == 5 and got[:2] == base[:2]
