@@ -126,6 +126,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from rtp_llm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from rtp_llm_tpu.config.engine_config import (

@@ -49,8 +49,9 @@ class ModelConfig:
     # cohere: GPT-J pairwise rope over the full head_dim, mean-centered
     # weight-only layernorm, parallel attn+mlp residual, scaled logits
     rope_gptj_pairs: bool = False
-    norm_type: str = "rmsnorm"  # rmsnorm | layernorm_nobias
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm_nobias (+.bias => full)
     parallel_residual: bool = False
+    use_alibi: bool = False  # ALiBi position bias instead of RoPE (bloom)
     logit_scale: float = 0.0  # 0 = disabled
     # sliding-window attention (0 = disabled)
     sliding_window: int = 0
@@ -187,6 +188,43 @@ class ModelConfig:
         if mt == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True
+        if mt in ("internlm", "yi"):
+            # llama architecture; internlm v1 carries attention biases
+            cfg.attention_bias = hf.get("bias", mt == "internlm")
+        if mt in ("baichuan", "baichuan2"):
+            # 7B uses RoPE; 13B (hidden 5120, 40 layers) uses ALiBi — the HF
+            # config does not mark it, matching the reference's per-size rule
+            cfg.use_alibi = hf.get("use_alibi", cfg.hidden_size >= 5120)
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", False)
+        if mt == "starcoder2":
+            cfg.rms_norm_eps = hf.get("norm_epsilon", 1e-5)
+            cfg.norm_type = "layernorm"
+            cfg.attention_bias = hf.get("use_bias", True)
+            cfg.hidden_act = "gelu_tanh"
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
+        if mt == "bloom":
+            cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
+            cfg.norm_type = "layernorm"
+            cfg.use_alibi = True
+            cfg.attention_bias = True
+            cfg.hidden_act = "gelu_tanh"
+            cfg.intermediate_size = hf.get("intermediate_size") or 4 * hidden
+            cfg.num_kv_heads = cfg.num_attention_heads  # MHA, fused qkv
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
+            cfg.vocab_size = hf.get("vocab_size", 250880)
+        if mt == "falcon":
+            cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
+            cfg.norm_type = "layernorm"
+            cfg.parallel_residual = hf.get("parallel_attn", True)
+            cfg.hidden_act = "gelu_tanh"
+            cfg.attention_bias = hf.get("bias", False)
+            if hf.get("multi_query", True) and not hf.get(
+                    "new_decoder_architecture", False):
+                cfg.num_kv_heads = 1
+            elif hf.get("new_decoder_architecture", False):
+                cfg.num_kv_heads = hf.get("num_kv_heads", 8)
+            cfg.use_alibi = hf.get("alibi", False)
+            cfg.intermediate_size = hf.get("ffn_hidden_size") or 4 * hidden
         if mt in ("deepseek_v2", "deepseek_v3"):
             cfg.q_lora_rank = hf.get("q_lora_rank") or 0
             cfg.kv_lora_rank = hf.get("kv_lora_rank", 512)

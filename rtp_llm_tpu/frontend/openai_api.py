@@ -98,6 +98,37 @@ class OpenAIApp:
         messages = body.get("messages") or []
         if not messages:
             raise web.HTTPBadRequest(text='"messages" required')
+        mm = None
+        has_images = any(
+            isinstance(m.get("content"), list)
+            and any(p.get("type") in ("image_url", "image")
+                    for p in m["content"])
+            for m in messages
+        )
+        if has_images:
+            from rtp_llm_tpu.frontend.vision_chat import VisionChatHandler
+
+            cfg = self.runner.engine.model.cfg
+            if not getattr(cfg, "image_token_id", None):
+                raise web.HTTPBadRequest(
+                    text="served model has no vision tower")
+            if not hasattr(self, "_vision"):
+                self._vision = VisionChatHandler(self.model_path, cfg,
+                                                 self.tok)
+            messages, images = VisionChatHandler.extract_images(messages)
+            rendered = self.renderer.render(
+                messages, tools=body.get("tools"),
+                chat_template_kwargs=body.get("chat_template_kwargs"),
+            )
+            loop = asyncio.get_running_loop()
+            token_ids, mm = await loop.run_in_executor(
+                None, self._vision.process, rendered.token_ids, images)
+            return await self._generate_http(
+                request, body, token_ids,
+                extra_stop_words=rendered.stop_words,
+                extra_stop_ids=rendered.stop_token_ids,
+                chat=True, mm=mm,
+            )
         rendered = self.renderer.render(
             messages,
             tools=body.get("tools"),
@@ -125,7 +156,7 @@ class OpenAIApp:
 
     async def _generate_http(
         self, request, body, token_ids, extra_stop_words=(), extra_stop_ids=(),
-        chat=True,
+        chat=True, mm=None,
     ):
         cfg = self._build_config(body)
         cfg.stop_words = list(cfg.stop_words) + [
@@ -197,7 +228,9 @@ class OpenAIApp:
                 return web.json_response(payload)
 
         async with self.sem:
-            stream = self.runner.enqueue(token_ids, cfg, stop_token_sequences=stop_seqs)
+            stream = self.runner.enqueue(token_ids, cfg,
+                                         stop_token_sequences=stop_seqs,
+                                         mm=mm)
             detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
             if not stream_mode:
                 out = await self._collect(stream, detok)

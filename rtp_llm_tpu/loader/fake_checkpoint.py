@@ -33,6 +33,23 @@ def tiny_config(model_type: str = "qwen2", **overrides) -> ModelConfig:
     )
     if model_type in ("qwen2", "qwen2_moe"):
         base["attention_bias"] = True
+    if model_type in ("internlm",):
+        base["attention_bias"] = True
+    if model_type == "starcoder2":
+        base.update(norm_type="layernorm", attention_bias=True,
+                    hidden_act="gelu_tanh", tie_word_embeddings=True)
+    if model_type == "bloom":
+        base.update(norm_type="layernorm", use_alibi=True,
+                    attention_bias=True, hidden_act="gelu_tanh",
+                    num_kv_heads=base["num_attention_heads"],
+                    tie_word_embeddings=True)
+    if model_type in ("baichuan", "baichuan2"):
+        # W_pack is [3H, H]: MHA (kv heads == q heads)
+        base["num_kv_heads"] = base["num_attention_heads"]
+    if model_type == "falcon":
+        base.update(norm_type="layernorm", parallel_residual=True,
+                    hidden_act="gelu_tanh", num_kv_heads=1,
+                    tie_word_embeddings=True)
     if model_type in ("qwen3", "qwen3_moe"):
         base["use_qk_norm"] = True
     if model_type.endswith("_moe"):
@@ -114,7 +131,34 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
         "shared_up": (i, h),
         "shared_down": (h, i),
         "shared_expert_gate": (1, h),
+        # biased-layernorm / biased-linear families (starcoder2, bloom,
+        # falcon, internlm)
+        "input_norm.bias": (h,),
+        "post_attn_norm.bias": (h,),
+        "final_norm.bias": (h,),
+        "embed_norm": (h,),
+        "embed_norm.bias": (h,),
+        "q_proj.bias": (hq * d,),
+        "k_proj.bias": (hkv * d,),
+        "v_proj.bias": (hkv * d,),
+        "o_proj.bias": (h,),
+        "up_proj.bias": (i,),
+        "down_proj.bias": (h,),
     }
+    if cfg.model_type in ("baichuan", "baichuan2"):
+        # fused W_pack [3H, H]: q/k/v specs slice the same tensor
+        shapes.update({"q_proj": (3 * h, h), "k_proj": (3 * h, h),
+                       "v_proj": (3 * h, h)})
+    if cfg.model_type == "bloom":
+        shapes.update({
+            "q_proj": (3 * hq * d, h), "k_proj": (3 * hq * d, h),
+            "v_proj": (3 * hq * d, h),
+            "q_proj.bias": (3 * hq * d,), "k_proj.bias": (3 * hq * d,),
+            "v_proj.bias": (3 * hq * d,),
+        })
+    if cfg.model_type == "falcon":
+        fused = ((hq + 2 * hkv) * d, h)
+        shapes.update({"q_proj": fused, "k_proj": fused, "v_proj": fused})
     if cfg.model_type == "qwen3_next":
         hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
         dk, dv_ = cfg.linear_key_head_dim, cfg.linear_value_head_dim

@@ -241,7 +241,16 @@ class CheckpointLoader:
             zeros.append(z)
             perms.append(perm)
         stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
-        out = {"": stack(vals), ".scale": stack(scales), ".zero": stack(zeros)}
+        from rtp_llm_tpu.quant.weight_only import INT4_PACKED, to_int4
+
+        v_all, z_all = stack(vals), stack(zeros)
+        if INT4_PACKED:
+            # shift unsigned [0,15] values and zero points by -8 into the s4
+            # range; (q - z) * s is shift-invariant so the dequant math is
+            # unchanged while HBM stores 2 values/byte
+            v_all = to_int4(v_all.astype(np.int16) - 8)
+            z_all = (z_all.astype(np.float32) - 8.0)
+        out = {"": v_all, ".scale": stack(scales), ".zero": z_all}
         if any(p is not None for p in perms):
             # act-order: identity perm for layers that happened to be monotonic
             perms = [
@@ -258,6 +267,8 @@ class CheckpointLoader:
             if spec.hf_slice is not None:  # fused-weight split (phi3 etc.)
                 a, b = spec.hf_slice
                 t = t[a:b]
+            if spec.hf_transform is not None:  # layout fixups (bloom qkv...)
+                t = spec.hf_transform(t, self.cfg)
             if spec.transpose:
                 t = np.swapaxes(t, -1, -2)
             return t

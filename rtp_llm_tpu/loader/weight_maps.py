@@ -60,6 +60,10 @@ class WeightSpec:
     # slice rows [a:b] of the HF tensor before transpose (fused qkv/gate_up
     # checkpoints, e.g. phi3)
     hf_slice: Optional[tuple] = None
+    # arbitrary checkpoint-side reshape/reorder applied after hf_slice,
+    # before transpose (bloom's per-head-interleaved qkv, falcon's fused
+    # layouts); (np.ndarray, ModelConfig) -> np.ndarray
+    hf_transform: Optional[Callable] = None
 
 
 def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
@@ -108,6 +112,10 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
                        per_layer=True, shard_axis="out"),
             WeightSpec("v_bias", "model.layers.{l}.self_attn.v_proj.bias",
                        per_layer=True, shard_axis="out"),
+            # internlm v1 carries an o_proj bias too (absent elsewhere)
+            WeightSpec("o_proj.bias", "model.layers.{l}.self_attn.o_proj.bias",
+                       per_layer=True, optional=True,
+                       when=lambda c: c.model_type == "internlm"),
         ]
     if qk_norm:
         specs += [
@@ -518,6 +526,165 @@ def _mixtral_specs(cfg: ModelConfig) -> list[WeightSpec]:
     ]
 
 
+def _norm_pair(name: str, pattern: str, per_layer=True, when=None):
+    """LayerNorm weight + bias spec pair (biased-layernorm families)."""
+    return [
+        WeightSpec(name, pattern + ".weight", per_layer=per_layer, when=when),
+        WeightSpec(name + ".bias", pattern + ".bias", per_layer=per_layer,
+                   optional=True, when=when),
+    ]
+
+
+def _starcoder2_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """starcoder2 (reference: rtp_llm starcoder2 registration): llama layout
+    with biased layernorms, biased linears, no-gate gelu MLP (c_fc/c_proj ->
+    up/down canonical names)."""
+    L = "model.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        *_norm_pair("final_norm", "model.norm", per_layer=False),
+        *_norm_pair("input_norm", L + "input_layernorm"),
+        *_norm_pair("post_attn_norm", L + "post_attention_layernorm"),
+    ]
+    for nm, axis in (("q_proj", "out"), ("k_proj", "out"), ("v_proj", "out"),
+                     ("o_proj", "in")):
+        specs.append(WeightSpec(
+            nm, L + f"self_attn.{nm}.weight", per_layer=True, transpose=True,
+            shard_axis=axis))
+        specs.append(WeightSpec(
+            nm + ".bias", L + f"self_attn.{nm}.bias", per_layer=True,
+            optional=True, shard_axis="out" if axis == "out" else None))
+    specs += [
+        WeightSpec("up_proj", L + "mlp.c_fc.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj.bias", L + "mlp.c_fc.bias", per_layer=True,
+                   optional=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.c_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("down_proj.bias", L + "mlp.c_proj.bias", per_layer=True,
+                   optional=True),
+    ]
+    if not cfg.tie_word_embeddings:
+        specs.append(WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                                shard_axis="out"))
+    return specs
+
+
+def _baichuan_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """baichuan 7B/13B: llama layout with a fused W_pack qkv ([3H, H] equal
+    thirds); 13B replaces RoPE with ALiBi (model_config sets use_alibi)."""
+    h = cfg.hidden_size
+    L = "model.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("q_proj", L + "self_attn.W_pack.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(0, h)),
+        WeightSpec("k_proj", L + "self_attn.W_pack.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(h, 2 * h)),
+        WeightSpec("v_proj", L + "self_attn.W_pack.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(2 * h, 3 * h)),
+        WeightSpec("o_proj", L + "self_attn.o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "mlp.gate_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj", L + "mlp.up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+    if not cfg.tie_word_embeddings:
+        specs.append(WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                                shard_axis="out"))
+    return specs
+
+
+def _bloom_split_qkv(which: int):
+    """bloom fuses qkv per head: [n_heads, 3, d, H] interleaved."""
+    def f(t, cfg):
+        d = cfg.head_dim
+        n = cfg.num_attention_heads
+        if t.ndim == 2:  # weight [3*n*d, H]
+            return t.reshape(n, 3, d, t.shape[-1])[:, which].reshape(
+                n * d, t.shape[-1])
+        return t.reshape(n, 3, d)[:, which].reshape(n * d)  # bias
+    return f
+
+
+def _bloom_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """bloom: ALiBi, biased layernorms (incl. word-embedding layernorm),
+    per-head-interleaved fused qkv, no-gate gelu MLP."""
+    L = "h.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "word_embeddings.weight"),
+        *_norm_pair("embed_norm", "word_embeddings_layernorm",
+                    per_layer=False),
+        *_norm_pair("final_norm", "ln_f", per_layer=False),
+        *_norm_pair("input_norm", L + "input_layernorm"),
+        *_norm_pair("post_attn_norm", L + "post_attention_layernorm"),
+        WeightSpec("o_proj", L + "self_attention.dense.weight",
+                   per_layer=True, transpose=True, shard_axis="in"),
+        WeightSpec("o_proj.bias", L + "self_attention.dense.bias",
+                   per_layer=True, optional=True),
+        WeightSpec("up_proj", L + "mlp.dense_h_to_4h.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj.bias", L + "mlp.dense_h_to_4h.bias",
+                   per_layer=True, optional=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.dense_4h_to_h.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("down_proj.bias", L + "mlp.dense_4h_to_h.bias",
+                   per_layer=True, optional=True),
+    ]
+    for i, nm in enumerate(("q_proj", "k_proj", "v_proj")):
+        specs.append(WeightSpec(
+            nm, L + "self_attention.query_key_value.weight", per_layer=True,
+            transpose=True, shard_axis="out",
+            hf_transform=_bloom_split_qkv(i)))
+        specs.append(WeightSpec(
+            nm + ".bias", L + "self_attention.query_key_value.bias",
+            per_layer=True, optional=True, shard_axis="out",
+            hf_transform=_bloom_split_qkv(i)))
+    return specs
+
+
+def _falcon_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """falcon 7B (multi_query + parallel attn/mlp): fused qkv is
+    [q(all heads); k; v] contiguous, single input layernorm feeds both
+    branches (parallel_residual path)."""
+    h, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_kv_heads
+    L = "transformer.h.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "transformer.word_embeddings.weight"),
+        *_norm_pair("final_norm", "transformer.ln_f", per_layer=False),
+        *_norm_pair("input_norm", L + "input_layernorm"),
+        *_norm_pair("post_attn_norm", L + "post_attention_layernorm",
+                    when=lambda c: not c.parallel_residual),
+        WeightSpec("q_proj", L + "self_attention.query_key_value.weight",
+                   per_layer=True, transpose=True, shard_axis="out",
+                   hf_slice=(0, hq * d)),
+        WeightSpec("k_proj", L + "self_attention.query_key_value.weight",
+                   per_layer=True, transpose=True,
+                   hf_slice=(hq * d, hq * d + hkv * d)),
+        WeightSpec("v_proj", L + "self_attention.query_key_value.weight",
+                   per_layer=True, transpose=True,
+                   hf_slice=(hq * d + hkv * d, hq * d + 2 * hkv * d)),
+        WeightSpec("o_proj", L + "self_attention.dense.weight",
+                   per_layer=True, transpose=True, shard_axis="in"),
+        WeightSpec("up_proj", L + "mlp.dense_h_to_4h.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.dense_4h_to_h.weight",
+                   per_layer=True, transpose=True, shard_axis="in"),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                   shard_axis="out", optional=True),
+    ]
+    return specs
+
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
     "mixtral": _mixtral_specs,
@@ -536,6 +703,13 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "deepseek_v2": _deepseek_with_mtp_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
+    "internlm": _llama_family_specs,
+    "yi": _llama_family_specs,
+    "baichuan": _baichuan_specs,
+    "baichuan2": _baichuan_specs,
+    "starcoder2": _starcoder2_specs,
+    "bloom": _bloom_specs,
+    "falcon": _falcon_specs,
 }
 
 

@@ -22,11 +22,28 @@ from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
 from rtp_llm_tpu.ops.attention import paged_attention
 from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv, write_kv_quant
-from rtp_llm_tpu.ops.norms import layer_norm_nobias, rms_norm
+from rtp_llm_tpu.ops.norms import layer_norm, layer_norm_nobias, rms_norm
 from rtp_llm_tpu.ops.rope import (
     apply_rope, apply_rope_partial_interleaved, compute_rope_freqs,
 )
 from rtp_llm_tpu.quant.weight_only import quantized_matmul
+
+
+def alibi_slopes(n_heads: int):
+    """Standard ALiBi slope schedule (bloom): powers of 2^(-8/n) for the
+    closest power-of-two head count, interpolated for the rest."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start ** i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        return pow2_slopes(n_heads)
+    closest = 2 ** int(math.floor(math.log2(n_heads)))
+    base = pow2_slopes(closest)
+    extra = pow2_slopes(2 * closest)[0::2][: n_heads - closest]
+    return base + extra
 
 
 class LlamaFamilyModel:
@@ -60,6 +77,12 @@ class LlamaFamilyModel:
         self._norm = (
             layer_norm_nobias if cfg.norm_type == "layernorm_nobias" else rms_norm
         )
+        # ALiBi position bias (bloom / baichuan-13b): precomputed slopes
+        # replace RoPE entirely
+        self.alibi_slopes = None
+        if cfg.use_alibi:
+            self.alibi_slopes = jnp.asarray(
+                alibi_slopes(cfg.num_attention_heads), jnp.float32)
         self.sm_scale = (
             cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
             else cfg.head_dim ** -0.5
@@ -109,6 +132,8 @@ class LlamaFamilyModel:
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)  # [B,T,H]
+        if "embed_norm" in weights:  # bloom: word-embedding layernorm
+            x = self._norm_at(weights, "embed_norm", x)
         if inputs.mm_embeds is not None:
             # splice precomputed vision embeddings over placeholder tokens
             # (reference: MultimodalProcessor, cpp/multimodal_processor/)
@@ -132,7 +157,7 @@ class LlamaFamilyModel:
                                    kv_writes=kv_writes,
                                    gating_out=gating_out)
 
-        x = self._norm(x, weights["final_norm"], cfg.rms_norm_eps)
+        x = self._norm_at(weights, "final_norm", x)
 
         if cfg.tie_word_embeddings:
             lm_head = weights["embed_tokens"].T  # [H, V]
@@ -166,6 +191,16 @@ class LlamaFamilyModel:
             moe_gating=jnp.stack(gating_out) if gating_out else None,
         ), cache
 
+    def _norm_at(self, w, name, x, i=None):
+        """Apply the layer's norm; a ``<name>.bias`` entry selects full
+        LayerNorm (starcoder2/bloom/falcon store biased layernorms)."""
+        wt = w[name] if i is None else w[name][i]
+        b = w.get(name + ".bias")
+        if b is not None:
+            return layer_norm(x, wt, b if i is None else b[i],
+                              self.cfg.rms_norm_eps)
+        return self._norm(x, wt, self.cfg.rms_norm_eps)
+
     # ---- linear helper (bf16 / int8 / int4 weights, see quant/) ----
 
     @staticmethod
@@ -179,6 +214,9 @@ class LlamaFamilyModel:
         y = quantized_matmul(
             xq, W, None if s is None else s[i], None if z is None else z[i]
         )
+        bb = w.get(name + ".bias")
+        if bb is not None:
+            y = y + bb[i]
         A = w.get(name + ".lora_a")
         if A is not None and aids is not None:
             # dynamic multi-LoRA: per-row adapter gather (reference: dynamic
@@ -218,7 +256,7 @@ class LlamaFamilyModel:
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
         res = x
-        x = self._norm(x, w["input_norm"][i], cfg.rms_norm_eps)
+        x = self._norm_at(w, "input_norm", x, i)
 
         aids = inputs.adapter_ids
         q = self._linear(w, "q_proj", i, x, aids)
@@ -234,8 +272,9 @@ class LlamaFamilyModel:
         if cfg.use_qk_norm:
             q = self._norm(q, w["q_norm"][i], cfg.rms_norm_eps)
             k = self._norm(k, w["k_norm"][i], cfg.rms_norm_eps)
-        q = self._apply_rope(q, inputs)
-        k = self._apply_rope(k, inputs)
+        if self.alibi_slopes is None:
+            q = self._apply_rope(q, inputs)
+            k = self._apply_rope(k, inputs)
 
         cur_k = cur_v = None
         if kv_writes is not None:
@@ -285,13 +324,12 @@ class LlamaFamilyModel:
             k_scale=k_scale, v_scale=v_scale,
             mesh=self.mesh,
             cur_k=cur_k, cur_v=cur_v,
+            alibi_slopes=self.alibi_slopes,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         if cfg.parallel_residual:
-            # cohere: attn and mlp both consume the SAME normed input
-            normed = rms_norm(res, w["input_norm"][i], cfg.rms_norm_eps) \
-                if cfg.norm_type == "rmsnorm" else layer_norm_nobias(
-                    res, w["input_norm"][i], cfg.rms_norm_eps)
+            # cohere/falcon: attn and mlp both consume the SAME normed input
+            normed = self._norm_at(w, "input_norm", res, i)
             mlp = (self._moe_mlp(w, i, normed, gating_out)
                    if cfg.is_moe_layer(i)
                    else self._dense_mlp(w, i, normed, aids))
@@ -308,7 +346,7 @@ class LlamaFamilyModel:
         x = res + x
 
         res = x
-        x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
+        x = self._norm_at(w, "post_attn_norm", x, i)
         if cfg.is_moe_layer(i):
             x = self._moe_mlp(w, i, x, gating_out)
         else:
@@ -316,6 +354,11 @@ class LlamaFamilyModel:
         return res + x, cache
 
     def _dense_mlp(self, w, i, x, aids=None):
+        if "gate_proj" not in w:
+            # no-gate MLP (starcoder2/bloom/falcon): act(fc) -> proj; the fc
+            # and proj tensors map onto the up/down canonical names
+            up = self._linear(w, "up_proj", i, x, aids)
+            return self._linear(w, "down_proj", i, self._act(up), aids)
         gate = self._linear(w, "gate_proj", i, x, aids)
         up = self._linear(w, "up_proj", i, x, aids)
         return self._linear(w, "down_proj", i, self._act(gate) * up, aids)

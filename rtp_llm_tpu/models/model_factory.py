@@ -20,7 +20,9 @@ def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
 
 
 for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
-            "mixtral", "gemma", "gemma2", "phi3", "glm4", "cohere"):
+            "mixtral", "gemma", "gemma2", "phi3", "glm4", "cohere",
+            "internlm", "yi", "baichuan", "baichuan2", "starcoder2",
+            "bloom", "falcon"):
     register_model(_mt, LlamaFamilyModel)
 
 

@@ -1,0 +1,223 @@
+"""JAX/TPU Qwen2-VL vision tower.
+
+Replaces the round-1 torch-on-host-CPU tower (vit.py) with a jitted JAX
+forward so image encoding runs on the TPU alongside the decoder (reference:
+the VIT subsystem deploys scaled-out encoder workers, vit_start_server.py;
+here the tower is a jit program sharing the chip).
+
+Architecture (mirrors HF Qwen2VisionTransformerPretrainedModel):
+  patch_embed : flattened [C*tps*ps*ps] patches @ W            (conv == matmul)
+  rot_pos_emb : 2D rotary over (h, w) patch positions with the
+                spatial-merge-aware interleaved ordering
+  blocks      : pre-LN bidirectional attention (masked per image) + MLP
+  merger      : LN -> [embed * merge^2] -> GELU -> hidden_size
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import List
+
+import numpy as np
+
+
+class JaxVisionTower:
+    """Lazy-loading JAX port of the checkpoint's Qwen2-VL vision tower."""
+
+    def __init__(self, model_path: str, dtype=None):
+        self.model_path = model_path
+        self._w = None
+        self._cfg = None
+        self._dtype = dtype
+        self._merge = 2
+        self._fns = {}
+
+    # ---- loading ----
+
+    def _load(self):
+        if self._w is not None:
+            return
+        import jax.numpy as jnp
+
+        with open(os.path.join(self.model_path, "config.json")) as f:
+            vc = json.load(f)["vision_config"]
+        self._cfg = dict(
+            embed_dim=vc.get("embed_dim", 1280),
+            depth=vc.get("depth", 32),
+            num_heads=vc.get("num_heads", 16),
+            mlp_ratio=vc.get("mlp_ratio", 4),
+            in_channels=vc.get("in_channels", 3),
+            patch_size=vc.get("patch_size", 14),
+            temporal_patch_size=vc.get("temporal_patch_size", 2),
+            spatial_merge_size=vc.get("spatial_merge_size", 2),
+            hidden_size=vc.get("hidden_size", 3584),
+            hidden_act=vc.get("hidden_act", "quick_gelu"),
+        )
+        self._merge = self._cfg["spatial_merge_size"]
+        dtype = self._dtype or jnp.float32
+
+        state = {}
+        from safetensors import safe_open
+
+        for fname in sorted(os.listdir(self.model_path)):
+            if not fname.endswith(".safetensors"):
+                continue
+            with safe_open(os.path.join(self.model_path, fname),
+                           framework="np") as f:
+                for name in f.keys():
+                    for pref in ("model.visual.", "visual."):
+                        if name.startswith(pref):
+                            state[name[len(pref):]] = f.get_tensor(name)
+
+        def t(name, transpose=False):
+            a = np.asarray(state[name], np.float32)
+            if transpose:
+                a = a.T
+            return jnp.asarray(a, dtype)
+
+        c = self._cfg
+        d = c["depth"]
+        w = {
+            # conv3d kernel [E, C, tps, ps, ps] -> matmul [C*tps*ps*ps, E]
+            "patch_proj": jnp.asarray(
+                np.asarray(state["patch_embed.proj.weight"], np.float32)
+                .reshape(c["embed_dim"], -1).T, dtype),
+            "ln_q_w": t("merger.ln_q.weight"),
+            "ln_q_b": t("merger.ln_q.bias"),
+            "merge_fc1": t("merger.mlp.0.weight", True),
+            "merge_fc1_b": t("merger.mlp.0.bias"),
+            "merge_fc2": t("merger.mlp.2.weight", True),
+            "merge_fc2_b": t("merger.mlp.2.bias"),
+        }
+        for nm, hf, tr in (
+            ("norm1_w", "norm1.weight", False), ("norm1_b", "norm1.bias", False),
+            ("norm2_w", "norm2.weight", False), ("norm2_b", "norm2.bias", False),
+            ("qkv", "attn.qkv.weight", True), ("qkv_b", "attn.qkv.bias", False),
+            ("proj", "attn.proj.weight", True), ("proj_b", "attn.proj.bias", False),
+            ("fc1", "mlp.fc1.weight", True), ("fc1_b", "mlp.fc1.bias", False),
+            ("fc2", "mlp.fc2.weight", True), ("fc2_b", "mlp.fc2.bias", False),
+        ):
+            w[nm] = jnp.stack([t(f"blocks.{i}.{hf}", tr) for i in range(d)])
+        self._w = w
+
+    # ---- position ids (host, per grid) ----
+
+    def _pos_ids(self, grid_thw) -> np.ndarray:
+        """[N, 2] (h, w) patch positions in the merge-interleaved order the
+        HF tower uses (rot_pos_emb, modeling_qwen2_vl)."""
+        m = self._merge
+        out = []
+        for t_, h, w in np.asarray(grid_thw):
+            hp = np.broadcast_to(np.arange(h)[:, None], (h, w))
+            hp = hp.reshape(h // m, m, w // m, m).transpose(0, 2, 1, 3).ravel()
+            wp = np.broadcast_to(np.arange(w)[None, :], (h, w))
+            wp = wp.reshape(h // m, m, w // m, m).transpose(0, 2, 1, 3).ravel()
+            pair = np.stack([hp, wp], axis=-1)
+            out.append(np.tile(pair, (int(t_), 1)))
+        return np.concatenate(out, axis=0)
+
+    # ---- jitted forward ----
+
+    def _forward_fn(self, n: int):
+        if n in self._fns:
+            return self._fns[n]
+        import jax
+        import jax.numpy as jnp
+
+        c = self._cfg
+        heads = c["num_heads"]
+        hd = c["embed_dim"] // heads
+        act = (
+            (lambda x: x * jax.nn.sigmoid(1.702 * x))
+            if c["hidden_act"] == "quick_gelu"
+            else (jax.nn.silu if c["hidden_act"] == "silu"
+                  else jax.nn.gelu)
+        )
+
+        def ln(x, wt, b, eps=1e-6):
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+            return ((xf - mu) / jnp.sqrt(var + eps) * wt + b).astype(x.dtype)
+
+        def rotate_half(x):
+            a, b = jnp.split(x, 2, axis=-1)
+            return jnp.concatenate([-b, a], axis=-1)
+
+        def fwd(w, patches, pos_ids, seg_ids):
+            x = patches @ w["patch_proj"]  # [N, E]
+            # 2D rotary: freqs dim hd//4 per axis -> [N, hd//2] -> doubled
+            inv = 1.0 / (10000.0 ** (
+                jnp.arange(0, hd // 2, 2, dtype=jnp.float32) / (hd // 2)))
+            fr = pos_ids[:, :, None].astype(jnp.float32) * inv[None, None, :]
+            fr = fr.reshape(n, -1)  # [N, hd//2]
+            emb = jnp.concatenate([fr, fr], axis=-1)  # [N, hd]
+            cos, sin = jnp.cos(emb)[:, None, :], jnp.sin(emb)[:, None, :]
+            mask = seg_ids[:, None] == seg_ids[None, :]  # [N, N]
+
+            def block(x, wi):
+                h = ln(x, wi["norm1_w"], wi["norm1_b"])
+                qkv = (h @ wi["qkv"] + wi["qkv_b"]).reshape(n, 3, heads, hd)
+                q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]  # [N, H, D]
+                qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+                q = (qf * cos + rotate_half(qf) * sin).astype(x.dtype)
+                k = (kf * cos + rotate_half(kf) * sin).astype(x.dtype)
+                s = jnp.einsum("nhd,mhd->hnm", q.astype(jnp.float32),
+                               k.astype(jnp.float32)) * (hd ** -0.5)
+                s = jnp.where(mask[None], s, -jnp.inf)
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.einsum("hnm,mhd->nhd", p, v.astype(jnp.float32))
+                x = x + (o.reshape(n, -1).astype(x.dtype) @ wi["proj"]
+                         + wi["proj_b"])
+                h = ln(x, wi["norm2_w"], wi["norm2_b"])
+                x = x + (act(h @ wi["fc1"] + wi["fc1_b"]) @ wi["fc2"]
+                         + wi["fc2_b"])
+                return x
+
+            for i in range(c["depth"]):
+                x = block(x, {k_: w[k_][i] for k_ in (
+                    "norm1_w", "norm1_b", "norm2_w", "norm2_b", "qkv",
+                    "qkv_b", "proj", "proj_b", "fc1", "fc1_b", "fc2",
+                    "fc2_b")})
+
+            # merger
+            x = ln(x, w["ln_q_w"], w["ln_q_b"])
+            x = x.reshape(-1, c["embed_dim"] * self._merge ** 2)
+            x = jax.nn.gelu(x @ w["merge_fc1"] + w["merge_fc1_b"],
+                            approximate=False)
+            return x @ w["merge_fc2"] + w["merge_fc2_b"]  # [N/m^2, hidden]
+
+        import jax
+
+        self._fns[n] = jax.jit(fwd)
+        return self._fns[n]
+
+    # ---- public API (same seam as HfVisionTower) ----
+
+    def encode_images(self, pixel_values, grid_thw) -> tuple:
+        """pixel_values [N, C*tps*ps*ps]; grid_thw [n_img, 3] (pre-merge).
+        Returns (per-image merged embeds [n_i, H], merged grids)."""
+        import jax.numpy as jnp
+
+        self._load()
+        pv = np.asarray(pixel_values, np.float32)
+        n = pv.shape[0]
+        pos = self._pos_ids(grid_thw)
+        g = np.asarray(grid_thw)
+        lens = (g[:, 0] * g[:, 1] * g[:, 2]).astype(np.int64)
+        seg = np.repeat(np.arange(len(g)), lens)
+        fn = self._forward_fn(n)
+        out = np.asarray(fn(
+            self._w, jnp.asarray(pv, self._w["patch_proj"].dtype),
+            jnp.asarray(pos, jnp.int32), jnp.asarray(seg, jnp.int32),
+        ), dtype=np.float32)
+        m = self._merge
+        grids, embeds, off = [], [], 0
+        for t_, h, w in g:
+            k = int(t_ * (h // m) * (w // m))
+            embeds.append(out[off: off + k])
+            grids.append((int(t_), int(h // m), int(w // m)))
+            off += k
+        return embeds, grids

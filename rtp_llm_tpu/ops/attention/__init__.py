@@ -102,6 +102,7 @@ def paged_attention(
     cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] deferred current-token K/V
     cur_v: jnp.ndarray | None = None,  # (decode T=1: cache holds kv_len-1)
     mesh=None,  # live jax.sharding.Mesh => shard_map-wrapped kernel
+    alibi_slopes: jnp.ndarray | None = None,  # [Hq] => XLA ref path
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -115,6 +116,7 @@ def paged_attention(
         and hq % hkv == 0
         and soft_cap == 0.0
         and k_scale is None  # int8 KV: pallas dequant support pending
+        and alibi_slopes is None
     )
     multi = mesh is not None and mesh.devices.size > 1
     if use_pallas and multi:
@@ -166,6 +168,7 @@ def paged_attention(
         q, k_cache, v_cache, block_tables, kv_lens, q_offsets, sm_scale,
         block_size=block_size, sliding_window=sliding_window, soft_cap=soft_cap,
         k_scale=k_scale, v_scale=v_scale, cur_k=cur_k, cur_v=cur_v,
+        alibi_slopes=alibi_slopes,
     )
 
 

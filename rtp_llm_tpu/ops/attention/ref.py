@@ -33,6 +33,7 @@ def paged_attention_ref(
     v_scale: jnp.ndarray | None = None,
     cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] current token K (deferred
     cur_v: jnp.ndarray | None = None,  #  writes: cache holds kv_len-1 tokens)
+    alibi_slopes: jnp.ndarray | None = None,  # [Hq] (bloom/baichuan-13b)
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -84,6 +85,14 @@ def paged_attention_ref(
         s = s + 1
     kv_pos = kv_pos[:, None, :]  # [B,1,S]
     q_pos = q_offsets[:, None, None] + jnp.arange(t, dtype=jnp.int32)[None, :, None]
+    if alibi_slopes is not None:
+        # ALiBi (reference: bloom/baichuan-13b position bias): score += slope
+        # * (kv_pos - q_pos) — 0 on the diagonal, growing penalty with
+        # distance (slopes are positive, rel is <= 0 under the causal mask)
+        rel = (kv_pos - q_pos).astype(jnp.float32)  # [B,T,S]
+        slopes = alibi_slopes.astype(jnp.float32).reshape(hkv, g)
+        scores = scores + (slopes[None, :, :, None, None]
+                           * rel[:, None, None, :, :])
     mask = (kv_pos <= q_pos) & (kv_pos < kv_lens[:, None, None])  # [B,T,S]
     if cur_k is not None:
         valid_cached = jnp.concatenate(

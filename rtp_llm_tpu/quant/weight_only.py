@@ -6,11 +6,13 @@ Reference analogs:
 
 Storage conventions (canonical kernels are [..., in, out]):
   INT8: {name: int8 [..., in, out], name.scale: f32 [..., out]}
-  INT4: {name: int8 [..., in, out] (values in [-8,7], unpacked storage),
+  INT4: {name: int4 [..., in, out] (XLA s4 dtype — 2 values/byte in HBM),
          name.scale: f32 [..., in/G, out]} — symmetric groupwise over the
-         *in* dim. Unpacked int8 storage trades 2x bytes for a direct
-         convert-into-matmul path; the packed uint8 path is the Pallas
-         dequant-GEMM kernel's job (quant/pallas_int4.py, later round).
+         *in* dim. XLA reads the packed s4 operand directly and fuses the
+         convert into the matmul (same mechanism as the s8 path), so no
+         hand-written dequant-GEMM kernel is needed. GPTQ/AWQ asymmetric
+         values shift by -8 into s4 range (q-z is shift-invariant).
+         RTP_INT4_UNPACKED=1 falls back to int8 storage.
 """
 
 from __future__ import annotations
@@ -37,6 +39,18 @@ def int8_quantize(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 FP8_MAX = 448.0  # float8_e4m3fn
+
+import os as _os
+
+INT4_PACKED = not _os.environ.get("RTP_INT4_UNPACKED")
+
+
+def to_int4(q: np.ndarray) -> np.ndarray:
+    """int8 values in [-8, 7] -> ml_dtypes int4 numpy array (device_put
+    produces a packed s4 buffer on TPU: half the HBM bytes of int8)."""
+    import ml_dtypes
+
+    return np.asarray(q, dtype=ml_dtypes.int4)
 
 
 def fp8_quantize(w: np.ndarray, block: int = 0):
@@ -132,7 +146,7 @@ def make_quant_transform(quant: QuantConfig):
             q, s = int4_quantize_groupwise(
                 np.asarray(arr, np.float32), quant.group_size
             )
-            return {"": q, ".scale": s}
+            return {"": to_int4(q) if INT4_PACKED else q, ".scale": s}
         if quant.method == QuantMethod.FP8:
             block = quant.fp8_block_size
             if block and arr.shape[-2] % block != 0:

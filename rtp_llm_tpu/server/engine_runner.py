@@ -45,10 +45,12 @@ class EngineRunner:
         prompt_token_ids: List[int],
         config: Optional[GenerateConfig] = None,
         stop_token_sequences=None,
+        mm=None,
     ) -> GenerateStream:
         with self._cond:
             stream = self.engine.enqueue(
-                prompt_token_ids, config, stop_token_sequences=stop_token_sequences
+                prompt_token_ids, config,
+                stop_token_sequences=stop_token_sequences, mm=mm,
             )
             self._cond.notify_all()
         return stream

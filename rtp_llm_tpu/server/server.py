@@ -84,6 +84,9 @@ def build_engine(
 
 
 def serve(config: EngineConfig):
+    from rtp_llm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     """Blocking: build everything and run the HTTP server."""
     from aiohttp import web
 

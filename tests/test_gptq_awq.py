@@ -190,7 +190,7 @@ def test_packed_checkpoint_forward(tmp_path, method):
     qcfg.dtype = "float32"
     assert qcfg.quantization and qcfg.quantization["method"] == method
     wq = CheckpointLoader(qcfg).load(ckpt)
-    assert wq["q_proj"].dtype == jnp.int8
+    assert wq["q_proj"].dtype == jnp.int4  # packed s4 storage (2 vals/byte)
     assert "q_proj.zero" in wq and "q_proj.scale" in wq
 
     dcfg = ModelConfig.from_pretrained(dense_dir)

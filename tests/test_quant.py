@@ -67,7 +67,8 @@ def test_quantized_model_close_to_bf16(tmp_path, method):
     w_full = CheckpointLoader(cfg).load(ckpt)
     qc = QuantConfig(method=method, group_size=32)
     w_q = CheckpointLoader(cfg, transform=make_quant_transform(qc)).load(ckpt)
-    assert w_q["q_proj"].dtype == jnp.int8
+    assert w_q["q_proj"].dtype == (jnp.int8 if method == "int8"
+                                   else jnp.int4)
     assert "q_proj.scale" in w_q
     assert w_q["input_norm"].dtype == jnp.bfloat16  # not quantized
 

@@ -137,3 +137,77 @@ def test_mm_streams_no_prefix_pollution(ckpt):
     _, e2 = _engine(ckpt)
     assert out_b == e2.generate(prompt, gc(), mm=mm_b).output_token_ids
     assert out_a != out_b  # different images -> different continuations
+
+
+def test_jax_vision_tower_matches_torch(ckpt):
+    """The JAX/TPU vision tower (multimodal/vit_jax.py) must reproduce the
+    HF torch tower's embeddings — single image and a multi-image batch
+    (segment-masked attention == HF's per-image chunks)."""
+    from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
+
+    torch.manual_seed(3)
+    grids = np.asarray([(1, 4, 4), (1, 2, 4)])
+    npatch = int(sum(np.prod(g) for g in grids))
+    pix = torch.randn(npatch, 3 * 2 * 4 * 4).numpy()
+
+    t_embeds, t_grids = HfVisionTower(ckpt).encode_images(pix, grids)
+    j_embeds, j_grids = JaxVisionTower(ckpt).encode_images(pix, grids)
+    assert t_grids == j_grids
+    for te, je in zip(t_embeds, j_embeds):
+        assert te.shape == je.shape
+        np.testing.assert_allclose(je, te, rtol=2e-4, atol=2e-4)
+
+
+def test_vision_chat_handler_end_to_end(ckpt):
+    """frontend/vision_chat.py: data-URI image -> HF image processor -> JAX
+    tower -> placeholder expansion -> MMInputs -> engine generation."""
+    import base64
+    import io
+    import json as _json
+    import os
+
+    from PIL import Image
+
+    from rtp_llm_tpu.frontend.vision_chat import VisionChatHandler
+
+    # the fixture checkpoint ships no preprocessor config; write one matching
+    # its tiny vision geometry (patch 4, temporal 2, merge 2)
+    with open(os.path.join(ckpt, "preprocessor_config.json"), "w") as f:
+        _json.dump({
+            "image_processor_type": "Qwen2VLImageProcessor",
+            "patch_size": 4, "temporal_patch_size": 2, "merge_size": 2,
+            "min_pixels": 4 * 4 * 4, "max_pixels": 16 * 16 * 4,
+            "do_normalize": True,
+            "image_mean": [0.5, 0.5, 0.5], "image_std": [0.5, 0.5, 0.5],
+        }, f)
+
+    img = Image.new("RGB", (16, 16), (120, 30, 200))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    # message splitting
+    msgs, images = VisionChatHandler.extract_images([
+        {"role": "user", "content": [
+            {"type": "text", "text": "look"},
+            {"type": "image_url", "image_url": {"url": uri}},
+        ]},
+    ])
+    assert images == [uri]
+    assert msgs[0]["content"][1] == {"type": "image"}
+
+    mc, eng = _engine(ckpt)
+    handler = VisionChatHandler(ckpt, mc, None)
+    prompt = [1, 5, VSTART, IMG, VEND, 9]  # single placeholder pre-expansion
+    ids, mm = handler.process(prompt, [uri])
+    n_img = sum(1 for t in ids if t == IMG)
+    assert n_img >= 1 and len(ids) == len(prompt) - 1 + n_img
+    assert mm.embeds.shape[0] == len(ids)
+
+    s = eng.enqueue(ids, GenerateConfig(max_new_tokens=4, do_sample=False,
+                                        ignore_eos=True), mm=mm)
+    for _ in range(20):
+        if s.is_finished():
+            break
+        eng.step()
+    assert len(s.output_token_ids) == 4
