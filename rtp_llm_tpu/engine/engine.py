@@ -155,8 +155,19 @@ class LlmEngine:
         # jitted programs
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1, 2),
-            static_argnums=(3,),  # need_sampling
+            static_argnames=("need_sampling", "kv_blocks"),
         )
+        # kv-length buckets for the decode block tables: the fullrow pallas
+        # kernel loads whole (bucketed) rows, so the table width passed into
+        # the program tracks the batch's max context instead of max_seq_len
+        mbs = self.max_blocks_per_seq
+        buckets = []
+        b_ = 8
+        while b_ < mbs:
+            buckets.append(b_)
+            b_ *= 2
+        buckets.append(mbs)
+        self._kv_buckets = buckets
         self._prefill_jits = {}  # bucket_t -> fn
         self._prefill_hidden_jits = {}  # bucket_t -> fn (MTP prefill)
         self._prefill_mm_jits = {}  # bucket_t -> fn (multimodal prefill)
@@ -188,7 +199,7 @@ class LlmEngine:
                                    static_argnums=(4,))
         self._decode_multi_jit = jax.jit(
             self._decode_multi_impl, donate_argnums=(1, 2),
-            static_argnums=(3, 4),
+            static_argnames=("need_sampling", "n_steps", "kv_blocks"),
         )
         # feature-level proposer (consumes the target's pre-norm hidden):
         # MtpRunner (deepseek MTP) or EagleRunner — both share the same
@@ -355,13 +366,15 @@ class LlmEngine:
     MAX_NGRAM_BANS = 16  # per-row cap on no-repeat-ngram banned tokens
 
     def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True,
-                     ban_tokens=None, allow_tokens=None):
+                     ban_tokens=None, allow_tokens=None, kv_blocks=None):
         active = state.kv_lens > 0
         kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
+        bt = (state.block_tables if kv_blocks is None
+              else state.block_tables[:, :kv_blocks])
         inputs = ModelInputs(
             tokens=state.last_tokens[:, None],
             positions=jnp.where(active, state.kv_lens, 0)[:, None],
-            block_tables=state.block_tables,
+            block_tables=bt,
             kv_lens=kv_lens_new,
             q_offsets=state.kv_lens,
             adapter_ids=state.adapter_ids,
@@ -430,7 +443,7 @@ class LlmEngine:
         return flat.reshape(kv.shape)
 
     def _decode_multi_impl(self, weights, kv, state: ds.DecodeState,
-                           need_sampling=True, n_steps=8):
+                           need_sampling=True, n_steps=8, kv_blocks=None):
         """n_steps fused decode iterations in one program: scan over the
         decode body, stacking the sampled tokens. One dispatch + one readback
         per n_steps tokens (reference analog: CUDA-graph replay loops)."""
@@ -438,7 +451,7 @@ class LlmEngine:
         def body(carry, _):
             kv, st = carry
             kv, st, tokens, logprobs = self._decode_impl(
-                weights, kv, st, need_sampling
+                weights, kv, st, need_sampling, kv_blocks=kv_blocks
             )
             return (kv, st), (tokens, logprobs)
 
@@ -1203,6 +1216,17 @@ class LlmEngine:
                     out.append(t)
         return out[:cap]
 
+    def _kv_bucket(self, active, extra: int) -> int:
+        """Static block-table width covering this window's deepest row
+        (+extra pending positions), rounded up to a bucket so the decode
+        program retraces only per bucket."""
+        need_tokens = max(s.total_len for s in active) + extra + 1
+        need_blocks = -(-need_tokens // self.block_size)
+        for b_ in self._kv_buckets:
+            if need_blocks <= b_:
+                return b_
+        return self._kv_buckets[-1]
+
     # ---- dispatch / release ----
 
     def _release_stream(self, stream: GenerateStream):
@@ -1434,7 +1458,8 @@ class LlmEngine:
                     kw["allow_tokens"] = jnp.asarray(allows)
                 with timed("engine.decode_ms"):
                     self.kv, self.state, tokens, logprobs = self._decode_jit(
-                        self.weights, self.kv, self.state, need_sampling, **kw,
+                        self.weights, self.kv, self.state, need_sampling,
+                        kv_blocks=self._kv_bucket(active, 1), **kw,
                     )
                 self._resolve_tuple(tokens, logprobs, active)
                 METRICS.set_gauge("engine.running_streams", len(active))
@@ -1445,12 +1470,14 @@ class LlmEngine:
                     self.kv, self.state, tokens, logprobs = (
                         self._decode_multi_jit(
                             self.weights, self.kv, self.state, need_sampling,
-                            n_multi,
+                            n_steps=n_multi,
+                            kv_blocks=self._kv_bucket(active, extra),
                         )
                     )
                 else:
                     self.kv, self.state, tokens, logprobs = self._decode_jit(
-                        self.weights, self.kv, self.state, need_sampling
+                        self.weights, self.kv, self.state, need_sampling,
+                        kv_blocks=self._kv_bucket(active, extra),
                     )
             if self.async_decode:
                 prev = self._pending
@@ -1670,10 +1697,13 @@ class LlmEngine:
                     jnp.zeros((1,), jnp.int32),
                     jnp.zeros((1,), jnp.int32),
                 )
+            warm_buckets = {self._kv_buckets[0], self._kv_buckets[-1]}
             for need_sampling in (False, True):
-                self.kv, self.state, _, _ = self._decode_jit(
-                    self.weights, self.kv, self.state, need_sampling
-                )
+                for kvb in sorted(warm_buckets):
+                    self.kv, self.state, _, _ = self._decode_jit(
+                        self.weights, self.kv, self.state, need_sampling,
+                        kv_blocks=kvb,
+                    )
             if self.spec.enabled:
                 self.kv, self.state, _, _ = self._verify_jit(
                     self.weights, self.kv, self.state,

@@ -286,27 +286,32 @@ class LlamaFamilyModel:
             kv_writes[0].append(cur_k)
             kv_writes[1].append(cur_v)
         k_scale = v_scale = None
+        full_cache = None
         if kv_writes is not None:
             k_cache, v_cache = cache[i, 0], cache[i, 1]
+            full_cache = cache
         elif isinstance(cache, dict):  # int8 KV with scales
-            k_cache, v_cache = cache["data"][i, 0], cache["data"][i, 1]
-            k_scale, v_scale = cache["scale"][i, 0], cache["scale"][i, 1]
-            k_cache, v_cache, k_scale, v_scale = write_kv_quant(
-                k_cache, v_cache, k_scale, v_scale,
-                k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
-            )
-            cache = {
-                "data": cache["data"].at[i, 0].set(k_cache).at[i, 1].set(v_cache),
-                "scale": cache["scale"].at[i, 0].set(k_scale)
-                                       .at[i, 1].set(v_scale),
-            }
+            # direct 3D scatters on the donated buffers — slicing a plane out
+            # and writing it back (dynamic-update-slice) materializes full
+            # [NS, HD] slab copies, measured 41x slower (round-2 perf notes)
+            from rtp_llm_tpu.ops.kv_cache import quantize_kv
+
+            kq, ks, vq, vs = quantize_kv(
+                k.reshape(-1, hkv, d), v.reshape(-1, hkv, d))
+            data = (cache["data"].at[i, 0, slots].set(kq, mode="drop")
+                                 .at[i, 1, slots].set(vq, mode="drop"))
+            scale = (cache["scale"].at[i, 0, slots].set(ks, mode="drop")
+                                   .at[i, 1, slots].set(vs, mode="drop"))
+            cache = {"data": data, "scale": scale}
+            k_cache, v_cache = data[i, 0], data[i, 1]
+            k_scale, v_scale = scale[i, 0], scale[i, 1]
         else:
+            k2d = k.reshape(-1, hkv * d).astype(cache.dtype)
+            v2d = v.reshape(-1, hkv * d).astype(cache.dtype)
+            cache = (cache.at[i, 0, slots].set(k2d, mode="drop")
+                          .at[i, 1, slots].set(v2d, mode="drop"))
             k_cache, v_cache = cache[i, 0], cache[i, 1]
-            k_cache, v_cache = write_kv(
-                k_cache, v_cache,
-                k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots,
-            )
-            cache = cache.at[i, 0].set(k_cache).at[i, 1].set(v_cache)
+            full_cache = cache
 
         sliding = cfg.sliding_window
         if cfg.sliding_window_pattern:
@@ -325,6 +330,7 @@ class LlamaFamilyModel:
             mesh=self.mesh,
             cur_k=cur_k, cur_v=cur_v,
             alibi_slopes=self.alibi_slopes,
+            full_cache=full_cache, layer=i,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         if cfg.parallel_residual:

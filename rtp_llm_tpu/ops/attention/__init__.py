@@ -31,7 +31,7 @@ def default_backend() -> str:
 
 def _pallas_decode_sharded(
     mesh, q, k_cache, v_cache, block_tables, kv_lens, sm_scale, block_size,
-    sliding_window, cur_k, cur_v, interpret,
+    sliding_window, cur_k, cur_v, interpret, full_cache=None, layer=-1,
 ):
     """Run the Pallas decode kernel under a live mesh via shard_map.
 
@@ -52,26 +52,33 @@ def _pallas_decode_sharded(
     from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
 
     has_cur = cur_k is not None
-    hd = k_cache.shape[1]
+    hd = k_cache.shape[-1]
     if not has_cur:  # shard_map needs concrete operands
         cur_k = jnp.zeros((q.shape[0], hd), k_cache.dtype)
-        cur_v = jnp.zeros((q.shape[0], hd), v_cache.dtype)
+        cur_v = jnp.zeros((q.shape[0], hd), k_cache.dtype)
+    use_full = full_cache is not None
 
-    def local(q, k_cache, v_cache, block_tables, kv_lens, cur_k, cur_v):
+    def local(q, kop, block_tables, kv_lens, cur_k, cur_v):
+        if use_full:
+            k_l, v_l, lyr = kop, kop, layer
+        else:
+            k_l, v_l, lyr = kop[0], kop[1], -1
         return paged_decode_attention(
-            q, k_cache, v_cache, block_tables, kv_lens, sm_scale,
+            q, k_l, v_l, block_tables, kv_lens, sm_scale,
             block_size=block_size, sliding_window=sliding_window,
             cur_k=cur_k if has_cur else None,
             cur_v=cur_v if has_cur else None,
-            interpret=interpret,
+            interpret=interpret, layer=lyr,
         )
 
+    kop = full_cache if use_full else (k_cache, v_cache)
+    kop_spec = (P(None, None, None, "tp") if use_full
+                else (P(None, "tp"), P(None, "tp")))
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(
             P("dp", "tp", None),   # q [B, Hq, D]
-            P(None, "tp"),         # k_cache [NS, Hkv*D]
-            P(None, "tp"),         # v_cache
+            kop_spec,              # cache (full [L,2,NS,HD] or (k, v))
             P("dp", None),         # block_tables
             P("dp"),               # kv_lens
             P("dp", "tp"),         # cur_k
@@ -82,7 +89,7 @@ def _pallas_decode_sharded(
         # unused axes (cp) is guaranteed by construction here
         check_vma=False,
     )
-    return fn(q, k_cache, v_cache, block_tables, kv_lens, cur_k, cur_v)
+    return fn(q, kop, block_tables, kv_lens, cur_k, cur_v)
 
 
 def paged_attention(
@@ -103,6 +110,8 @@ def paged_attention(
     cur_v: jnp.ndarray | None = None,  # (decode T=1: cache holds kv_len-1)
     mesh=None,  # live jax.sharding.Mesh => shard_map-wrapped kernel
     alibi_slopes: jnp.ndarray | None = None,  # [Hq] => XLA ref path
+    full_cache=None,  # whole [L, 2, NS, HD] cache + static layer: the pallas
+    layer: int = -1,  # kernel DMAs at a layer offset, avoiding slab copies
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
@@ -132,16 +141,25 @@ def paged_attention(
                 mesh, q[:, 0], k_cache, v_cache, block_tables, kv_lens,
                 sm_scale, block_size, sliding_window, cur_k, cur_v,
                 interpret=jax.default_backend() == "cpu",
+                full_cache=full_cache, layer=layer,
             )
             return out[:, None]
     if use_pallas:
         from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
 
-        out = paged_decode_attention(
-            q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
-            block_size=block_size, sliding_window=sliding_window,
-            cur_k=cur_k, cur_v=cur_v,
-        )
+        if full_cache is not None:
+            out = paged_decode_attention(
+                q[:, 0], full_cache, full_cache, block_tables, kv_lens,
+                sm_scale, block_size=block_size,
+                sliding_window=sliding_window,
+                cur_k=cur_k, cur_v=cur_v, layer=layer,
+            )
+        else:
+            out = paged_decode_attention(
+                q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
+                block_size=block_size, sliding_window=sliding_window,
+                cur_k=cur_k, cur_v=cur_v,
+            )
         return out[:, None]
     use_pallas_prefill = (
         _ENABLE_PALLAS_PREFILL

@@ -50,8 +50,8 @@ def _decode_kernel(
     qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
     curk_ref,  # [1, Hkv*D] VMEM block — current token's K (deferred writes)
     curv_ref,  # [1, Hkv*D] VMEM block — current token's V
-    k_hbm,  # [NS, Hkv*D] ANY/HBM
-    v_hbm,  # [NS, Hkv*D] ANY/HBM
+    k_hbm,  # [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
+    v_hbm,  # [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
     # output
     o_ref,  # [1, Hq, Hkv*D] VMEM block (per-segment partial outputs)
     # scratch
@@ -65,6 +65,7 @@ def _decode_kernel(
     sm_scale: float,
     window: int = 0,
     has_cur: bool = False,
+    layer: int = -1,  # >= 0: kv_hbm is the full [L, 2, NS, HD] cache
 ):
     b = pl.program_id(0)
     hq = qe_ref.shape[1]
@@ -83,24 +84,26 @@ def _decode_kernel(
         jax.lax.div(num_blocks - first_blk + c - 1, c), 0
     )
 
-    def slab(hbm, blk_idx):
+    def slab(which, blk_idx):
         # clamp overhang blocks of the last chunk to a valid table entry —
         # their rows are position-masked, but must hold finite values
         # (0 * NaN = NaN in the PV matmul otherwise)
         safe = jax.lax.min(blk_idx, jax.lax.max(num_blocks - 1, 0))
         start = pl.multiple_of(block_tables_ref[b, safe] * bs, bs)
-        return hbm.at[pl.ds(start, bs), :]
+        if layer >= 0:  # full cache: static layer + k/v plane indices
+            return k_hbm.at[layer, which, pl.ds(start, bs), :]
+        return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_chunk(slot, ci):
         for j in range(c):
             blk = first_blk + ci * c + j
             pltpu.make_async_copy(
-                slab(k_hbm, blk),
+                slab(0, blk),
                 k_buf.at[slot, pl.ds(j * bs, bs), :],
                 sem.at[slot, j, 0],
             ).start()
             pltpu.make_async_copy(
-                slab(v_hbm, blk),
+                slab(1, blk),
                 v_buf.at[slot, pl.ds(j * bs, bs), :],
                 sem.at[slot, j, 1],
             ).start()
@@ -110,12 +113,12 @@ def _decode_kernel(
         for j in range(c):
             blk = first_blk + ci * c + j
             pltpu.make_async_copy(
-                slab(k_hbm, blk),
+                slab(0, blk),
                 k_buf.at[slot, pl.ds(j * bs, bs), :],
                 sem.at[slot, j, 0],
             ).wait()
             pltpu.make_async_copy(
-                slab(v_hbm, blk),
+                slab(1, blk),
                 v_buf.at[slot, pl.ds(j * bs, bs), :],
                 sem.at[slot, j, 1],
             ).wait()
@@ -196,8 +199,8 @@ def _fullrow_kernel(
     qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
     curk_ref,  # [1, Hkv*D] VMEM block (deferred current token, may be unused)
     curv_ref,  # [1, Hkv*D]
-    k_hbm,  # [NS, Hkv*D] ANY/HBM
-    v_hbm,  # [NS, Hkv*D] ANY/HBM
+    k_hbm,  # [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
+    v_hbm,  # [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
     # output
     o_ref,  # [1, Hq, Hkv*D] VMEM block
     # scratch (persists across the sequential grid -> cross-row pipelining)
@@ -210,6 +213,7 @@ def _fullrow_kernel(
     sm_scale: float,
     window: int = 0,
     has_cur: bool = False,
+    layer: int = -1,  # >= 0: k_hbm is the full [L, 2, NS, HD] cache
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -217,6 +221,11 @@ def _fullrow_kernel(
     VMEM; the engine buckets MB to the batch's max context."""
     b = pl.program_id(0)
     nrows = pl.num_programs(0)
+
+    def kv_slab(which, start):
+        if layer >= 0:
+            return k_hbm.at[layer, which, pl.ds(start, bs), :]
+        return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_row(row):
         slot = jax.lax.rem(row, 2)
@@ -226,11 +235,11 @@ def _fullrow_kernel(
             safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
             start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
             pltpu.make_async_copy(
-                k_hbm.at[pl.ds(start, bs), :],
+                kv_slab(0, start),
                 k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
             ).start()
             pltpu.make_async_copy(
-                v_hbm.at[pl.ds(start, bs), :],
+                kv_slab(1, start),
                 v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
             ).start()
 
@@ -242,11 +251,11 @@ def _fullrow_kernel(
             safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
             start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
             pltpu.make_async_copy(
-                k_hbm.at[pl.ds(start, bs), :],
+                kv_slab(0, start),
                 k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
             ).wait()
             pltpu.make_async_copy(
-                v_hbm.at[pl.ds(start, bs), :],
+                kv_slab(1, start),
                 v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
             ).wait()
 
@@ -305,23 +314,23 @@ def _fullrow_kernel(
 
 
 # whole-row mode is used when the bucketed context fits comfortably in VMEM:
-# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB. Opt-in (RTP_ENABLE_FULLROW=1)
-# until its Mosaic compile behavior is validated on hardware — the chunked
-# kernel is the proven default.
+# 2 bufs x 2 (k,v) x MB*BS*HD*2B <= ~8 MiB. Validated on hardware (round 2):
+# ~213 us/layer at b=64/768-token bucket vs ~466 us for the chunked kernel.
+# RTP_DISABLE_FULLROW=1 falls back to chunked for all contexts.
 import os as _os
 
-FULLROW_MAX_TOKENS = 2048 if _os.environ.get("RTP_ENABLE_FULLROW") else 0
+FULLROW_MAX_TOKENS = 0 if _os.environ.get("RTP_DISABLE_FULLROW") else 2048
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "block_size", "chunk_blocks", "nbuf",
-                     "sliding_window", "interpret"),
+                     "sliding_window", "interpret", "layer"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, Hq, D]
-    k_cache: jnp.ndarray,  # [NS, Hkv*D]
-    v_cache: jnp.ndarray,  # [NS, Hkv*D]
+    k_cache: jnp.ndarray,  # [NS, Hkv*D] — or the FULL [L, 2, NS, HD] cache
+    v_cache: jnp.ndarray,  # [NS, Hkv*D]    with layer >= 0 (no slab copies)
     block_tables: jnp.ndarray,  # [B, MB] i32
     kv_lens: jnp.ndarray,  # [B] i32
     sm_scale: float,
@@ -332,10 +341,17 @@ def paged_decode_attention(
     cur_k: jnp.ndarray | None = None,  # [B, Hkv*D] current token's K
     cur_v: jnp.ndarray | None = None,  # (deferred-write mode: cache holds
     interpret: bool = False,           #  kv_len-1 tokens)
+    layer: int = -1,  # >= 0: k_cache is the whole cache, v_cache unused
 ) -> jnp.ndarray:
     b, hq, d = q.shape
-    hd = k_cache.shape[1]
+    hd = k_cache.shape[-1]
     hkv = hd // d
+    kv_dtype = k_cache.dtype
+    if layer >= 0:
+        # the kernel DMAs from the full cache at a static (layer, plane)
+        # offset — passing the big buffer avoids XLA materializing a [NS, HD]
+        # slab copy per layer to feed the pallas operand
+        v_cache = jnp.zeros((1, hd), kv_dtype)  # placeholder operand
     g = hq // hkv
     bs = block_size
     c = chunk_blocks
@@ -358,21 +374,21 @@ def paged_decode_attention(
     if fullrow:
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
-            window=sliding_window, has_cur=has_cur,
+            window=sliding_window, has_cur=has_cur, layer=layer,
         )
         scratch = [
-            pltpu.VMEM((2, mb * bs, hd), k_cache.dtype),
-            pltpu.VMEM((2, mb * bs, hd), v_cache.dtype),
+            pltpu.VMEM((2, mb * bs, hd), kv_dtype),
+            pltpu.VMEM((2, mb * bs, hd), kv_dtype),
             pltpu.SemaphoreType.DMA((2, mb, 2)),
         ]
     else:
         kernel = functools.partial(
             _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale,
-            window=sliding_window, has_cur=has_cur,
+            window=sliding_window, has_cur=has_cur, layer=layer,
         )
         scratch = [
-            pltpu.VMEM((nbuf, c * bs, hd), k_cache.dtype),
-            pltpu.VMEM((nbuf, c * bs, hd), v_cache.dtype),
+            pltpu.VMEM((nbuf, c * bs, hd), kv_dtype),
+            pltpu.VMEM((nbuf, c * bs, hd), kv_dtype),
             pltpu.SemaphoreType.DMA((nbuf, c, 2)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
