@@ -204,9 +204,9 @@ def _fullrow_kernel(
     # output
     o_ref,  # [1, Hq, Hkv*D] VMEM block
     # scratch (persists across the sequential grid -> cross-row pipelining)
-    k_buf,  # [2, MB*BS, Hkv*D] VMEM
-    v_buf,  # [2, MB*BS, Hkv*D] VMEM
-    sem,  # DMA sems [2, MB, 2]
+    k_buf,  # [NB, MB*BS, Hkv*D] VMEM
+    v_buf,  # [NB, MB*BS, Hkv*D] VMEM
+    sem,  # DMA sems [NB, MB, 2]
     *,
     bs: int,
     mb: int,
@@ -214,6 +214,7 @@ def _fullrow_kernel(
     window: int = 0,
     has_cur: bool = False,
     layer: int = -1,  # >= 0: k_hbm is the full [L, 2, NS, HD] cache
+    nb: int = 2,  # row buffers in flight
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -228,58 +229,71 @@ def _fullrow_kernel(
         return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_row(row):
-        slot = jax.lax.rem(row, 2)
+        slot = jax.lax.rem(row, nb)
         kv_len = kv_lens_ref[row]
         nblk = jax.lax.div(kv_len + bs - 1, bs)
         for j in range(mb):
-            safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
-            start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
-            pltpu.make_async_copy(
-                kv_slab(0, start),
-                k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
-            ).start()
-            pltpu.make_async_copy(
-                kv_slab(1, start),
-                v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
-            ).start()
+            # rows past this row's live length are never read (position
+            # masked), so skip their DMAs entirely
+            @pl.when(jnp.int32(j) < nblk)
+            def _(j=j, slot=slot, row=row):
+                safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
+                start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
+                pltpu.make_async_copy(
+                    kv_slab(0, start),
+                    k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_slab(1, start),
+                    v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
+                ).start()
 
     def wait_row(row):
-        slot = jax.lax.rem(row, 2)
+        slot = jax.lax.rem(row, nb)
         kv_len = kv_lens_ref[row]
         nblk = jax.lax.div(kv_len + bs - 1, bs)
         for j in range(mb):
-            safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
-            start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
-            pltpu.make_async_copy(
-                kv_slab(0, start),
-                k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                kv_slab(1, start),
-                v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
-            ).wait()
+            @pl.when(jnp.int32(j) < nblk)
+            def _(j=j, slot=slot, row=row):
+                safe = jax.lax.min(jnp.int32(j), jax.lax.max(nblk - 1, 0))
+                start = pl.multiple_of(block_tables_ref[row, safe] * bs, bs)
+                pltpu.make_async_copy(
+                    kv_slab(0, start),
+                    k_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_slab(1, start),
+                    v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
+                ).wait()
 
     @pl.when(b == 0)
     def _():
-        start_row(0)
-        @pl.when(nrows > 1)
-        def _():
-            start_row(1)
+        for r0 in range(nb):
+            @pl.when(jnp.int32(r0) < nrows)
+            def _(r0=r0):
+                start_row(jnp.int32(r0))
 
     wait_row(b)
-    slot = jax.lax.rem(b, 2)
+    slot = jax.lax.rem(b, nb)
     kv_len = kv_lens_ref[b]
 
     qe = qe_ref[0].astype(jnp.float32) * sm_scale  # [Hq, HD]
     k = k_buf[slot]
-    v = v_buf[slot]
-    s = jax.lax.dot_general(
-        qe, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [Hq, MB*BS]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, mb * bs), 1)
     cached = jax.lax.max(kv_len - 1, 0) if has_cur else kv_len
     invalid = pos >= cached
+    # blocks past this row's live length were never DMA'd (skipped): their
+    # VMEM content is arbitrary, possibly NaN — zero V there so the masked
+    # probabilities (0) cannot produce 0 * NaN in the PV matmul, and zero K
+    # so the scores matmul stays finite before the positional mask
+    pos_col = jax.lax.broadcasted_iota(jnp.int32, (mb * bs, 1), 0)
+    vmask = pos_col >= cached  # [MB*BS, 1]
+    k = jnp.where(vmask, 0.0, k.astype(jnp.float32))
+    v = jnp.where(vmask, 0.0, v_buf[slot].astype(jnp.float32))
+    s = jax.lax.dot_general(
+        qe, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Hq, MB*BS]
     if window:
         invalid = invalid | (pos < jax.lax.max(kv_len - window, 0))
     s = jnp.where(invalid, NEG_INF, s)
@@ -291,26 +305,25 @@ def _fullrow_kernel(
         s_cur = jnp.where(kv_len > 0, s_cur, NEG_INF)
         s = jnp.concatenate([s, s_cur], axis=-1)
         v = jnp.concatenate(
-            [v.astype(jnp.float32),
-             curv_ref[0, 0].astype(jnp.float32)[None, :]], axis=0)
+            [v, curv_ref[0, 0].astype(jnp.float32)[None, :]], axis=0)
     m = jnp.max(s, axis=-1, keepdims=True)
     m = jnp.where(m > NEG_INF / 2, m, 0.0)
     p = jnp.exp(s - m)
     p = jnp.where(s > NEG_INF / 2, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Hq, HD]
     out = pv / jnp.maximum(l, 1e-20)
     out = jnp.where(kv_len > 0, out, 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
 
-    # prefetch row b+2 into this slot (safe: this row's reads are done); it
-    # overlaps row b+1's wait/compute on the other slot
-    @pl.when(b + 2 < nrows)
+    # prefetch row b+nb into this slot (safe: this row's reads are done); it
+    # overlaps the other slots' wait/compute
+    @pl.when(b + nb < nrows)
     def _():
-        start_row(b + 2)
+        start_row(b + nb)
 
 
 # whole-row mode is used when the bucketed context fits comfortably in VMEM:
@@ -372,14 +385,16 @@ def paged_decode_attention(
     cur_v = cur_v[:, None, :]
 
     if fullrow:
+        # buffer depth: keep ~<=12 MiB of VMEM for row buffers
+        nbf = max(2, min(4, (12 << 20) // max(2 * mb * bs * hd * 2, 1)))
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
-            window=sliding_window, has_cur=has_cur, layer=layer,
+            window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,
         )
         scratch = [
-            pltpu.VMEM((2, mb * bs, hd), kv_dtype),
-            pltpu.VMEM((2, mb * bs, hd), kv_dtype),
-            pltpu.SemaphoreType.DMA((2, mb, 2)),
+            pltpu.VMEM((nbf, mb * bs, hd), kv_dtype),
+            pltpu.VMEM((nbf, mb * bs, hd), kv_dtype),
+            pltpu.SemaphoreType.DMA((nbf, mb, 2)),
         ]
     else:
         kernel = functools.partial(
