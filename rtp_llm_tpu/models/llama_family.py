@@ -305,6 +305,7 @@ class LlamaFamilyModel:
             cache = {"data": data, "scale": scale}
             k_cache, v_cache = data[i, 0], data[i, 1]
             k_scale, v_scale = scale[i, 0], scale[i, 1]
+            full_cache = data  # pallas kernel DMAs at a layer offset
         else:
             k2d = k.reshape(-1, hkv * d).astype(cache.dtype)
             v2d = v.reshape(-1, hkv * d).astype(cache.dtype)

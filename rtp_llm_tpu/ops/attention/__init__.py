@@ -32,6 +32,7 @@ def default_backend() -> str:
 def _pallas_decode_sharded(
     mesh, q, k_cache, v_cache, block_tables, kv_lens, sm_scale, block_size,
     sliding_window, cur_k, cur_v, interpret, full_cache=None, layer=-1,
+    k_scale_e=None, v_scale_e=None,
 ):
     """Run the Pallas decode kernel under a live mesh via shard_map.
 
@@ -57,8 +58,12 @@ def _pallas_decode_sharded(
         cur_k = jnp.zeros((q.shape[0], hd), k_cache.dtype)
         cur_v = jnp.zeros((q.shape[0], hd), k_cache.dtype)
     use_full = full_cache is not None
+    quant = k_scale_e is not None
+    if not quant:  # shard_map needs concrete operands
+        k_scale_e = jnp.zeros((q.shape[0], q.shape[1], 1), jnp.bfloat16)
+        v_scale_e = jnp.zeros((q.shape[0], q.shape[1], 1), jnp.bfloat16)
 
-    def local(q, kop, block_tables, kv_lens, cur_k, cur_v):
+    def local(q, kop, block_tables, kv_lens, cur_k, cur_v, ks_e, vs_e):
         if use_full:
             k_l, v_l, lyr = kop, kop, layer
         else:
@@ -69,6 +74,8 @@ def _pallas_decode_sharded(
             cur_k=cur_k if has_cur else None,
             cur_v=cur_v if has_cur else None,
             interpret=interpret, layer=lyr,
+            k_scale_e=ks_e if quant else None,
+            v_scale_e=vs_e if quant else None,
         )
 
     kop = full_cache if use_full else (k_cache, v_cache)
@@ -83,13 +90,35 @@ def _pallas_decode_sharded(
             P("dp"),               # kv_lens
             P("dp", "tp"),         # cur_k
             P("dp", "tp"),         # cur_v
+            P("dp", "tp", None),   # k_scale_e [B, Hq, MB*BS]
+            P("dp", "tp", None),   # v_scale_e
         ),
         out_specs=P("dp", "tp", None),
         # pallas_call out_shapes don't carry vma metadata; replication over
         # unused axes (cp) is guaranteed by construction here
         check_vma=False,
     )
-    return fn(q, kop, block_tables, kv_lens, cur_k, cur_v)
+    return fn(q, kop, block_tables, kv_lens, cur_k, cur_v,
+              k_scale_e, v_scale_e)
+
+
+def _expand_kv_scales(k_scale, v_scale, block_tables, block_size, hq, hkv):
+    """Pre-expand int8-KV per-(slot, head) scales for the fullrow kernel.
+
+    Gathers each row's live scale rows via the block table and lays them out
+    as [B, Hq, MB*BS] (head h reads kv-head h//G), so the kernel applies
+    dequant as two aligned elementwise multiplies. The gather moves ~B*MB*BS
+    *Hkv bf16 values — noise next to the int8 KV slabs themselves."""
+    b, mb = block_tables.shape
+    g = hq // hkv
+    slots = (block_tables[:, :, None] * block_size
+             + jnp.arange(block_size, dtype=block_tables.dtype)[None, None, :]
+             ).reshape(b, mb * block_size)
+    ks = jnp.take(k_scale, slots, axis=0)  # [B, MB*BS, Hkv] (clamped OOB)
+    vs = jnp.take(v_scale, slots, axis=0)
+    ks_e = jnp.repeat(ks.transpose(0, 2, 1), g, axis=1)  # [B, Hq, MB*BS]
+    vs_e = jnp.repeat(vs.transpose(0, 2, 1), g, axis=1)
+    return ks_e, vs_e
 
 
 def paged_attention(
@@ -117,6 +146,16 @@ def paged_attention(
     hkv = k_cache.shape[1] // d
     if backend == "auto":
         backend = default_backend()
+    quant_kv = k_scale is not None
+    if quant_kv:
+        # int8-KV dequant lives in the fullrow kernel only (bucketed context
+        # must fit VMEM) and is incompatible with deferred writes
+        from rtp_llm_tpu.ops.attention import pallas_decode as _pd
+
+        quant_ok = (
+            block_tables.shape[1] * block_size <= _pd.FULLROW_MAX_TOKENS
+            and cur_k is None
+        )
     use_pallas = (
         backend == "pallas"
         and t == 1
@@ -124,7 +163,7 @@ def paged_attention(
         and block_size % 8 == 0
         and hq % hkv == 0
         and soft_cap == 0.0
-        and k_scale is None  # int8 KV: pallas dequant support pending
+        and (not quant_kv or quant_ok)
         and alibi_slopes is None
     )
     multi = mesh is not None and mesh.devices.size > 1
@@ -137,28 +176,39 @@ def paged_attention(
             and (hq // tp) % (hkv // tp) == 0
         )
         if use_pallas:
+            ks_e = vs_e = None
+            if quant_kv:
+                ks_e, vs_e = _expand_kv_scales(
+                    k_scale, v_scale, block_tables, block_size, hq, hkv)
             out = _pallas_decode_sharded(
                 mesh, q[:, 0], k_cache, v_cache, block_tables, kv_lens,
                 sm_scale, block_size, sliding_window, cur_k, cur_v,
                 interpret=jax.default_backend() == "cpu",
                 full_cache=full_cache, layer=layer,
+                k_scale_e=ks_e, v_scale_e=vs_e,
             )
             return out[:, None]
     if use_pallas:
         from rtp_llm_tpu.ops.attention.pallas_decode import paged_decode_attention
 
+        ks_e = vs_e = None
+        if quant_kv:
+            ks_e, vs_e = _expand_kv_scales(
+                k_scale, v_scale, block_tables, block_size, hq, hkv)
         if full_cache is not None:
             out = paged_decode_attention(
                 q[:, 0], full_cache, full_cache, block_tables, kv_lens,
                 sm_scale, block_size=block_size,
                 sliding_window=sliding_window,
                 cur_k=cur_k, cur_v=cur_v, layer=layer,
+                k_scale_e=ks_e, v_scale_e=vs_e,
             )
         else:
             out = paged_decode_attention(
                 q[:, 0], k_cache, v_cache, block_tables, kv_lens, sm_scale,
                 block_size=block_size, sliding_window=sliding_window,
                 cur_k=cur_k, cur_v=cur_v,
+                k_scale_e=ks_e, v_scale_e=vs_e,
             )
         return out[:, None]
     use_pallas_prefill = (

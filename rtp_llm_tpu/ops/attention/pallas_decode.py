@@ -201,13 +201,11 @@ def _fullrow_kernel(
     curv_ref,  # [1, Hkv*D]
     k_hbm,  # [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
     v_hbm,  # [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
-    # output
-    o_ref,  # [1, Hq, Hkv*D] VMEM block
-    # scratch (persists across the sequential grid -> cross-row pipelining)
-    k_buf,  # [NB, MB*BS, Hkv*D] VMEM
-    v_buf,  # [NB, MB*BS, Hkv*D] VMEM
-    sem,  # DMA sems [NB, MB, 2]
-    *,
+    # quant mode appends ks/vs input refs, then:
+    # output o_ref [1, Hq, Hkv*D] VMEM block
+    # scratch (persists across the sequential grid -> cross-row pipelining):
+    #   k_buf/v_buf [NB, MB*BS, Hkv*D] VMEM, sem DMA sems [NB, MB, 2]
+    *refs,
     bs: int,
     mb: int,
     sm_scale: float,
@@ -215,11 +213,23 @@ def _fullrow_kernel(
     has_cur: bool = False,
     layer: int = -1,  # >= 0: k_hbm is the full [L, 2, NS, HD] cache
     nb: int = 2,  # row buffers in flight
+    quant: bool = False,  # int8 KV: ks/vs operands carry expanded scales
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
     streamed while this row computes. Used when MB*BS is small enough for
-    VMEM; the engine buckets MB to the batch's max context."""
+    VMEM; the engine buckets MB to the batch's max context.
+
+    quant mode (int8 KV cache, per-(slot, head) scales — reference analog:
+    KVCacheConfig int8 with per-head scales): the dispatch pre-expands the
+    gathered scales to [B, Hq, MB*BS] so dequant is two elementwise
+    multiplies here — K scale on the scores, V scale on the probabilities —
+    with no in-kernel lane broadcasts. Incompatible with has_cur (the int8
+    engine path writes KV before attention)."""
+    if quant:
+        ks_ref, vs_ref, o_ref, k_buf, v_buf, sem = refs
+    else:
+        o_ref, k_buf, v_buf, sem = refs
     b = pl.program_id(0)
     nrows = pl.num_programs(0)
 
@@ -294,6 +304,8 @@ def _fullrow_kernel(
         qe, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Hq, MB*BS]
+    if quant:
+        s = s * ks_ref[0].astype(jnp.float32)
     if window:
         invalid = invalid | (pos < jax.lax.max(kv_len - window, 0))
     s = jnp.where(invalid, NEG_INF, s)
@@ -311,6 +323,11 @@ def _fullrow_kernel(
     p = jnp.exp(s - m)
     p = jnp.where(s > NEG_INF / 2, p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    if quant:
+        # V dequant: fold the per-(token, kv-head) scale into p AFTER the
+        # normalizer (softmax weights are scale-free; only the PV product
+        # carries the dequantized magnitudes)
+        p = p * vs_ref[0].astype(jnp.float32)
     pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -355,6 +372,8 @@ def paged_decode_attention(
     cur_v: jnp.ndarray | None = None,  # (deferred-write mode: cache holds
     interpret: bool = False,           #  kv_len-1 tokens)
     layer: int = -1,  # >= 0: k_cache is the whole cache, v_cache unused
+    k_scale_e: jnp.ndarray | None = None,  # [B, Hq, MB*BS] expanded int8-KV
+    v_scale_e: jnp.ndarray | None = None,  # scales (see _fullrow_kernel)
 ) -> jnp.ndarray:
     b, hq, d = q.shape
     hd = k_cache.shape[-1]
@@ -384,12 +403,18 @@ def paged_decode_attention(
     cur_k = cur_k[:, None, :]
     cur_v = cur_v[:, None, :]
 
+    quant = k_scale_e is not None
+    if quant and (has_cur or not fullrow):
+        raise NotImplementedError(
+            "int8-KV pallas decode requires the fullrow path without "
+            "deferred writes (dispatch gates on this)")
     if fullrow:
         # buffer depth: keep ~<=12 MiB of VMEM for row buffers
         nbf = max(2, min(4, (12 << 20) // max(2 * mb * bs * hd * 2, 1)))
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,
+            quant=quant,
         )
         scratch = [
             pltpu.VMEM((nbf, mb * bs, hd), kv_dtype),
@@ -406,19 +431,29 @@ def paged_decode_attention(
             pltpu.VMEM((nbuf, c * bs, hd), kv_dtype),
             pltpu.SemaphoreType.DMA((nbuf, c, 2)),
         ]
+    in_specs = [
+        pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [block_tables, kv_lens, q_exp, cur_k, cur_v, k_cache, v_cache]
+    if quant:
+        in_specs += [
+            pl.BlockSpec((1, hq, mb * bs), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hq, mb * bs), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [k_scale_e, v_scale_e]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
@@ -428,7 +463,7 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, hd), q.dtype),
         interpret=interpret,
-    )(block_tables, kv_lens, q_exp, cur_k, cur_v, k_cache, v_cache)
+    )(*operands)
 
     # collapse segments: head h*G+g's output lives in segment h
     of = out_full.reshape(b, hkv, g, hkv, d)

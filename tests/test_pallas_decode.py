@@ -137,3 +137,82 @@ def test_sliding_window_fullrow(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-5, atol=2e-5
     )
+
+
+def test_int8_kv_quant_fullrow(monkeypatch):
+    """int8-KV dequant inside the fullrow kernel vs the ref path's dequant.
+
+    Mirrors the engine's layout: int8 pools + per-(slot, head) bf16 scales
+    (ops/kv_cache.quantize_kv); dispatch pre-expands scales to [B, Hq, MB*BS]."""
+    import rtp_llm_tpu.ops.attention.pallas_decode as pd
+    from rtp_llm_tpu.ops.attention import _expand_kv_scales
+
+    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    rng = np.random.default_rng(7)
+    b, hq, hkv, d, nb, max_blocks = 4, 8, 2, 128, 32, 6
+    q, k, v, bt, lens = _setup(b=b, hq=hq, hkv=hkv, d=d, nb=nb,
+                               max_blocks=max_blocks, kv_lens=[3, 17, 64, 96])
+    # quantize the float pools the way the engine does (per slot, per head)
+    kf = np.asarray(k).reshape(-1, hkv, d)
+    vf = np.asarray(v).reshape(-1, hkv, d)
+    ks = np.maximum(np.abs(kf).max(-1) / 127.0, 1e-8)
+    vs = np.maximum(np.abs(vf).max(-1) / 127.0, 1e-8)
+    kq = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    vq = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    kq2 = jnp.asarray(kq.reshape(k.shape))
+    vq2 = jnp.asarray(vq.reshape(v.shape))
+    ksj = jnp.asarray(ks, jnp.bfloat16)
+    vsj = jnp.asarray(vs, jnp.bfloat16)
+    sm = 1.0 / np.sqrt(d)
+    expect = paged_attention_ref(q, kq2, vq2, bt, lens, lens - 1, sm,
+                                 block_size=BS, k_scale=ksj, v_scale=vsj)
+    ks_e, vs_e = _expand_kv_scales(ksj, vsj, bt, BS, hq, hkv)
+    got = pd.paged_decode_attention(
+        q[:, 0], kq2, vq2, bt, lens, sm, block_size=BS, interpret=True,
+        k_scale_e=ks_e, v_scale_e=vs_e)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect[:, 0]), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_int8_kv_dispatch_uses_pallas(monkeypatch):
+    """paged_attention with k_scale routes to pallas when fullrow-eligible
+    and matches the ref path."""
+    import rtp_llm_tpu.ops.attention as attn_mod
+    import rtp_llm_tpu.ops.attention.pallas_decode as pd
+
+    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    rng = np.random.default_rng(3)
+    b, hq, hkv, d = 2, 4, 2, 128
+    q, k, v, bt, lens = _setup(b=b, hq=hq, hkv=hkv, max_blocks=4,
+                               kv_lens=[9, 40])
+    kq2 = jnp.asarray(
+        np.clip(np.round(np.asarray(k) * 8), -127, 127).astype(np.int8))
+    vq2 = jnp.asarray(
+        np.clip(np.round(np.asarray(v) * 8), -127, 127).astype(np.int8))
+    ns = k.shape[0]
+    ksj = jnp.full((ns, hkv), 1 / 8, jnp.bfloat16)
+    vsj = jnp.full((ns, hkv), 1 / 8, jnp.bfloat16)
+    sm = 0.11
+    ref = attn_mod.paged_attention(
+        q, kq2, vq2, bt, lens, lens - 1, sm, block_size=BS, backend="ref",
+        k_scale=ksj, v_scale=vsj)
+    # monkeypatch interpret into the jit wrapper via backend dispatch: on CPU
+    # the pallas path only runs in interpret mode inside shard_map, so call
+    # the kernel route directly through paged_attention's pallas branch
+    calls = {}
+    orig = pd.paged_decode_attention
+
+    def spy(*a, **kw):
+        calls["pallas"] = True
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pd, "paged_decode_attention", spy)
+    got = attn_mod.paged_attention(
+        q, kq2, vq2, bt, lens, lens - 1, sm, block_size=BS, backend="pallas",
+        k_scale=ksj, v_scale=vsj)
+    assert calls.get("pallas"), "int8-KV did not take the pallas route"
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
