@@ -167,6 +167,9 @@ class ServerConfig:
     # its decode peer and relays the token stream.
     role: str = "fusion"
     decode_peer: str = ""  # host:port of the decode instance (prefill role)
+    # host:port of the decode instance's gRPC plane; when set, PD KV ships
+    # as binary protobuf over HTTP/2 instead of the NDJSON HTTP fallback
+    decode_grpc_peer: str = ""
 
 
 @dataclasses.dataclass

@@ -56,8 +56,7 @@ class DecodeRole:
             list(meta["token_ids"]), int(meta["first_token"]), kv_rows, cfg,
             first_logprob=float(meta.get("first_logprob", 0.0)),
         )
-        with self.runner._cond:
-            self.runner._cond.notify_all()
+        self.runner.kick()
 
         resp = web.StreamResponse(
             status=200, headers={"Content-Type": "application/x-ndjson"}
@@ -87,10 +86,13 @@ class PrefillForwarder:
     """The prefill instance's generation backend: local prefill + KV push to
     the decode peer, then token relay."""
 
-    def __init__(self, engine, decode_peer: str):
+    def __init__(self, engine, decode_peer: str,
+                 decode_grpc_peer: Optional[str] = None):
         self.engine = engine
         self.peer = decode_peer
+        self.grpc_peer = decode_grpc_peer  # "host:port" — preferred plane
         self._session: Optional[aiohttp.ClientSession] = None
+        self._grpc_client = None
 
     async def _sess(self) -> aiohttp.ClientSession:
         if self._session is None or self._session.closed:
@@ -104,6 +106,41 @@ class PrefillForwarder:
             None, self.engine.prefill_only, token_ids, config,
         )
         import dataclasses
+
+        if self.grpc_peer:
+            # binary KV over the gRPC plane (reference: cache-store transfer
+            # between PrefillRpcServer and DecodeRpcServer); the blocking
+            # stream is pumped from an executor thread into this event loop
+            if self._grpc_client is None:
+                from rtp_llm_tpu.server.grpc_server import GrpcGenerateClient
+
+                self._grpc_client = GrpcGenerateClient(self.grpc_peer)
+            q: asyncio.Queue = asyncio.Queue()
+            cfg_dict = dataclasses.asdict(config)
+
+            def pump():
+                try:
+                    for upd in self._grpc_client.remote_generate(
+                            token_ids, tok, kv_rows, cfg_dict,
+                            first_logprob=lp):
+                        loop.call_soon_threadsafe(q.put_nowait, (
+                            list(upd.tokens), upd.finished,
+                            upd.finish_reason or None))
+                        if upd.finished:
+                            return
+                    loop.call_soon_threadsafe(q.put_nowait, ([], True, "stop"))
+                except Exception as e:  # surface transport errors to caller
+                    loop.call_soon_threadsafe(q.put_nowait, e)
+
+            fut = loop.run_in_executor(None, pump)
+            while True:
+                item = await q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+                if item[1]:
+                    await fut
+                    return
 
         head = {
             "token_ids": list(map(int, token_ids)),

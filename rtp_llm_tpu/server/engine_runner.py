@@ -55,6 +55,12 @@ class EngineRunner:
             self._cond.notify_all()
         return stream
 
+    def kick(self):
+        """Wake the loop after enqueueing a stream directly on the engine
+        (e.g. PD enqueue_preloaded)."""
+        with self._cond:
+            self._cond.notify_all()
+
     def pause(self):
         """Stop stepping (in-flight step completes); streams stay queued.
         Reference: engine pause() for RL weight swap (RtpLLMOp.cc:384)."""

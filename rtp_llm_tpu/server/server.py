@@ -129,7 +129,9 @@ def serve(config: EngineConfig):
             raise ValueError("prefill role requires --server-decode-peer")
         from rtp_llm_tpu.frontend.pd_routes import PrefillForwarder
 
-        pd_forwarder = PrefillForwarder(engine, config.server.decode_peer)
+        pd_forwarder = PrefillForwarder(
+            engine, config.server.decode_peer,
+            decode_grpc_peer=config.server.decode_grpc_peer or None)
 
     api = OpenAIApp(
         runner,
