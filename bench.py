@@ -110,6 +110,10 @@ def _parse_args():
                    help="decode iterations fused per dispatch (scheduler.decode_steps)")
     p.add_argument("--warmup-steps", type=int, default=8)
     p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--defer-kv", action="store_true",
+                   help="batch all layers' decode KV writes into one scatter")
+    p.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
+                   help="KV cache dtype (int8: in-kernel dequant)")
     p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
@@ -157,8 +161,11 @@ def main():
             max_seq_len=max_seq,
             prefill_buckets=(args.prompt_len,),
             decode_steps=args.multi_steps,
+            defer_kv_writes=args.defer_kv,
         ),
-        quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
+        quant=QuantConfig(method="int8" if args.quant == "int8" else "none",
+                          kv_cache_dtype=("int8" if args.kv == "int8"
+                                          else "bfloat16")),
     )
     engine = LlmEngine(model, weights, econf)
     t0 = time.time()

@@ -27,7 +27,7 @@ class DecodeState(NamedTuple):
     kv_lens: jnp.ndarray  # [B] i32 — tokens already in cache (0 = inactive)
     block_tables: jnp.ndarray  # [B, MB] i32
     prompt_mask: jnp.ndarray  # [B, V] bool
-    output_counts: jnp.ndarray  # [B, V] i32
+    output_counts: jnp.ndarray  # [B, V] i16 (counts clamp at 32767; halves the hot [B, V] bandwidth in the sampler)
     params: SamplingParams  # [B] each
     adapter_ids: jnp.ndarray  # [B] i32 — LoRA adapter per slot (0 = none)
     forced_tokens: jnp.ndarray  # [B] i32 — next-token override (-1 = none)
@@ -48,7 +48,7 @@ class DecodeState(NamedTuple):
             kv_lens=jnp.zeros((batch,), jnp.int32),
             block_tables=jnp.zeros((batch, max_blocks), jnp.int32),
             prompt_mask=jnp.zeros((batch, vocab), bool),
-            output_counts=jnp.zeros((batch, vocab), jnp.int32),
+            output_counts=jnp.zeros((batch, vocab), jnp.int16),
             params=SamplingParams.zeros(batch),
             adapter_ids=jnp.zeros((batch,), jnp.int32),
             forced_tokens=jnp.full((batch,), -1, jnp.int32),

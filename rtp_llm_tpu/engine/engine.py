@@ -399,10 +399,9 @@ class LlmEngine:
             self.eos_ids, key, need_sampling=need_sampling,
             forced_tokens=state.forced_tokens, ban_tokens=ban_tokens,
             bias_ids=state.bias_ids, bias_vals=state.bias_vals,
-            allow_tokens=allow_tokens,
+            allow_tokens=allow_tokens, active=active,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
-        new_counts = jnp.where(active[:, None], new_counts, state.output_counts)
         state = state._replace(
             last_tokens=tokens, kv_lens=kv_lens_new,
             output_counts=new_counts, rng=rng,
@@ -505,7 +504,8 @@ class LlmEngine:
 
         rows = jnp.arange(b)
         upd = (offs < n_new[:, None]).astype(jnp.int32)  # [B,T]
-        new_counts = state.output_counts.at[rows[:, None], g].add(upd, mode="drop")
+        new_counts = state.output_counts.at[rows[:, None], g].add(
+            upd.astype(state.output_counts.dtype), mode="drop")
         last = g[rows, jnp.clip(n_new - 1, 0, t - 1)]
         state = state._replace(
             last_tokens=jnp.where(active, last, state.last_tokens),
@@ -541,7 +541,7 @@ class LlmEngine:
     def _first_sample_impl(self, logits, params: SamplingParams, prompt_mask, rng,
                            need_sampling=True, ban_tokens=None,
                            bias_ids=None, bias_vals=None, allow_tokens=None):
-        counts = jnp.zeros(logits.shape, jnp.int32)
+        counts = jnp.zeros(logits.shape, jnp.int16)
         rng, key = jax.random.split(rng)
         tokens, logprobs, _ = sample_tokens(
             logits, params, prompt_mask, counts, self.eos_ids, key,
@@ -1177,7 +1177,7 @@ class LlmEngine:
             jnp.asarray(b_ids) if b_ids is not None else None,
             jnp.asarray(b_vals) if b_vals is not None else None,
         )
-        counts = np.zeros((self.model.cfg.vocab_size,), np.int32)
+        counts = np.zeros((self.model.cfg.vocab_size,), np.int16)
         np.add.at(counts, np.asarray(stream.output_token_ids, np.int64), 1)
         self.state = self._set_counts_jit(
             self.state, jnp.int32(slot), jnp.asarray(counts)

@@ -60,8 +60,9 @@ def _pallas_decode_sharded(
     use_full = full_cache is not None
     quant = k_scale_e is not None
     if not quant:  # shard_map needs concrete operands
-        k_scale_e = jnp.zeros((q.shape[0], q.shape[1], 1), jnp.bfloat16)
-        v_scale_e = jnp.zeros((q.shape[0], q.shape[1], 1), jnp.bfloat16)
+        k_scale_e = jnp.zeros((q.shape[0], 1, mesh.shape.get("tp", 1)),
+                              jnp.bfloat16)
+        v_scale_e = jnp.zeros_like(k_scale_e)
 
     def local(q, kop, block_tables, kv_lens, cur_k, cur_v, ks_e, vs_e):
         if use_full:
@@ -90,8 +91,8 @@ def _pallas_decode_sharded(
             P("dp"),               # kv_lens
             P("dp", "tp"),         # cur_k
             P("dp", "tp"),         # cur_v
-            P("dp", "tp", None),   # k_scale_e [B, Hq, MB*BS]
-            P("dp", "tp", None),   # v_scale_e
+            P("dp", None, "tp"),   # k_scale rows [B, MB*BS, Hkv]
+            P("dp", None, "tp"),   # v_scale rows
         ),
         out_specs=P("dp", "tp", None),
         # pallas_call out_shapes don't carry vma metadata; replication over
@@ -103,22 +104,20 @@ def _pallas_decode_sharded(
 
 
 def _expand_kv_scales(k_scale, v_scale, block_tables, block_size, hq, hkv):
-    """Pre-expand int8-KV per-(slot, head) scales for the fullrow kernel.
+    """Gather int8-KV per-(slot, head) scales for the fullrow kernel.
 
-    Gathers each row's live scale rows via the block table and lays them out
-    as [B, Hq, MB*BS] (head h reads kv-head h//G), so the kernel applies
-    dequant as two aligned elementwise multiplies. The gather moves ~B*MB*BS
-    *Hkv bf16 values — noise next to the int8 KV slabs themselves."""
+    Returns [B, MB*BS, Hkv] rows in block-table order; the kernel expands
+    them across query heads with a one-hot MXU matmul (a host-side
+    transpose-and-repeat to [B, Hq, MB*BS] costs ~7 ms/step of XLA relayouts
+    at b=64). The gather moves ~B*MB*BS*Hkv bf16 values — noise next to the
+    int8 KV slabs themselves."""
     b, mb = block_tables.shape
-    g = hq // hkv
     slots = (block_tables[:, :, None] * block_size
              + jnp.arange(block_size, dtype=block_tables.dtype)[None, None, :]
              ).reshape(b, mb * block_size)
     ks = jnp.take(k_scale, slots, axis=0)  # [B, MB*BS, Hkv] (clamped OOB)
     vs = jnp.take(v_scale, slots, axis=0)
-    ks_e = jnp.repeat(ks.transpose(0, 2, 1), g, axis=1)  # [B, Hq, MB*BS]
-    vs_e = jnp.repeat(vs.transpose(0, 2, 1), g, axis=1)
-    return ks_e, vs_e
+    return ks, vs
 
 
 def paged_attention(
@@ -149,12 +148,11 @@ def paged_attention(
     quant_kv = k_scale is not None
     if quant_kv:
         # int8-KV dequant lives in the fullrow kernel only (bucketed context
-        # must fit VMEM) and is incompatible with deferred writes
+        # must fit VMEM); composes with deferred writes (bf16 cur token)
         from rtp_llm_tpu.ops.attention import pallas_decode as _pd
 
         quant_ok = (
             block_tables.shape[1] * block_size <= _pd.FULLROW_MAX_TOKENS
-            and cur_k is None
         )
     use_pallas = (
         backend == "pallas"

@@ -221,11 +221,12 @@ def _fullrow_kernel(
     VMEM; the engine buckets MB to the batch's max context.
 
     quant mode (int8 KV cache, per-(slot, head) scales — reference analog:
-    KVCacheConfig int8 with per-head scales): the dispatch pre-expands the
-    gathered scales to [B, Hq, MB*BS] so dequant is two elementwise
-    multiplies here — K scale on the scores, V scale on the probabilities —
-    with no in-kernel lane broadcasts. Incompatible with has_cur (the int8
-    engine path writes KV before attention)."""
+    KVCacheConfig int8 with per-head scales): the dispatch gathers each row's
+    scales through the block table as [B, MB*BS, Hkv]; the kernel expands
+    them to [Hq, MB*BS] with a one-hot MXU matmul (head h reads kv-head
+    h//G) and applies dequant as two elementwise multiplies — K scale on the
+    scores, V scale on the probabilities. The deferred current token stays
+    bf16 in registers, so has_cur composes with quant unchanged."""
     if quant:
         ks_ref, vs_ref, o_ref, k_buf, v_buf, sem = refs
     else:
@@ -243,7 +244,7 @@ def _fullrow_kernel(
         kv_len = kv_lens_ref[row]
         nblk = jax.lax.div(kv_len + bs - 1, bs)
         for j in range(mb):
-            # rows past this row's live length are never read (position
+            # blocks past this row's live length are never read (position
             # masked), so skip their DMAs entirely
             @pl.when(jnp.int32(j) < nblk)
             def _(j=j, slot=slot, row=row):
@@ -257,6 +258,15 @@ def _fullrow_kernel(
                     kv_slab(1, start),
                     v_buf.at[slot, pl.ds(j * bs, bs), :], sem.at[slot, j, 1],
                 ).start()
+
+            # skipped V blocks must still be FINITE: the probability columns
+            # there are exactly 0 after masking, but 0 * NaN = NaN in the PV
+            # matmul. K garbage is harmless (scores are overwritten by the
+            # positional mask), so only V is zero-filled.
+            @pl.when(jnp.int32(j) >= nblk)
+            def _(j=j, slot=slot):
+                v_buf[slot, pl.ds(j * bs, bs), :] = jnp.zeros(
+                    (bs, v_buf.shape[-1]), v_buf.dtype)
 
     def wait_row(row):
         slot = jax.lax.rem(row, nb)
@@ -287,38 +297,61 @@ def _fullrow_kernel(
     slot = jax.lax.rem(b, nb)
     kv_len = kv_lens_ref[b]
 
-    qe = qe_ref[0].astype(jnp.float32) * sm_scale  # [Hq, HD]
+    # compute dtype: bf16 MXU dots for bf16/int8/fp8 caches (int8 and e4m3
+    # are exactly representable in bf16; elementwise casts of the whole
+    # [MB*BS, HD] slab to f32 cost real VPU time). f32 caches (CPU interpret
+    # tests) keep full precision.
+    cdt = jnp.float32 if k_buf.dtype == jnp.float32 else jnp.bfloat16
+    # the MXU consumes s8 operands directly (mixed bf16 x s8 dot) — casting
+    # the whole slab to bf16 on the VPU would cost more than the int8
+    # bandwidth saving
+    mxu = (lambda x: x) if k_buf.dtype == jnp.int8 else (
+        lambda x: x.astype(cdt))
+    qe = (qe_ref[0].astype(jnp.float32) * sm_scale).astype(cdt)  # [Hq, HD]
     k = k_buf[slot]
+    v = v_buf[slot]
     pos = jax.lax.broadcasted_iota(jnp.int32, (1, mb * bs), 1)
     cached = jax.lax.max(kv_len - 1, 0) if has_cur else kv_len
     invalid = pos >= cached
-    # blocks past this row's live length were never DMA'd (skipped): their
-    # VMEM content is arbitrary, possibly NaN — zero V there so the masked
-    # probabilities (0) cannot produce 0 * NaN in the PV matmul, and zero K
-    # so the scores matmul stays finite before the positional mask
-    pos_col = jax.lax.broadcasted_iota(jnp.int32, (mb * bs, 1), 0)
-    vmask = pos_col >= cached  # [MB*BS, 1]
-    k = jnp.where(vmask, 0.0, k.astype(jnp.float32))
-    v = jnp.where(vmask, 0.0, v_buf[slot].astype(jnp.float32))
     s = jax.lax.dot_general(
-        qe, k, (((1,), (1,)), ((), ())),
+        qe, mxu(k), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [Hq, MB*BS]
+    )  # [Hq, MB*BS] — garbage columns (skipped K DMAs) masked just below
     if quant:
-        s = s * ks_ref[0].astype(jnp.float32)
+        # one-hot head expansion: sel[h, kh] = (h // G == kh); the [Hq, Hkv]
+        # x [Hkv, MB*BS] matmul is noise next to the KV DMAs, and avoids the
+        # [B, Hq, MB*BS] transposed scale materialization XLA-side (measured
+        # ~7 ms/step of relayouts at b=64)
+        hq_ = qe.shape[0]
+        hkv_ = ks_ref.shape[2]
+        g_ = hq_ // hkv_
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (hq_, hkv_), 0) // g_
+               == jax.lax.broadcasted_iota(jnp.int32, (hq_, hkv_), 1)
+               ).astype(jnp.float32)
+        ks_e = jax.lax.dot_general(
+            sel, ks_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [Hq, MB*BS]
+        vs_e = jax.lax.dot_general(
+            sel, vs_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * ks_e
     if window:
         invalid = invalid | (pos < jax.lax.max(kv_len - window, 0))
     s = jnp.where(invalid, NEG_INF, s)
+    # current token (deferred-write mode) folds as a separate accumulation
+    # — concatenating one row onto the [MB*BS, HD] V slab would copy the
+    # whole slab and put an unaligned lane on the scores
+    s_cur = None
     if has_cur:
-        s_cur = jax.lax.dot_general(
-            qe, curk_ref[0, 0].astype(jnp.float32)[None, :],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # [Hq, 1]
+        # multiply-reduce instead of an N=1 dot_general (Mosaic rejects the
+        # mixed-type broadcast that lowering produces for 1-wide matmuls)
+        s_cur = jnp.sum(
+            qe.astype(jnp.float32) * curk_ref[0, 0].astype(jnp.float32)[None, :],
+            axis=-1, keepdims=True)  # [Hq, 1]
         s_cur = jnp.where(kv_len > 0, s_cur, NEG_INF)
-        s = jnp.concatenate([s, s_cur], axis=-1)
-        v = jnp.concatenate(
-            [v, curv_ref[0, 0].astype(jnp.float32)[None, :]], axis=0)
     m = jnp.max(s, axis=-1, keepdims=True)
+    if has_cur:
+        m = jnp.maximum(m, s_cur)
     m = jnp.where(m > NEG_INF / 2, m, 0.0)
     p = jnp.exp(s - m)
     p = jnp.where(s > NEG_INF / 2, p, 0.0)
@@ -327,11 +360,16 @@ def _fullrow_kernel(
         # V dequant: fold the per-(token, kv-head) scale into p AFTER the
         # normalizer (softmax weights are scale-free; only the PV product
         # carries the dequantized magnitudes)
-        p = p * vs_ref[0].astype(jnp.float32)
+        p = p * vs_e
     pv = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+        p.astype(cdt), mxu(v), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [Hq, HD]
+    if has_cur:
+        p_cur = jnp.exp(s_cur - m)
+        p_cur = jnp.where(s_cur > NEG_INF / 2, p_cur, 0.0)
+        l = l + p_cur
+        pv = pv + p_cur * curv_ref[0, 0].astype(jnp.float32)[None, :]
     out = pv / jnp.maximum(l, 1e-20)
     out = jnp.where(kv_len > 0, out, 0.0)
     o_ref[0] = out.astype(o_ref.dtype)
@@ -372,7 +410,7 @@ def paged_decode_attention(
     cur_v: jnp.ndarray | None = None,  # (deferred-write mode: cache holds
     interpret: bool = False,           #  kv_len-1 tokens)
     layer: int = -1,  # >= 0: k_cache is the whole cache, v_cache unused
-    k_scale_e: jnp.ndarray | None = None,  # [B, Hq, MB*BS] expanded int8-KV
+    k_scale_e: jnp.ndarray | None = None,  # [B, MB*BS, Hkv] gathered int8-KV
     v_scale_e: jnp.ndarray | None = None,  # scales (see _fullrow_kernel)
 ) -> jnp.ndarray:
     b, hq, d = q.shape
@@ -404,10 +442,10 @@ def paged_decode_attention(
     cur_v = cur_v[:, None, :]
 
     quant = k_scale_e is not None
-    if quant and (has_cur or not fullrow):
+    if quant and not fullrow:
         raise NotImplementedError(
-            "int8-KV pallas decode requires the fullrow path without "
-            "deferred writes (dispatch gates on this)")
+            "int8-KV pallas decode requires the fullrow path "
+            "(dispatch gates on this)")
     if fullrow:
         # buffer depth: keep ~<=12 MiB of VMEM for row buffers
         nbf = max(2, min(4, (12 << 20) // max(2 * mb * bs * hd * 2, 1)))
@@ -443,10 +481,11 @@ def paged_decode_attention(
     ]
     operands = [block_tables, kv_lens, q_exp, cur_k, cur_v, k_cache, v_cache]
     if quant:
+        hkv_s = k_scale_e.shape[-1]
         in_specs += [
-            pl.BlockSpec((1, hq, mb * bs), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, mb * bs, hkv_s), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hq, mb * bs), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, mb * bs, hkv_s), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
         operands += [k_scale_e, v_scale_e]

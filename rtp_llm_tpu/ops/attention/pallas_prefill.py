@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 NBUF = 2
 CHUNK_BLOCKS = 4
-Q_TILE = 128  # query tokens per grid step
+# 64 query tokens per grid step: rows = TILE*Hq with the zero-expanded
+# query, and the kernel's fp32 accumulator [rows, Hkv*D] must fit the ~16 MB
+# scoped VMEM alongside the double-buffered in/out blocks (TILE=128 with 28
+# heads OOMs the stack allocator)
+Q_TILE = 64
 
 
 def _prefill_kernel(
@@ -101,7 +105,10 @@ def _prefill_kernel(
             start_chunk(j, j)
 
     rows = tile * hq
-    qe = qe_ref[...].reshape(rows, hd).astype(jnp.float32) * sm_scale
+    # bf16 operands straight into the MXU (f32 copies of [rows, HD] arrays
+    # are what used to OOM the VMEM stack); sm_scale folds into the scores
+    cdt = jnp.float32 if k_buf.dtype == jnp.float32 else jnp.bfloat16
+    qe = qe_ref[...].reshape(rows, hd).astype(cdt)
     # absolute position of each row's query token (row = t * Hq + h)
     row_t = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // hq
     q_pos = q_offset + tile_start + row_t  # [rows, 1]
@@ -112,8 +119,8 @@ def _prefill_kernel(
         wait_chunk(slot, ci)
         k = k_buf[slot]
         v = v_buf[slot]
-        s = jax.lax.dot_general(
-            qe, k.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        s = sm_scale * jax.lax.dot_general(
+            qe, k.astype(cdt), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [rows, C*BS]
         kv_pos = ci * (c * bs) + jax.lax.broadcasted_iota(
@@ -127,7 +134,7 @@ def _prefill_kernel(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(cdt), v.astype(cdt), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_new = acc * alpha + pv

@@ -47,7 +47,7 @@ class SamplingParams(NamedTuple):
 def apply_penalties(
     logits: jnp.ndarray,  # [B, V] f32
     prompt_mask: jnp.ndarray,  # [B, V] bool — token appeared in the prompt
-    output_counts: jnp.ndarray,  # [B, V] i32 — occurrences in generated output
+    output_counts: jnp.ndarray,  # [B, V] int — occurrences in generated output
     params: SamplingParams,
 ) -> jnp.ndarray:
     seen = prompt_mask | (output_counts > 0)
@@ -107,6 +107,8 @@ def sample_tokens(
     eos_token_ids: Sequence[int],
     key: jax.Array,
     need_sampling: bool = True,
+    active=None,  # [B] bool; inactive rows don't bump output_counts (folds
+                  # the engine's full-[B,V] where into the scatter increment)
     forced_tokens=None,  # [B] i32, -1 = not forced (think-mode forcing)
     ban_tokens=None,  # [B, M] i32, -1 = empty (no-repeat-ngram bans)
     bias_ids=None,  # [B, M] i32, -1 = empty (OpenAI logit_bias)
@@ -127,11 +129,11 @@ def sample_tokens(
         logits = logits.at[rows, safe].add(bias_vals, mode="drop")
     logits = apply_penalties(logits, prompt_mask, output_counts, params)
     if len(eos_token_ids) > 0:
+        # [V] row broadcast — a [B, V] scatter materializes 10 MB of mask
         eos = jnp.array(list(eos_token_ids), dtype=jnp.int32)
-        ban = params.ban_eos[:, None] & (
-            jnp.zeros(logits.shape, bool).at[:, eos].set(True)
-        )
-        logits = jnp.where(ban, NEG_INF, logits)
+        ban_row = jnp.zeros((logits.shape[1],), bool).at[eos].set(True)
+        logits = jnp.where(params.ban_eos[:, None] & ban_row[None, :],
+                           NEG_INF, logits)
     if ban_tokens is not None:
         # per-row banned token ids (reference: banRepeatNgram.cu); -1 rows
         # scatter out of bounds and are dropped
@@ -166,9 +168,15 @@ def sample_tokens(
     if forced_tokens is not None:
         tokens = jnp.where(forced_tokens >= 0, forced_tokens, tokens)
 
-    logprobs_full = jax.nn.log_softmax(logits, axis=-1)
-    logprobs = jnp.take_along_axis(logprobs_full, tokens[:, None], axis=-1)[:, 0]
+    # logprob of the chosen token without materializing the full [B, V]
+    # log-softmax: gather the logit, subtract the row logsumexp
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    logprobs = (
+        jnp.take_along_axis(logits, tokens[:, None], axis=-1)[:, 0] - lse)
 
     rows = jnp.arange(tokens.shape[0])
-    new_counts = output_counts.at[rows, tokens].add(1)
+    inc = (jnp.ones_like(tokens) if active is None
+           else active.astype(jnp.int32))
+    new_counts = output_counts.at[rows, tokens].add(
+        inc.astype(output_counts.dtype))
     return tokens, logprobs, new_counts
