@@ -12,6 +12,31 @@ import json
 import os
 from typing import Any, Optional
 
+# Architecture aliases: model types that reuse another family's forward and
+# weight map wholesale (the reference registers these as distinct types in
+# rtp_llm/model_factory_register.py; here they normalize to one arch).
+ARCH_ALIASES = {
+    "aquila": "llama",
+    "xverse": "llama",
+    "kimi_k2": "deepseek_v3",   # MLA + sigmoid-routed MoE, deepseek-v3 layout
+    "kimi_k25": "deepseek_v3",
+    "deepseek_v31": "deepseek_v3",
+    "deepseek_v32": "deepseek_v3",  # DSA sparse indexer not implemented;
+                                    # serves on dense MLA attention
+    "qwen3_coder_moe": "qwen3_moe",
+    "qwen35_dense": "qwen3",
+    "qwen35_moe": "qwen3_moe",
+    "starcoder": "gpt_bigcode",
+    "wizardcoder": "gpt_bigcode",
+    "chat_glm_2": "chatglm",
+    "chat_glm_3": "chatglm",
+    "chatglm2": "chatglm",
+    "chatglm3": "chatglm",
+    "qwen_7b": "qwen",
+    "qwen_13b": "qwen",
+    "qwen_1b8": "qwen",
+}
+
 
 @dataclasses.dataclass
 class ModelConfig:
@@ -46,6 +71,17 @@ class ModelConfig:
     sliding_window_pattern: int = 0  # every Nth layer is GLOBAL; others SWA
     # glm4: rotate only head_dim*factor dims, pairwise-interleaved angles
     partial_rotary_factor: float = 0.0  # 0 = full standard rope
+    # False => gpt_neox/phi style partial rotary: first rotary_dim dims
+    # rotate half-split (neox), the rest pass through
+    rope_partial_interleaved: bool = True
+    # parallel-residual norm wiring: "shared" (cohere/falcon/phi: attn and
+    # mlp read the same input_norm output) | "dual" (gpt_neox: mlp reads
+    # post_attn_norm applied to the ORIGINAL layer input)
+    parallel_norms: str = "shared"
+    # gpt_bigcode/starcoder: learned absolute position embeddings (wpe)
+    # added at embed time; no RoPE
+    use_learned_positions: bool = False
+    lm_head_bias: bool = False  # phi-2 carries an lm_head bias
     # cohere: GPT-J pairwise rope over the full head_dim, mean-centered
     # weight-only layernorm, parallel attn+mlp residual, scaled logits
     rope_gptj_pairs: bool = False
@@ -132,14 +168,20 @@ class ModelConfig:
         rtp_llm/models/{qwen_v2,llama,...}.py, but data-driven.
         """
         mt = model_type or hf.get("model_type", "qwen2")
-        n_heads = hf.get("num_attention_heads", 32)
-        hidden = hf.get("hidden_size", 4096)
+        arch = ARCH_ALIASES.get(mt, mt)
+        # gpt2-lineage configs (gpt_bigcode) use n_embd/n_layer/n_head; mpt
+        # uses d_model/n_layers
+        n_heads = hf.get("num_attention_heads",
+                         hf.get("n_head", hf.get("n_heads", 32)))
+        hidden = hf.get("hidden_size", hf.get("n_embd", hf.get("d_model", 4096)))
         cfg = cls(
             model_type=mt,
             vocab_size=hf.get("vocab_size", 32000),
             hidden_size=hidden,
             intermediate_size=hf.get("intermediate_size", 4 * hidden),
-            num_layers=hf.get("num_hidden_layers", hf.get("num_layers", 32)),
+            num_layers=hf.get("num_hidden_layers",
+                              hf.get("num_layers",
+                                     hf.get("n_layer", hf.get("n_layers", 32)))),
             num_attention_heads=n_heads,
             num_kv_heads=hf.get("num_key_value_heads", n_heads),
             head_dim=hf.get("head_dim") or hidden // n_heads,
@@ -152,28 +194,28 @@ class ModelConfig:
             eos_token_id=hf.get("eos_token_id"),
         )
         # family-specific normalization
-        if mt in ("qwen2", "qwen2_moe"):
+        if arch in ("qwen2", "qwen2_moe"):
             cfg.attention_bias = True
-        if mt in ("qwen3", "qwen3_moe"):
+        if arch in ("qwen3", "qwen3_moe"):
             cfg.attention_bias = hf.get("attention_bias", False)
             cfg.use_qk_norm = True
-        if mt == "llama":
+        if arch == "llama":
             cfg.attention_bias = hf.get("attention_bias", False)
-        if mt in ("gemma", "gemma2"):
+        if arch in ("gemma", "gemma2"):
             cfg.hidden_act = "gelu_tanh"
             cfg.norm_unit_offset = True
             cfg.scale_embeddings = True
             cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
-        if mt == "gemma2":
+        if arch == "gemma2":
             cfg.sandwich_norms = True
             cfg.attn_soft_cap = hf.get("attn_logit_softcapping") or 0.0
             cfg.final_logit_soft_cap = hf.get("final_logit_softcapping") or 0.0
             cfg.query_pre_attn_scalar = hf.get("query_pre_attn_scalar") or 0.0
             cfg.sliding_window = hf.get("sliding_window") or 0
             cfg.sliding_window_pattern = 2  # every 2nd layer global
-        if mt == "phi3":
+        if arch == "phi3":
             cfg.rope_theta = hf.get("rope_theta", 10000.0)
-        if mt == "cohere":
+        if arch == "cohere":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
             cfg.norm_type = "layernorm_nobias"
             cfg.parallel_residual = True
@@ -181,28 +223,28 @@ class ModelConfig:
             cfg.logit_scale = hf.get("logit_scale", 1.0)
             cfg.use_qk_norm = hf.get("use_qk_norm", False)
             cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
-        if mt == "glm4":
+        if arch == "glm4":
             cfg.attention_bias = hf.get("attention_bias", True)
             cfg.sandwich_norms = True
             cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
-        if mt == "bert":
+        if arch == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True
-        if mt in ("internlm", "yi"):
+        if arch in ("internlm", "yi"):
             # llama architecture; internlm v1 carries attention biases
-            cfg.attention_bias = hf.get("bias", mt == "internlm")
-        if mt in ("baichuan", "baichuan2"):
+            cfg.attention_bias = hf.get("bias", arch == "internlm")
+        if arch in ("baichuan", "baichuan2"):
             # 7B uses RoPE; 13B (hidden 5120, 40 layers) uses ALiBi — the HF
             # config does not mark it, matching the reference's per-size rule
             cfg.use_alibi = hf.get("use_alibi", cfg.hidden_size >= 5120)
             cfg.tie_word_embeddings = hf.get("tie_word_embeddings", False)
-        if mt == "starcoder2":
+        if arch == "starcoder2":
             cfg.rms_norm_eps = hf.get("norm_epsilon", 1e-5)
             cfg.norm_type = "layernorm"
             cfg.attention_bias = hf.get("use_bias", True)
             cfg.hidden_act = "gelu_tanh"
             cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
-        if mt == "bloom":
+        if arch == "bloom":
             cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
             cfg.norm_type = "layernorm"
             cfg.use_alibi = True
@@ -212,7 +254,7 @@ class ModelConfig:
             cfg.num_kv_heads = cfg.num_attention_heads  # MHA, fused qkv
             cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
             cfg.vocab_size = hf.get("vocab_size", 250880)
-        if mt == "falcon":
+        if arch == "falcon":
             cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
             cfg.norm_type = "layernorm"
             cfg.parallel_residual = hf.get("parallel_attn", True)
@@ -225,7 +267,7 @@ class ModelConfig:
                 cfg.num_kv_heads = hf.get("num_kv_heads", 8)
             cfg.use_alibi = hf.get("alibi", False)
             cfg.intermediate_size = hf.get("ffn_hidden_size") or 4 * hidden
-        if mt in ("deepseek_v2", "deepseek_v3"):
+        if arch in ("deepseek_v2", "deepseek_v3"):
             cfg.q_lora_rank = hf.get("q_lora_rank") or 0
             cfg.kv_lora_rank = hf.get("kv_lora_rank", 512)
             cfg.qk_nope_head_dim = hf.get("qk_nope_head_dim", 128)
@@ -242,14 +284,14 @@ class ModelConfig:
             cfg.first_moe_layer = hf.get("first_k_dense_replace", 0)
             cfg.moe_norm_topk_prob = hf.get("norm_topk_prob", True)
             cfg.moe_router_score_fn = (
-                "sigmoid" if mt == "deepseek_v3"
+                "sigmoid" if arch == "deepseek_v3"
                 else hf.get("scoring_func", "softmax")
             )
             cfg.moe_n_group = hf.get("n_group", 0) or 0
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
-            cfg.moe_router_bias = mt == "deepseek_v3"
-        if mt == "qwen2_vl":
+            cfg.moe_router_bias = arch == "deepseek_v3"
+        if arch == "qwen2_vl":
             cfg.attention_bias = True
             rs = hf.get("rope_scaling") or {}
             cfg.mrope_section = tuple(rs.get("mrope_section") or ())
@@ -258,7 +300,7 @@ class ModelConfig:
             cfg.video_token_id = hf.get("video_token_id", 151656)
             cfg.vision_start_token_id = hf.get("vision_start_token_id", 151652)
             cfg.vision_config = hf.get("vision_config")
-        if mt == "qwen3_next":
+        if arch == "qwen3_next":
             cfg.use_qk_norm = True
             cfg.norm_unit_offset = True  # zero-centered (1+w) RMSNorms
             cfg.attn_output_gate = True
@@ -275,6 +317,94 @@ class ModelConfig:
             cfg.linear_key_head_dim = hf.get("linear_key_head_dim", 128)
             cfg.linear_value_head_dim = hf.get("linear_value_head_dim", 128)
             cfg.linear_conv_kernel_dim = hf.get("linear_conv_kernel_dim", 4)
+        if arch == "qwen":  # qwen v1 (reference: rtp_llm/models/qwen.py)
+            cfg.attention_bias = True  # fused c_attn carries the only bias
+            cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-6)
+            # HF QWenMLP splits intermediate_size across w1/w2
+            cfg.intermediate_size = hf.get("intermediate_size", 22016) // 2
+            cfg.head_dim = hf.get("kv_channels") or cfg.head_dim
+            cfg.rope_theta = hf.get("rotary_emb_base", 10000.0)
+            cfg.max_position_embeddings = hf.get("seq_length", 8192)
+            cfg.rope_scaling = None  # dynamic NTK not modeled (static tables)
+        if arch == "gpt_neox":
+            cfg.norm_type = "layernorm"
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
+            cfg.parallel_residual = hf.get("use_parallel_residual", True)
+            cfg.parallel_norms = "dual"
+            cfg.partial_rotary_factor = hf.get("rotary_pct", 0.25)
+            cfg.rope_partial_interleaved = False
+            cfg.rope_theta = hf.get("rotary_emb_base",
+                                    hf.get("rope_theta", 10000.0))
+            cfg.hidden_act = hf.get("hidden_act", "gelu")
+            cfg.attention_bias = hf.get("attention_bias", True)
+            cfg.mlp_bias = True
+        if arch == "gpt_bigcode":  # starcoder / wizardcoder
+            cfg.norm_type = "layernorm"
+            cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
+            cfg.num_kv_heads = 1 if hf.get("multi_query", True) else n_heads
+            cfg.use_learned_positions = True
+            cfg.max_position_embeddings = hf.get("n_positions", 8192)
+            cfg.attention_bias = True
+            cfg.mlp_bias = True
+            cfg.hidden_act = ("gelu_tanh"
+                              if "tanh" in hf.get("activation_function",
+                                                  "gelu_pytorch_tanh")
+                              else "gelu")
+            cfg.intermediate_size = hf.get("n_inner") or 4 * hidden
+            cfg.tie_word_embeddings = hf.get("tie_word_embeddings", True)
+        if arch == "mpt":
+            no_bias = hf.get("no_bias", True)
+            cfg.norm_type = "layernorm_nobias" if no_bias else "layernorm"
+            cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-5)
+            cfg.use_alibi = bool((hf.get("attn_config") or {}).get("alibi", True))
+            cfg.hidden_act = "gelu"
+            cfg.attention_bias = not no_bias
+            cfg.mlp_bias = not no_bias
+            cfg.intermediate_size = int(hf.get("expansion_ratio", 4) * hidden)
+            cfg.max_position_embeddings = hf.get("max_seq_len", 2048)
+            cfg.tie_word_embeddings = True  # mpt has no separate lm_head
+        if arch == "phi":  # phi-1/1.5/2
+            cfg.norm_type = "layernorm"
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
+            cfg.parallel_residual = True
+            cfg.parallel_norms = "shared"
+            cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
+            cfg.rope_partial_interleaved = False
+            cfg.attention_bias = True
+            cfg.mlp_bias = True
+            cfg.lm_head_bias = True
+            cfg.hidden_act = "gelu_tanh"  # gelu_new
+        if arch == "chatglm":  # chatglm2 / chatglm3
+            cfg.rms_norm_eps = hf.get("layernorm_epsilon", 1e-5)
+            if hf.get("multi_query_attention", True):
+                cfg.num_kv_heads = hf.get("multi_query_group_num", 2)
+            cfg.head_dim = hf.get("kv_channels") or cfg.head_dim
+            cfg.partial_rotary_factor = 0.5
+            cfg.attention_bias = hf.get("add_qkv_bias", True)
+            cfg.intermediate_size = hf.get("ffn_hidden_size",
+                                           cfg.intermediate_size)
+            cfg.num_layers = hf.get("num_layers", cfg.num_layers)
+            cfg.vocab_size = hf.get("padded_vocab_size", cfg.vocab_size)
+            cfg.max_position_embeddings = hf.get("seq_length", 32768)
+            cfg.rope_theta = 10000.0 * hf.get("rope_ratio", 1)
+        if arch == "glm4_moe":  # GLM-4.5 family (HF Glm4MoeForCausalLM)
+            cfg.attention_bias = hf.get("attention_bias", True)
+            cfg.partial_rotary_factor = hf.get("partial_rotary_factor", 0.5)
+            # glm4_moe rotates the partial dims half-split (standard
+            # rotate_half), NOT glm4's pairwise-interleaved variant
+            cfg.rope_partial_interleaved = False
+            cfg.use_qk_norm = hf.get("use_qk_norm", False)
+            cfg.num_experts = hf.get("n_routed_experts", 0) or 0
+            cfg.num_experts_per_tok = hf.get("num_experts_per_tok", 8)
+            cfg.moe_intermediate_size = hf.get("moe_intermediate_size", 0)
+            cfg.num_shared_experts = hf.get("n_shared_experts", 0) or 0
+            cfg.first_moe_layer = hf.get("first_k_dense_replace", 1)
+            cfg.moe_norm_topk_prob = hf.get("norm_topk_prob", True)
+            cfg.moe_router_score_fn = "sigmoid"
+            cfg.moe_n_group = hf.get("n_group", 0) or 0
+            cfg.moe_topk_group = hf.get("topk_group", 0) or 0
+            cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
+            cfg.moe_router_bias = True
         qc = hf.get("quantization_config")
         if qc and qc.get("quant_method") in ("gptq", "awq"):
             cfg.quantization = {

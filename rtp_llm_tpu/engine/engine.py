@@ -181,12 +181,11 @@ class LlmEngine:
             self._first_sample_impl, static_argnums=(4,)
         )
         # deferred decode KV writes: one batched scatter per step instead of
-        # 2 per layer (llama-family only; int8-KV pytree caches keep in-layer
-        # writes)
+        # 2 per layer (4 per layer for int8-KV pytree caches, which quantize
+        # at the batched scatter)
         self._defer_decode = bool(
             sc.defer_kv_writes
             and getattr(model, "supports_deferred_kv", False)
-            and not isinstance(self.kv, dict)
         )
         self.spec = config.speculative
         self.tree_config = None
@@ -413,10 +412,32 @@ class LlmEngine:
 
     def _apply_kv_writes(self, kv, kv_writes, state, active):
         """Scatter every layer's deferred K/V rows in one shot (reduces the
-        decode step from 2L scatters to 1)."""
-        from rtp_llm_tpu.ops.kv_cache import token_slots
+        decode step from 2L scatters to 1; int8-KV: quantize all layers'
+        rows together, then one data scatter + one scale scatter)."""
+        from rtp_llm_tpu.ops.kv_cache import quantize_kv, token_slots
 
         kw, vw = kv_writes  # [L, B, HD]
+        l, b, hd = kw.shape
+        if isinstance(kv, dict):
+            hkv = kv["scale"].shape[-1]
+            kq, ks, vq, vs = quantize_kv(
+                kw.reshape(l * b, hkv, hd // hkv),
+                vw.reshape(l * b, hkv, hd // hkv),
+            )
+            data = self._scatter_flat(
+                kv["data"], kq.reshape(l, b, hd), vq.reshape(l, b, hd),
+                state, active)
+            scale = self._scatter_flat(
+                kv["scale"], ks.reshape(l, b, hkv), vs.reshape(l, b, hkv),
+                state, active)
+            return {"data": data, "scale": scale}
+        return self._scatter_flat(kv, kw, vw, state, active)
+
+    def _scatter_flat(self, kv, kw, vw, state, active):
+        """One batched scatter of per-layer K and V rows into a
+        [L, 2, NS, C] pool."""
+        from rtp_llm_tpu.ops.kv_cache import token_slots
+
         l, b, hd = kw.shape
         ns = kv.shape[2]
         # int32 index math: the OOB sentinel from token_slots is 2**30, so the

@@ -135,31 +135,42 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
     if cfg.num_experts > 0:
         specs += [
             WeightSpec("router", "model.layers.{l}.mlp.gate.weight",
-                       per_layer=True, transpose=True),
+                       per_layer=True, transpose=True,
+                       layers_fn=_moe_layers),
             WeightSpec(
                 "moe_gate", "model.layers.{l}.mlp.experts.{e}.gate_proj.weight",
                 per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+                layers_fn=_moe_layers,
             ),
             WeightSpec(
                 "moe_up", "model.layers.{l}.mlp.experts.{e}.up_proj.weight",
                 per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+                layers_fn=_moe_layers,
             ),
             WeightSpec(
                 "moe_down", "model.layers.{l}.mlp.experts.{e}.down_proj.weight",
                 per_layer=True, per_expert=True, transpose=True, shard_axis="expert",
+                layers_fn=_moe_layers,
             ),
         ]
         if cfg.num_shared_experts > 0:
             # qwen2-moe style shared expert (+ sigmoid shared-expert gate)
+            sh = ("model.layers.{l}.mlp.shared_experts."
+                  if cfg.model_type == "glm4_moe"
+                  else "model.layers.{l}.mlp.shared_expert.")
             specs += [
-                WeightSpec("shared_gate", "model.layers.{l}.mlp.shared_expert.gate_proj.weight",
-                           per_layer=True, transpose=True, shard_axis="out"),
-                WeightSpec("shared_up", "model.layers.{l}.mlp.shared_expert.up_proj.weight",
-                           per_layer=True, transpose=True, shard_axis="out"),
-                WeightSpec("shared_down", "model.layers.{l}.mlp.shared_expert.down_proj.weight",
-                           per_layer=True, transpose=True, shard_axis="in"),
+                WeightSpec("shared_gate", sh + "gate_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out",
+                           layers_fn=_moe_layers),
+                WeightSpec("shared_up", sh + "up_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="out",
+                           layers_fn=_moe_layers),
+                WeightSpec("shared_down", sh + "down_proj.weight",
+                           per_layer=True, transpose=True, shard_axis="in",
+                           layers_fn=_moe_layers),
                 WeightSpec("shared_expert_gate", "model.layers.{l}.mlp.shared_expert_gate.weight",
-                           per_layer=True, transpose=True, optional=True),
+                           per_layer=True, transpose=True, optional=True,
+                           layers_fn=_moe_layers),
             ]
     else:
         specs += [
@@ -169,6 +180,19 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
                        per_layer=True, transpose=True, shard_axis="out"),
             WeightSpec("down_proj", "model.layers.{l}.mlp.down_proj.weight",
                        per_layer=True, transpose=True, shard_axis="in"),
+        ]
+    if cfg.num_experts > 0 and cfg.first_moe_layer > 0:
+        # glm4_moe-style first-K-dense layers keep a plain MLP
+        specs += [
+            WeightSpec("gate_proj", "model.layers.{l}.mlp.gate_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out",
+                       layers_fn=_dense_layers),
+            WeightSpec("up_proj", "model.layers.{l}.mlp.up_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out",
+                       layers_fn=_dense_layers),
+            WeightSpec("down_proj", "model.layers.{l}.mlp.down_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="in",
+                       layers_fn=_dense_layers),
         ]
     return specs
 
@@ -685,6 +709,239 @@ def _falcon_specs(cfg: ModelConfig) -> list[WeightSpec]:
 
 
 
+
+def _neox_split_qkv(which: int):
+    """gpt_neox fused query_key_value is per-head interleaved [h, 3, d]
+    along the out dim (reference: gpt_neox_weight.py qkv split)."""
+
+    def f(t, cfg):
+        h, d = cfg.num_attention_heads, cfg.head_dim
+        return t.reshape(h, 3, d, *t.shape[1:])[:, which].reshape(
+            h * d, *t.shape[1:])
+
+    return f
+
+
+def _qwen_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """qwen v1 (reference: rtp_llm/models/qwen.py QWenWeight): fused c_attn
+    qkv with bias, w2 = swiglu gate / w1 = up in HF QWenMLP."""
+    L = "transformer.h.{l}."
+    qd = cfg.num_attention_heads * cfg.head_dim
+    specs = [
+        WeightSpec("embed_tokens", "transformer.wte.weight"),
+        WeightSpec("final_norm", "transformer.ln_f.weight"),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                   shard_axis="out"),
+        WeightSpec("input_norm", L + "ln_1.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "ln_2.weight", per_layer=True),
+        WeightSpec("o_proj", L + "attn.c_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "mlp.w2.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj", L + "mlp.w1.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.c_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+    for j, n in enumerate(("q", "k", "v")):
+        specs += [
+            WeightSpec(f"{n}_proj", L + "attn.c_attn.weight", per_layer=True,
+                       transpose=True, shard_axis="out",
+                       hf_slice=(j * qd, (j + 1) * qd)),
+            WeightSpec(f"{n}_bias", L + "attn.c_attn.bias", per_layer=True,
+                       shard_axis="out", hf_slice=(j * qd, (j + 1) * qd)),
+        ]
+    return specs
+
+
+def _gpt_neox_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """gpt_neox (reference: rtp_llm/models/gpt_neox.py): per-head-interleaved
+    fused qkv, dual-norm parallel residual, biased layernorms and linears."""
+    L = "gpt_neox.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "gpt_neox.embed_in.weight"),
+        *_norm_pair("final_norm", "gpt_neox.final_layer_norm",
+                    per_layer=False),
+        WeightSpec("lm_head", "embed_out.weight", transpose=True,
+                   shard_axis="out"),
+        *_norm_pair("input_norm", L + "input_layernorm"),
+        *_norm_pair("post_attn_norm", L + "post_attention_layernorm"),
+        WeightSpec("o_proj", L + "attention.dense.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("o_proj.bias", L + "attention.dense.bias", per_layer=True),
+        WeightSpec("up_proj", L + "mlp.dense_h_to_4h.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj.bias", L + "mlp.dense_h_to_4h.bias",
+                   per_layer=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.dense_4h_to_h.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("down_proj.bias", L + "mlp.dense_4h_to_h.bias",
+                   per_layer=True),
+    ]
+    for j, n in enumerate(("q", "k", "v")):
+        specs += [
+            WeightSpec(f"{n}_proj", L + "attention.query_key_value.weight",
+                       per_layer=True, transpose=True, shard_axis="out",
+                       hf_transform=_neox_split_qkv(j)),
+            WeightSpec(f"{n}_bias", L + "attention.query_key_value.bias",
+                       per_layer=True, shard_axis="out",
+                       hf_transform=_neox_split_qkv(j)),
+        ]
+    return specs
+
+
+def _gpt_bigcode_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """gpt_bigcode / starcoder / wizardcoder (reference: starcoder.py): MQA
+    fused c_attn ([q | kv] rows), learned wpe positions, biased everything."""
+    L = "transformer.h.{l}."
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    cuts = (0, qd, qd + kvd, qd + 2 * kvd)
+    specs = [
+        WeightSpec("embed_tokens", "transformer.wte.weight"),
+        WeightSpec("pos_embed", "transformer.wpe.weight"),
+        *_norm_pair("final_norm", "transformer.ln_f", per_layer=False),
+        *_norm_pair("input_norm", L + "ln_1"),
+        *_norm_pair("post_attn_norm", L + "ln_2"),
+        WeightSpec("o_proj", L + "attn.c_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("o_proj.bias", L + "attn.c_proj.bias", per_layer=True),
+        WeightSpec("up_proj", L + "mlp.c_fc.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj.bias", L + "mlp.c_fc.bias", per_layer=True,
+                   shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.c_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("down_proj.bias", L + "mlp.c_proj.bias", per_layer=True),
+    ]
+    if not cfg.tie_word_embeddings:
+        specs.append(WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                                shard_axis="out"))
+    for j, n in enumerate(("q", "k", "v")):
+        specs += [
+            WeightSpec(f"{n}_proj", L + "attn.c_attn.weight", per_layer=True,
+                       transpose=True,
+                       shard_axis="out" if n == "q" else None,
+                       hf_slice=(cuts[j], cuts[j + 1])),
+            WeightSpec(f"{n}_bias", L + "attn.c_attn.bias", per_layer=True,
+                       shard_axis="out" if n == "q" else None,
+                       hf_slice=(cuts[j], cuts[j + 1])),
+        ]
+    return specs
+
+
+def _mpt_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """mpt (reference: rtp_llm/models/mpt.py): ALiBi, fused straight-sliced
+    Wqkv, unbiased layernorms/linears, tied embeddings."""
+    L = "transformer.blocks.{l}."
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    cuts = (0, qd, qd + kvd, qd + 2 * kvd)
+    specs = [
+        WeightSpec("embed_tokens", "transformer.wte.weight"),
+        WeightSpec("final_norm", "transformer.norm_f.weight"),
+        WeightSpec("input_norm", L + "norm_1.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "norm_2.weight", per_layer=True),
+        WeightSpec("o_proj", L + "attn.out_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("up_proj", L + "ffn.up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "ffn.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+    for j, n in enumerate(("q", "k", "v")):
+        specs.append(
+            WeightSpec(f"{n}_proj", L + "attn.Wqkv.weight", per_layer=True,
+                       transpose=True,
+                       shard_axis="out" if n == "q" else None,
+                       hf_slice=(cuts[j], cuts[j + 1])))
+    return specs
+
+
+def _phi_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """phi-1/2 (reference: rtp_llm/models/phi.py): shared-norm parallel
+    residual, partial neox rotary, biased linears incl. lm_head."""
+    L = "model.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        *_norm_pair("final_norm", "model.final_layernorm", per_layer=False),
+        WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                   shard_axis="out"),
+        WeightSpec("lm_head.bias", "lm_head.bias"),
+        *_norm_pair("input_norm", L + "input_layernorm"),
+        WeightSpec("o_proj", L + "self_attn.dense.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("o_proj.bias", L + "self_attn.dense.bias", per_layer=True),
+        WeightSpec("up_proj", L + "mlp.fc1.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj.bias", L + "mlp.fc1.bias", per_layer=True,
+                   shard_axis="out"),
+        WeightSpec("down_proj", L + "mlp.fc2.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("down_proj.bias", L + "mlp.fc2.bias", per_layer=True),
+    ]
+    for n in ("q", "k", "v"):
+        specs += [
+            WeightSpec(f"{n}_proj", L + f"self_attn.{n}_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out"),
+            WeightSpec(f"{n}_bias", L + f"self_attn.{n}_proj.bias",
+                       per_layer=True, shard_axis="out"),
+        ]
+    return specs
+
+
+def _chatglm_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """chatglm2/3 (reference: chat_glm_v2.py / chat_glm_v3.py): GQA fused
+    query_key_value with bias, fused swiglu dense_h_to_4h ([gate | up])."""
+    L = "transformer.encoder.layers.{l}."
+    qd = cfg.num_attention_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    cuts = (0, qd, qd + kvd, qd + 2 * kvd)
+    i = cfg.intermediate_size
+    specs = [
+        WeightSpec("embed_tokens",
+                   "transformer.embedding.word_embeddings.weight"),
+        WeightSpec("final_norm", "transformer.encoder.final_layernorm.weight"),
+        WeightSpec("lm_head", "transformer.output_layer.weight",
+                   transpose=True, shard_axis="out"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        WeightSpec("o_proj", L + "self_attention.dense.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "mlp.dense_h_to_4h.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(0, i)),
+        WeightSpec("up_proj", L + "mlp.dense_h_to_4h.weight", per_layer=True,
+                   transpose=True, shard_axis="out", hf_slice=(i, 2 * i)),
+        WeightSpec("down_proj", L + "mlp.dense_4h_to_h.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+    for j, n in enumerate(("q", "k", "v")):
+        specs.append(
+            WeightSpec(f"{n}_proj", L + "self_attention.query_key_value.weight",
+                       per_layer=True, transpose=True,
+                       shard_axis="out" if n == "q" else None,
+                       hf_slice=(cuts[j], cuts[j + 1])))
+        if cfg.attention_bias:
+            specs.append(
+                WeightSpec(f"{n}_bias",
+                           L + "self_attention.query_key_value.bias",
+                           per_layer=True,
+                           shard_axis="out" if n == "q" else None,
+                           hf_slice=(cuts[j], cuts[j + 1])))
+    return specs
+
+
+def _glm4_moe_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """glm4_moe / GLM-4.5 (reference: glm4_moe.py): llama-style attention
+    names + deepseek-v3-style routed MoE with e_score_correction_bias."""
+    return _llama_family_specs(cfg) + [
+        WeightSpec("router_bias",
+                   "model.layers.{l}.mlp.gate.e_score_correction_bias",
+                   per_layer=True, layers_fn=_moe_layers),
+    ]
+
+
 _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "llama": _llama_family_specs,
     "mixtral": _mixtral_specs,
@@ -710,6 +967,31 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "starcoder2": _starcoder2_specs,
     "bloom": _bloom_specs,
     "falcon": _falcon_specs,
+    "qwen": _qwen_specs,
+    "qwen_7b": _qwen_specs,
+    "qwen_13b": _qwen_specs,
+    "qwen_1b8": _qwen_specs,
+    "gpt_neox": _gpt_neox_specs,
+    "gpt_bigcode": _gpt_bigcode_specs,
+    "starcoder": _gpt_bigcode_specs,
+    "wizardcoder": _gpt_bigcode_specs,
+    "mpt": _mpt_specs,
+    "phi": _phi_specs,
+    "chatglm": _chatglm_specs,
+    "chat_glm_2": _chatglm_specs,
+    "chat_glm_3": _chatglm_specs,
+    "chatglm2": _chatglm_specs,
+    "chatglm3": _chatglm_specs,
+    "glm4_moe": _glm4_moe_specs,
+    "aquila": _llama_family_specs,
+    "xverse": _llama_family_specs,
+    "kimi_k2": _deepseek_with_mtp_specs,
+    "kimi_k25": _deepseek_with_mtp_specs,
+    "deepseek_v31": _deepseek_with_mtp_specs,
+    "deepseek_v32": _deepseek_with_mtp_specs,
+    "qwen3_coder_moe": _llama_family_specs,
+    "qwen35_dense": _llama_family_specs,
+    "qwen35_moe": _llama_family_specs,
 }
 
 

@@ -60,10 +60,10 @@ class LlamaFamilyModel:
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
-        self._act = (
-            (lambda v: jax.nn.gelu(v, approximate=True))
-            if cfg.hidden_act == "gelu_tanh" else jax.nn.silu
-        )
+        self._act = {
+            "gelu_tanh": lambda v: jax.nn.gelu(v, approximate=True),
+            "gelu": lambda v: jax.nn.gelu(v, approximate=False),
+        }.get(cfg.hidden_act, jax.nn.silu)
         self.rotary_dim = (
             int(cfg.head_dim * cfg.partial_rotary_factor)
             if cfg.partial_rotary_factor else cfg.head_dim
@@ -87,6 +87,14 @@ class LlamaFamilyModel:
             cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
             else cfg.head_dim ** -0.5
         )
+        # canonical stacks for mixed dense/MoE models (glm4_moe first-K-
+        # dense) cover only their own layers; map global layer -> stack pos
+        self._moe_pos, self._dense_pos = {}, {}
+        for i in range(cfg.num_layers):
+            if cfg.is_moe_layer(i):
+                self._moe_pos[i] = len(self._moe_pos)
+            else:
+                self._dense_pos[i] = len(self._dense_pos)
         self.block_size = 16  # set by init_cache
         self.attn_backend = "auto"  # auto | pallas | ref
         self.mesh = None  # set by the engine; enables the shard_map kernel path
@@ -141,6 +149,11 @@ class LlamaFamilyModel:
                           inputs.mm_embeds.astype(x.dtype), x)
         if cfg.scale_embeddings:  # gemma
             x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        if "pos_embed" in weights:  # gpt_bigcode/starcoder: learned wpe
+            x = x + jnp.take(weights["pos_embed"],
+                             jnp.clip(inputs.positions, 0,
+                                      weights["pos_embed"].shape[0] - 1),
+                             axis=0).astype(x.dtype)
 
         # per-token validity + flat cache slots, computed once for all layers
         tpos = inputs.positions  # [B,T]
@@ -169,6 +182,8 @@ class LlamaFamilyModel:
         last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)  # [B]
         hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
         logits = (hidden_last @ lm_head).astype(jnp.float32)
+        if "lm_head.bias" in weights:  # phi-2
+            logits = logits + weights["lm_head.bias"].astype(jnp.float32)
         if cfg.logit_scale:
             logits = logits * cfg.logit_scale
         if cfg.final_logit_soft_cap:
@@ -178,6 +193,9 @@ class LlamaFamilyModel:
         all_logits = None
         if need_all_logits:
             all_logits = (x @ lm_head).astype(jnp.float32)
+            if "lm_head.bias" in weights:
+                all_logits = all_logits + weights["lm_head.bias"].astype(
+                    jnp.float32)
             if cfg.logit_scale:
                 all_logits = all_logits * cfg.logit_scale
             if cfg.final_logit_soft_cap:
@@ -243,6 +261,12 @@ class LlamaFamilyModel:
 
     def _apply_rope(self, x, inputs: ModelInputs):
         if self.rotary_dim != self.cfg.head_dim or self.cfg.rope_gptj_pairs:
+            if not self.cfg.rope_partial_interleaved:
+                # gpt_neox / phi: first rotary_dim dims rotate half-split
+                from rtp_llm_tpu.ops.rope import apply_rope_partial_neox
+
+                return apply_rope_partial_neox(
+                    x, inputs.positions, self.cos, self.sin, self.rotary_dim)
             return apply_rope_partial_interleaved(
                 x, inputs.positions, self.cos, self.sin, self.rotary_dim)
         return apply_rope(x, inputs.positions, self.cos, self.sin)
@@ -272,7 +296,7 @@ class LlamaFamilyModel:
         if cfg.use_qk_norm:
             q = self._norm(q, w["q_norm"][i], cfg.rms_norm_eps)
             k = self._norm(k, w["k_norm"][i], cfg.rms_norm_eps)
-        if self.alibi_slopes is None:
+        if self.alibi_slopes is None and not cfg.use_learned_positions:
             q = self._apply_rope(q, inputs)
             k = self._apply_rope(k, inputs)
 
@@ -288,8 +312,16 @@ class LlamaFamilyModel:
         k_scale = v_scale = None
         full_cache = None
         if kv_writes is not None:
-            k_cache, v_cache = cache[i, 0], cache[i, 1]
-            full_cache = cache
+            if isinstance(cache, dict):  # int8 KV, deferred: attention reads
+                # the quantized pool (kv_len-1 tokens) + the bf16 current
+                # token from registers; the engine quantizes and scatters all
+                # layers' rows in one shot after the forward
+                k_cache, v_cache = cache["data"][i, 0], cache["data"][i, 1]
+                k_scale, v_scale = cache["scale"][i, 0], cache["scale"][i, 1]
+                full_cache = cache["data"]
+            else:
+                k_cache, v_cache = cache[i, 0], cache[i, 1]
+                full_cache = cache
         elif isinstance(cache, dict):  # int8 KV with scales
             # direct 3D scatters on the donated buffers — slicing a plane out
             # and writing it back (dynamic-update-slice) materializes full
@@ -335,8 +367,12 @@ class LlamaFamilyModel:
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         if cfg.parallel_residual:
-            # cohere/falcon: attn and mlp both consume the SAME normed input
-            normed = self._norm_at(w, "input_norm", res, i)
+            # cohere/falcon/phi: attn and mlp consume the SAME normed input;
+            # gpt_neox ("dual"): mlp reads post_attn_norm of the ORIGINAL
+            # layer input (x + attn(ln1(x)) + mlp(ln2(x)))
+            normed = (self._norm_at(w, "post_attn_norm", res, i)
+                      if cfg.parallel_norms == "dual"
+                      else self._norm_at(w, "input_norm", res, i))
             mlp = (self._moe_mlp(w, i, normed, gating_out)
                    if cfg.is_moe_layer(i)
                    else self._dense_mlp(w, i, normed, aids))
@@ -361,6 +397,7 @@ class LlamaFamilyModel:
         return res + x, cache
 
     def _dense_mlp(self, w, i, x, aids=None):
+        i = self._dense_pos.get(i, i)
         if "gate_proj" not in w:
             # no-gate MLP (starcoder2/bloom/falcon): act(fc) -> proj; the fc
             # and proj tensors map onto the up/down canonical names
@@ -377,6 +414,7 @@ class LlamaFamilyModel:
         GEMMs (parallel/ep_moe.py). gating_out: list collecting per-layer
         [E] token counts for EPLB (reference: need_moe_gating)."""
         cfg = self.cfg
+        i = self._moe_pos.get(i, i)
         b, t, h = x.shape
         xt = x.reshape(-1, h)  # [N,H]
         router_logits = (xt.astype(jnp.float32)
@@ -386,11 +424,34 @@ class LlamaFamilyModel:
         else:
             scores = jax.nn.softmax(router_logits, axis=-1)
         topk = cfg.num_experts_per_tok
-        top_vals, top_idx = jax.lax.top_k(scores, topk)  # [N,k]
+        # deepseek-v3-style expert CHOICE (glm4_moe shares it): selection by
+        # scores + e_score_correction_bias within the topk_group best groups,
+        # weights from the RAW scores (models/deepseek.py is the MLA analog)
+        choice = scores
+        biased = "router_bias" in w
+        if biased:
+            choice = scores + w["router_bias"][i][None, :].astype(jnp.float32)
+        if cfg.moe_n_group > 1 and 0 < cfg.moe_topk_group < cfg.moe_n_group:
+            n = choice.shape[0]
+            g = cfg.moe_n_group
+            per = choice.shape[-1] // g
+            grp = choice.reshape(n, g, per)
+            top2 = jax.lax.top_k(grp, min(2, per))[0].sum(axis=-1)  # [n,g]
+            _, gidx = jax.lax.top_k(top2, cfg.moe_topk_group)
+            gmask = jnp.zeros((n, g), bool).at[
+                jnp.arange(n)[:, None], gidx
+            ].set(True)
+            choice = jnp.where(jnp.repeat(gmask, per, axis=1), choice, 0.0)
+            biased = True
+        top_choice, top_idx = jax.lax.top_k(choice, topk)  # [N,k]
+        top_vals = (jnp.take_along_axis(scores, top_idx, axis=-1)
+                    if biased else top_choice)
         if cfg.moe_norm_topk_prob:
             top_vals = top_vals / jnp.maximum(
                 jnp.sum(top_vals, axis=-1, keepdims=True), 1e-20
             )
+        if cfg.moe_routed_scaling_factor != 1.0:
+            top_vals = top_vals * cfg.moe_routed_scaling_factor
 
         if gating_out is not None:
             e = w["moe_gate"].shape[1]

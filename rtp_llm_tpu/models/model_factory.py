@@ -22,7 +22,13 @@ def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
 for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
             "mixtral", "gemma", "gemma2", "phi3", "glm4", "cohere",
             "internlm", "yi", "baichuan", "baichuan2", "starcoder2",
-            "bloom", "falcon"):
+            "bloom", "falcon",
+            # round 2 additions (reference model_factory_register.py types)
+            "qwen", "qwen_7b", "qwen_13b", "qwen_1b8",
+            "gpt_neox", "gpt_bigcode", "starcoder", "wizardcoder",
+            "mpt", "phi", "chatglm", "chat_glm_2", "chat_glm_3",
+            "chatglm2", "chatglm3", "glm4_moe", "aquila", "xverse",
+            "qwen3_coder_moe", "qwen35_dense", "qwen35_moe"):
     register_model(_mt, LlamaFamilyModel)
 
 
@@ -32,7 +38,8 @@ def _make_deepseek(cfg: ModelConfig):
     return DeepseekModel(cfg)
 
 
-for _mt in ("deepseek_v2", "deepseek_v3"):
+for _mt in ("deepseek_v2", "deepseek_v3", "deepseek_v31", "deepseek_v32",
+            "kimi_k2", "kimi_k25"):
     register_model(_mt, _make_deepseek)
 
 

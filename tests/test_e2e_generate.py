@@ -143,6 +143,39 @@ def test_int8_kv_cache_quality(tmp_path):
     assert agree >= len(ref) - 2, (ref, i8)
 
 
+def test_int8_kv_deferred_writes_quality(tmp_path):
+    """int8 KV + deferred decode writes (one batched quantize+scatter per
+    step, bf16 current token folded in attention) must track the in-layer
+    int8 path closely (outputs may differ by the current token's quant error
+    only, so compare both against the fp32 baseline)."""
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "i8d"), cfg)
+
+    def build(kv_dtype, defer):
+        c = tiny_config("qwen2")
+        c.dtype = "float32"
+        weights = CheckpointLoader(c).load(ckpt)
+        model = create_model(c)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=256,
+                                      prefill_buckets=(16, 64),
+                                      defer_kv_writes=defer),
+        )
+        econf.quant.kv_cache_dtype = kv_dtype
+        return LlmEngine(model, weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False,
+                                ignore_eos=True)
+    ref = build("float32", False).generate(prompt, gc()).output_token_ids
+    eng = build("int8", True)
+    assert eng._defer_decode
+    i8d = eng.generate(prompt, gc()).output_token_ids
+    agree = sum(a == b for a, b in zip(ref, i8d))
+    assert agree >= len(ref) - 2, (ref, i8d)
+
+
 def test_int8_kv_attention_accuracy():
     """Dequantized int8 paged attention stays close to the fp32 reference."""
     import numpy as np
