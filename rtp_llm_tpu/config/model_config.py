@@ -405,6 +405,39 @@ class ModelConfig:
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
             cfg.moe_router_bias = True
+        if arch == "kimi_linear":  # hybrid KDA + MLA (reference:
+            # models/kimi_linear/kimi_linear.py config derivation)
+            cfg.q_lora_rank = hf.get("q_lora_rank") or 0
+            cfg.kv_lora_rank = hf.get("kv_lora_rank", 512)
+            cfg.qk_nope_head_dim = hf.get("qk_nope_head_dim", 128)
+            cfg.qk_rope_head_dim = hf.get("qk_rope_head_dim", 64)
+            cfg.v_head_dim = hf.get("v_head_dim", 128)
+            cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+            cfg.rope_interleave = False
+            cfg.num_experts = hf.get("num_experts", 0) or 0
+            cfg.num_experts_per_tok = hf.get("num_experts_per_token", 8)
+            cfg.moe_intermediate_size = hf.get("moe_intermediate_size", 0)
+            cfg.num_shared_experts = hf.get("num_shared_experts", 1)
+            cfg.first_moe_layer = hf.get("first_k_dense_replace", 1)
+            cfg.moe_layer_freq = hf.get("moe_layer_freq", 1)
+            cfg.moe_norm_topk_prob = hf.get("moe_renormalize", True)
+            cfg.moe_router_score_fn = hf.get(
+                "moe_router_activation_func", "sigmoid")
+            cfg.moe_n_group = hf.get("num_expert_group", 1) or 0
+            cfg.moe_topk_group = hf.get("topk_group", 1) or 0
+            cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
+            cfg.moe_router_bias = True
+            lac = hf.get("linear_attn_config") or {}
+            cfg.linear_key_head_dim = lac.get("head_dim", 128)
+            cfg.linear_value_head_dim = lac.get("head_dim", 128)
+            cfg.linear_num_key_heads = lac.get("num_heads", 32)
+            cfg.linear_num_value_heads = lac.get("num_heads", 32)
+            cfg.linear_conv_kernel_dim = lac.get("short_conv_kernel_size", 4)
+            kda = set(lac.get("kda_layers") or ())  # 1-based indices
+            cfg.layer_types = tuple(
+                "linear_attention" if (i + 1) in kda else "full_attention"
+                for i in range(cfg.num_layers)
+            )
         qc = hf.get("quantization_config")
         if qc and qc.get("quant_method") in ("gptq", "awq"):
             cfg.quantization = {

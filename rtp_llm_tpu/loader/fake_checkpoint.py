@@ -95,6 +95,36 @@ def tiny_config(model_type: str = "qwen2", **overrides) -> ModelConfig:
             moe_router_bias=model_type == "deepseek_v3",
             moe_norm_topk_prob=True,
         )
+    if model_type == "kimi_linear":
+        base.update(
+            num_layers=3,
+            num_kv_heads=4,
+            q_lora_rank=0,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            head_dim=24,
+            rope_interleave=False,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            num_shared_experts=1,
+            first_moe_layer=1,
+            moe_router_score_fn="sigmoid",
+            moe_n_group=2,
+            moe_topk_group=1,
+            moe_routed_scaling_factor=1.5,
+            moe_router_bias=True,
+            moe_norm_topk_prob=True,
+            layer_types=("linear_attention", "full_attention",
+                         "linear_attention"),
+            linear_num_key_heads=4,
+            linear_num_value_heads=4,
+            linear_key_head_dim=16,
+            linear_value_head_dim=16,
+            linear_conv_kernel_dim=4,
+        )
     base.update(overrides)
     return ModelConfig(**base)
 
@@ -175,7 +205,7 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
             "la_gate_norm_w": (dv_,),
             "la_out_proj": (h, hv * dv_),
         })
-    if cfg.model_type.startswith("deepseek"):
+    if cfg.model_type in ("kimi_linear",) or cfg.model_type.startswith("deepseek"):
         dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
         kvl, ql = cfg.kv_lora_rank, cfg.q_lora_rank
         si = mi * max(cfg.num_shared_experts, 1)
@@ -197,6 +227,24 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
             "mtp_enorm": (h,), "mtp_hnorm": (h,), "mtp_eh_proj": (h, 2 * h),
             "mtp_head_norm": (h,), "mtp_head": (v, h),
         })
+        if cfg.model_type == "kimi_linear":
+            hk_, dk_ = cfg.linear_num_key_heads, cfg.linear_key_head_dim
+            hv_, dv2 = cfg.linear_num_value_heads, cfg.linear_value_head_dim
+            lora_r = max(h // 4, 8)
+            shapes.update({
+                "kda_q": (hk_ * dk_, h), "kda_k": (hk_ * dk_, h),
+                "kda_v": (hv_ * dv2, h),
+                "kda_beta": (hv_, h),
+                "kda_f_a": (lora_r, h), "kda_f_b": (hv_ * dk_, lora_r),
+                "kda_g_a": (lora_r, h), "kda_g_b": (hv_ * dv2, lora_r),
+                "kda_conv_q": (hk_ * dk_, 1, cfg.linear_conv_kernel_dim),
+                "kda_conv_k": (hk_ * dk_, 1, cfg.linear_conv_kernel_dim),
+                "kda_conv_v": (hv_ * dv2, 1, cfg.linear_conv_kernel_dim),
+                "kda_o_norm": (dv2,),
+                "kda_dt_bias": (hv_ * dk_,),
+                "kda_a_log": (1, 1, hv_, 1),
+                "kda_o": (h, hv_ * dv2),
+            })
         for name in list(shapes):
             if not name.startswith("mtp_") and "mtp_" + name not in shapes:
                 shapes["mtp_" + name] = shapes[name]
@@ -282,6 +330,35 @@ def write_fake_checkpoint(
             decoder_sparse_step=1,
             mlp_only_layers=[],
         )
+    if cfg.model_type == "kimi_linear":
+        hf_cfg.update(
+            q_lora_rank=cfg.q_lora_rank or None,
+            kv_lora_rank=cfg.kv_lora_rank,
+            qk_nope_head_dim=cfg.qk_nope_head_dim,
+            qk_rope_head_dim=cfg.qk_rope_head_dim,
+            v_head_dim=cfg.v_head_dim,
+            num_experts=cfg.num_experts,
+            num_experts_per_token=cfg.num_experts_per_tok,
+            moe_intermediate_size=cfg.moe_intermediate_size,
+            num_shared_experts=cfg.num_shared_experts,
+            first_k_dense_replace=cfg.first_moe_layer,
+            moe_renormalize=cfg.moe_norm_topk_prob,
+            moe_router_activation_func=cfg.moe_router_score_fn,
+            num_expert_group=cfg.moe_n_group,
+            topk_group=cfg.moe_topk_group,
+            routed_scaling_factor=cfg.moe_routed_scaling_factor,
+            linear_attn_config=dict(
+                head_dim=cfg.linear_key_head_dim,
+                num_heads=cfg.linear_num_key_heads,
+                short_conv_kernel_size=cfg.linear_conv_kernel_dim,
+                kda_layers=[i + 1 for i, t in enumerate(cfg.layer_types or ())
+                            if t == "linear_attention"],
+                full_attn_layers=[
+                    i + 1 for i, t in enumerate(cfg.layer_types or ())
+                    if t == "full_attention"],
+            ),
+        )
+        hf_cfg.pop("head_dim", None)
     hf_cfg.update(extra_config or {})
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=1)

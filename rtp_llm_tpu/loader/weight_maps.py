@@ -710,6 +710,130 @@ def _falcon_specs(cfg: ModelConfig) -> list[WeightSpec]:
 
 
 
+def _kimi_full_layers(cfg: ModelConfig) -> list:
+    return [i for i, t in enumerate(cfg.layer_types or ())
+            if t == "full_attention"]
+
+
+def _kimi_linear_layers(cfg: ModelConfig) -> list:
+    return [i for i, t in enumerate(cfg.layer_types or ())
+            if t == "linear_attention"]
+
+
+def _kimi_linear_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """kimi_linear (reference: rtp_llm/models/kimi_linear/
+    kimi_linear_weight.py): MLA weights on full-attention layers, KDA
+    (q/k/v + short convs + LoRA forget/output gates + A_log/dt_bias) on
+    linear layers, block_sparse_moe deepseek-style MoE."""
+    L = "model.layers.{l}."
+    A = L + "self_attn."
+    specs = [
+        WeightSpec("embed_tokens", "model.embed_tokens.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("input_norm", L + "input_layernorm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "post_attention_layernorm.weight",
+                   per_layer=True),
+        # ---- MLA (full-attention layers only) ----
+        WeightSpec("kv_a_proj", A + "kv_a_proj_with_mqa.weight",
+                   per_layer=True, transpose=True, layers_fn=_kimi_full_layers),
+        WeightSpec("kv_a_norm", A + "kv_a_layernorm.weight",
+                   per_layer=True, layers_fn=_kimi_full_layers),
+        WeightSpec("kv_b_proj", A + "kv_b_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out",
+                   layers_fn=_kimi_full_layers),
+        WeightSpec("o_proj", A + "o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in",
+                   layers_fn=_kimi_full_layers),
+        # ---- KDA (linear layers only) ----
+        WeightSpec("kda_q", A + "q_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out",
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_k", A + "k_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out",
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_v", A + "v_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out",
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_beta", A + "b_proj.weight", per_layer=True,
+                   transpose=True, layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_f_a", A + "f_a_proj.weight", per_layer=True,
+                   transpose=True, layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_f_b", A + "f_b_proj.weight", per_layer=True,
+                   transpose=True, layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_g_a", A + "g_a_proj.weight", per_layer=True,
+                   transpose=True, layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_g_b", A + "g_b_proj.weight", per_layer=True,
+                   transpose=True, layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_conv_q", A + "q_conv1d.weight", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_conv_k", A + "k_conv1d.weight", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_conv_v", A + "v_conv1d.weight", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_o_norm", A + "o_norm.weight", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_dt_bias", A + "dt_bias", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_a_log", A + "A_log", per_layer=True,
+                   layers_fn=_kimi_linear_layers),
+        WeightSpec("kda_o", A + "o_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in",
+                   layers_fn=_kimi_linear_layers),
+    ]
+    if cfg.q_lora_rank > 0:
+        specs += [
+            WeightSpec("q_a_proj", A + "q_a_proj.weight", per_layer=True,
+                       transpose=True, layers_fn=_kimi_full_layers),
+            WeightSpec("q_a_norm", A + "q_a_layernorm.weight",
+                       per_layer=True, layers_fn=_kimi_full_layers),
+            WeightSpec("q_b_proj", A + "q_b_proj.weight", per_layer=True,
+                       transpose=True, shard_axis="out",
+                       layers_fn=_kimi_full_layers),
+        ]
+    else:
+        specs.append(WeightSpec("q_proj", A + "q_proj.weight", per_layer=True,
+                                transpose=True, shard_axis="out",
+                                layers_fn=_kimi_full_layers))
+    if not cfg.tie_word_embeddings:
+        specs.append(WeightSpec("lm_head", "lm_head.weight", transpose=True,
+                                shard_axis="out"))
+    specs += [
+        WeightSpec("gate_proj", L + "mlp.gate_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_dense_layers),
+        WeightSpec("up_proj", L + "mlp.up_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="out", layers_fn=_dense_layers),
+        WeightSpec("down_proj", L + "mlp.down_proj.weight", per_layer=True,
+                   transpose=True, shard_axis="in", layers_fn=_dense_layers),
+    ]
+    if cfg.num_experts > 0:
+        M = L + "block_sparse_moe."
+        specs += [
+            WeightSpec("router", M + "gate.weight", per_layer=True,
+                       transpose=True, layers_fn=_moe_layers),
+            WeightSpec("router_bias", M + "gate.e_score_correction_bias",
+                       per_layer=True, layers_fn=_moe_layers),
+            WeightSpec("moe_gate", M + "experts.{e}.w1.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+            WeightSpec("moe_up", M + "experts.{e}.w3.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+            WeightSpec("moe_down", M + "experts.{e}.w2.weight",
+                       per_layer=True, per_expert=True, transpose=True,
+                       shard_axis="expert", layers_fn=_moe_layers),
+            WeightSpec("shared_gate", M + "shared_experts.gate_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out",
+                       layers_fn=_moe_layers),
+            WeightSpec("shared_up", M + "shared_experts.up_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="out",
+                       layers_fn=_moe_layers),
+            WeightSpec("shared_down", M + "shared_experts.down_proj.weight",
+                       per_layer=True, transpose=True, shard_axis="in",
+                       layers_fn=_moe_layers),
+        ]
+    return specs
+
+
 def _neox_split_qkv(which: int):
     """gpt_neox fused query_key_value is per-head interleaved [h, 3, d]
     along the out dim (reference: gpt_neox_weight.py qkv split)."""
@@ -983,6 +1107,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "chatglm2": _chatglm_specs,
     "chatglm3": _chatglm_specs,
     "glm4_moe": _glm4_moe_specs,
+    "kimi_linear": _kimi_linear_specs,
     "aquila": _llama_family_specs,
     "xverse": _llama_family_specs,
     "kimi_k2": _deepseek_with_mtp_specs,

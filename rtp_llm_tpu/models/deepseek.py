@@ -128,13 +128,35 @@ class DeepseekModel:
     def _layer(self, w, cache, i, x, inputs: ModelInputs, slots,
                force_moe=None):
         cfg = self.cfg
+
+        res = x
+        x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
+        x, latent = self._mla_attn(w, i, x, inputs, slots, cache[i, 0])
+        cache = cache.at[i, 0].set(latent)
+        x = res + x
+
+        res = x
+        x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
+        if force_moe is None:
+            p = self._stack_pos(i)
+            is_moe = cfg.is_moe_layer(i)
+        else:
+            p, is_moe = 0, force_moe  # MTP module view (engine/mtp.py)
+        if is_moe:
+            x = self._moe_mlp(w, p, x)
+        else:
+            x = self._dense_mlp(w, p, x)
+        return res + x, cache
+
+    def _mla_attn(self, w, i, x, inputs: ModelInputs, slots, latent):
+        """MLA attention in absorbed (latent) form over one layer's latent
+        plane; returns (o_proj output, updated latent plane). Shared by the
+        dense stack and hybrid models (kimi_linear)."""
+        cfg = self.cfg
         b, t, h = x.shape
         hq = cfg.num_attention_heads
         dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
         kvl = cfg.kv_lora_rank
-
-        res = x
-        x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
 
         # ---- q path ----
         if cfg.q_lora_rank > 0:
@@ -171,11 +193,9 @@ class DeepseekModel:
             ),
             axis=-1,
         )  # [B,T,lanes]
-        latent = cache[i, 0]
         latent = latent.at[slots].set(
             latent_row.reshape(-1, self.lanes).astype(latent.dtype), mode="drop"
         )
-        cache = cache.at[i, 0].set(latent)
 
         # query in latent space: [q_abs ; q_rope ; pad]
         q_cat = jnp.concatenate(
@@ -195,21 +215,7 @@ class DeepseekModel:
 
         # expand context per head with W_uv, then o_proj
         attn = jnp.einsum("bthk,khd->bthd", ctx, w_uv)  # [B,T,Hq,dv]
-        x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * dv))
-        x = res + x
-
-        res = x
-        x = rms_norm(x, w["post_attn_norm"][i], cfg.rms_norm_eps)
-        if force_moe is None:
-            p = self._stack_pos(i)
-            is_moe = cfg.is_moe_layer(i)
-        else:
-            p, is_moe = 0, force_moe  # MTP module view (engine/mtp.py)
-        if is_moe:
-            x = self._moe_mlp(w, p, x)
-        else:
-            x = self._dense_mlp(w, p, x)
-        return res + x, cache
+        return self._linear(w, "o_proj", i, attn.reshape(b, t, hq * dv)), latent
 
     def _dense_mlp(self, w, p, x):
         gate = self._linear(w, "gate_proj", p, x)

@@ -43,6 +43,15 @@ for _mt in ("deepseek_v2", "deepseek_v3", "deepseek_v31", "deepseek_v32",
     register_model(_mt, _make_deepseek)
 
 
+def _make_kimi_linear(cfg: ModelConfig):
+    from rtp_llm_tpu.models.kimi_linear import KimiLinearModel
+
+    return KimiLinearModel(cfg)
+
+
+register_model("kimi_linear", _make_kimi_linear)
+
+
 def _make_qwen2_vl(cfg: ModelConfig):
     from rtp_llm_tpu.models.qwen2_vl import Qwen2VLModel
 

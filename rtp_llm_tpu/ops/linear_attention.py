@@ -98,11 +98,74 @@ def gated_delta_rule(
     return jnp.moveaxis(out, 0, 1), state  # [B,T,Hv,Dv]
 
 
+def kda_rule(
+    q: jnp.ndarray,  # [B, T, H, Dk] (already l2-normed)
+    k: jnp.ndarray,  # [B, T, H, Dk]
+    v: jnp.ndarray,  # [B, T, H, Dv]
+    g: jnp.ndarray,  # [B, T, H, Dk] per-CHANNEL log decay (fp32)
+    beta: jnp.ndarray,  # [B, T, H] write strength (sigmoid applied)
+    state: jnp.ndarray,  # [B, H, Dk, Dv] fp32 recurrent state
+    valid: jnp.ndarray,  # [B, T] bool
+):
+    """Kimi Delta Attention recurrence — the gated delta rule with a
+    per-key-channel (diagonal) decay instead of a per-head scalar
+    (reference: triton_kernels/kimi_kda/fused_recurrent.py:140-155):
+        S   <- S * exp(g_t)[:, None]          # Diag(a_t) on the K axis
+        d   <- (v_t - S^T k_t) * beta_t
+        S   <- S + k_t (x) d
+        o_t <- S^T q_t
+    Returns (out [B,T,H,Dv], final state)."""
+    scale = q.shape[-1] ** -0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = beta.astype(jnp.float32)
+
+    def step(S, xs):
+        q_t, k_t, v_t, g_t, b_t, valid_t = xs  # [B,H,*]
+        S_dec = S * jnp.exp(g_t)[..., :, None]  # [B,H,Dk,Dv]
+        kv_mem = jnp.sum(S_dec * k_t[..., :, None], axis=-2)  # [B,H,Dv]
+        delta = (v_t - kv_mem) * b_t[..., None]
+        S_new = S_dec + k_t[..., :, None] * delta[..., None, :]
+        out_t = jnp.sum(S_new * q_t[..., :, None], axis=-2)
+        S_new = jnp.where(valid_t[:, None, None, None], S_new, S)
+        return S_new, out_t
+
+    xs = (
+        jnp.moveaxis(qf, 1, 0), jnp.moveaxis(kf, 1, 0), jnp.moveaxis(vf, 1, 0),
+        jnp.moveaxis(gf, 1, 0), jnp.moveaxis(bf, 1, 0),
+        jnp.moveaxis(valid, 1, 0),
+    )
+    state, out = jax.lax.scan(step, state.astype(jnp.float32), xs)
+    return jnp.moveaxis(out, 0, 1), state
+
+
+def kda_gate(g_raw: jnp.ndarray, a_log: jnp.ndarray,
+             dt_bias: jnp.ndarray) -> jnp.ndarray:
+    """KDA forget gate: -exp(A_log_h) * softplus(g + dt_bias), per channel
+    (reference: kimi_kda/gate.py fused_kda_gate). g_raw [B,T,H*Dk],
+    a_log [H] (checkpoints ship [1,1,H,1]), dt_bias [H*Dk]
+    -> [B, T, H, Dk] fp32."""
+    a_log = a_log.reshape(-1)
+    dt_bias = dt_bias.reshape(-1)
+    h = a_log.shape[0]
+    b, t, hd = g_raw.shape
+    d = hd // h
+    g = g_raw.astype(jnp.float32) + dt_bias.astype(jnp.float32)
+    g = g.reshape(b, t, h, d)
+    return -jnp.exp(a_log.astype(jnp.float32))[None, None, :, None] \
+        * jax.nn.softplus(g)
+
+
 def rms_norm_gated(x: jnp.ndarray, w: jnp.ndarray, gate: jnp.ndarray,
-                   eps: float) -> jnp.ndarray:
-    """Gated RMSNorm over the last dim: rmsnorm(x) * w * silu(gate).
-    Plain (ones-init) weight — NOT the zero-centered variant."""
+                   eps: float, activation: str = "silu") -> jnp.ndarray:
+    """Gated RMSNorm over the last dim: rmsnorm(x) * w * act(gate).
+    Plain (ones-init) weight — NOT the zero-centered variant. qwen3-next
+    gates with silu; kimi KDA's o_norm gates with sigmoid (reference:
+    kimi_linear.py \"o_norm with sigmoid activation (not SwiGLU)\")."""
     xf = x.astype(jnp.float32)
     normed = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     normed = normed * w.astype(jnp.float32)
-    return (normed * jax.nn.silu(gate.astype(jnp.float32))).astype(x.dtype)
+    act = jax.nn.sigmoid if activation == "sigmoid" else jax.nn.silu
+    return (normed * act(gate.astype(jnp.float32))).astype(x.dtype)
