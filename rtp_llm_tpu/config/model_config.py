@@ -193,6 +193,18 @@ class ModelConfig:
             bos_token_id=hf.get("bos_token_id"),
             eos_token_id=hf.get("eos_token_id"),
         )
+        # composite vision-language configs: the LM fields live in
+        # text_config (reference: rtp_llm/models/llava.py config derivation)
+        if arch == "llava":
+            tc = dict(hf.get("text_config") or {})
+            cfg = cls.from_hf_config(tc, tc.get("model_type", "llama"))
+            cfg.model_type = mt
+            cfg.image_token_id = hf.get("image_token_index", 32000)
+            cfg.vision_config = hf.get("vision_config")
+            if cfg.eos_token_id == [] and hf.get("eos_token_id") is not None:
+                e = hf["eos_token_id"]
+                cfg.eos_token_id = [e] if isinstance(e, int) else list(e)
+            return cfg
         # family-specific normalization
         if arch in ("qwen2", "qwen2_moe"):
             cfg.attention_bias = True

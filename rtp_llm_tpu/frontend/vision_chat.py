@@ -37,9 +37,14 @@ class VisionChatHandler:
 
             self._improc = AutoImageProcessor.from_pretrained(self.model_path)
         if self._tower is None:
-            from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
+            if self.cfg.model_type == "llava":
+                from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
-            self._tower = JaxVisionTower(self.model_path)
+                self._tower = ClipVisionTower(self.model_path)
+            else:
+                from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
+
+                self._tower = JaxVisionTower(self.model_path)
         if self._mm is None:
             from rtp_llm_tpu.multimodal.processor import MultimodalProcessor
 
@@ -90,6 +95,8 @@ class VisionChatHandler:
         tower, and build the engine MMInputs. Returns (token_ids, mm)."""
         self._ensure()
         pil = [self._decode_image(u) for u in image_urls]
+        if self.cfg.model_type == "llava":
+            return self._process_llava(pil, token_ids)
         feats = self._improc(images=pil, return_tensors="np")
         pixel_values = np.asarray(feats["pixel_values"], np.float32)
         grid_thw = np.asarray(feats["image_grid_thw"])
@@ -114,4 +121,20 @@ class VisionChatHandler:
 
         embeds, grids = self._tower.encode_images(pixel_values, grid_thw)
         mm = self._mm.prepare(out, embeds, grids)
+        return out, mm
+
+    def _process_llava(self, pil, token_ids):
+        """llava: each image placeholder expands to a fixed
+        tokens_per_image run; flat positions (no MRoPE)."""
+        import numpy as np
+
+        feats = self._improc(images=pil, return_tensors="np")
+        pixel_values = np.asarray(feats["pixel_values"], np.float32)
+        per = self._tower.tokens_per_image
+        img_tok = self.cfg.image_token_id
+        out = []
+        for t in token_ids:
+            out.extend([img_tok] * per if t == img_tok else [t])
+        embeds = self._tower.encode_images(pixel_values)  # [N, per, H]
+        mm = self._mm.prepare_flat(out, list(embeds))
         return out, mm

@@ -710,6 +710,15 @@ def _falcon_specs(cfg: ModelConfig) -> list[WeightSpec]:
 
 
 
+def _llava_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """llava: the language model is a llama-family checkpoint under the
+    ``language_model.`` prefix (reference: rtp_llm/models/llava.py weight
+    map); the CLIP tower + projector load separately in
+    multimodal/clip_jax.py."""
+    return [dataclasses.replace(sp, hf_pattern="language_model." + sp.hf_pattern)
+            for sp in _llama_family_specs(cfg)]
+
+
 def _kimi_full_layers(cfg: ModelConfig) -> list:
     return [i for i, t in enumerate(cfg.layer_types or ())
             if t == "full_attention"]
@@ -1108,6 +1117,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "chatglm3": _chatglm_specs,
     "glm4_moe": _glm4_moe_specs,
     "kimi_linear": _kimi_linear_specs,
+    "llava": _llava_specs,
     "aquila": _llama_family_specs,
     "xverse": _llama_family_specs,
     "kimi_k2": _deepseek_with_mtp_specs,

@@ -51,6 +51,9 @@ def _make_kimi_linear(cfg: ModelConfig):
 
 register_model("kimi_linear", _make_kimi_linear)
 
+# llava: llama-family LM with vision embeddings spliced at prefill
+register_model("llava", LlamaFamilyModel)
+
 
 def _make_qwen2_vl(cfg: ModelConfig):
     from rtp_llm_tpu.models.qwen2_vl import Qwen2VLModel

@@ -96,3 +96,24 @@ class MultimodalProcessor:
                                       self.image_token_id)
         return MMInputs(embeds=embeds, mask=mask, positions3=pos3,
                         delta=delta)
+
+    def prepare_flat(self, token_ids: Sequence[int],
+                     image_embeds: List[np.ndarray]) -> Optional[MMInputs]:
+        """Flat-position variant for models without MRoPE (llava): vision
+        tokens take ordinary sequential positions; only the embedding
+        splice matters."""
+        toks = np.asarray(token_ids, np.int64)
+        mask = toks == self.image_token_id
+        if not mask.any():
+            return None
+        n = len(toks)
+        embeds = np.zeros((n, self.hidden_size), np.float32)
+        flat = np.concatenate([np.asarray(e, np.float32) for e in image_embeds])
+        if flat.shape[0] != int(mask.sum()):
+            raise ValueError(
+                f"vision embeddings cover {flat.shape[0]} tokens but prompt "
+                f"has {int(mask.sum())} image placeholders"
+            )
+        embeds[mask] = flat
+        pos3 = np.tile(np.arange(n, dtype=np.int32), (3, 1))
+        return MMInputs(embeds=embeds, mask=mask, positions3=pos3, delta=0)
