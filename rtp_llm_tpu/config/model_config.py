@@ -205,6 +205,18 @@ class ModelConfig:
                 e = hf["eos_token_id"]
                 cfg.eos_token_id = [e] if isinstance(e, int) else list(e)
             return cfg
+        if arch == "qwen2_5_vl":  # qwen2-vl LM semantics, nested text_config
+            tc = dict(hf.get("text_config") or hf)
+            rs = tc.pop("rope_scaling", None) or hf.get("rope_scaling") or {}
+            cfg = cls.from_hf_config({**tc, "model_type": "qwen2"}, "qwen2")
+            cfg.model_type = mt
+            cfg.mrope_section = tuple(rs.get("mrope_section") or ())
+            cfg.rope_scaling = None  # mrope handled by the model
+            cfg.image_token_id = hf.get("image_token_id", 151655)
+            cfg.video_token_id = hf.get("video_token_id", 151656)
+            cfg.vision_start_token_id = hf.get("vision_start_token_id", 151652)
+            cfg.vision_config = hf.get("vision_config")
+            return cfg
         # family-specific normalization
         if arch in ("qwen2", "qwen2_moe"):
             cfg.attention_bias = True

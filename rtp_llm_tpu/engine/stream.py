@@ -88,6 +88,9 @@ class GenerateStream:
 
         # output side
         self._out_q: "queue.Queue[StreamOutput]" = queue.Queue()
+        self._emit_lock = threading.Lock()
+        self._aloop = None  # asyncio consumer (register_async)
+        self._aq = None
         # metrics (reference: GenerateStream metrics)
         self.enqueue_time = time.time()
         self.first_token_time: Optional[float] = None
@@ -190,7 +193,7 @@ class GenerateStream:
         if reason is not None:
             self.finish(reason)
             return True
-        self._out_q.put(StreamOutput(new_tokens=[int(token)], finished=False,
+        self._emit(StreamOutput(new_tokens=[int(token)], finished=False,
                                      logprobs=[logprob] if logprob is not None else None))
         return False
 
@@ -215,19 +218,50 @@ class GenerateStream:
             self.first_token_time = self.finish_time
         last = (list(self.output_token_ids) if emit_all
                 else self.output_token_ids[-1:]) if self.output_token_ids else []
-        self._out_q.put(StreamOutput(new_tokens=last, finished=True, finish_reason=reason))
+        self._emit(StreamOutput(new_tokens=last, finished=True, finish_reason=reason))
 
     def abort(self, error: Optional[str] = None):
         self.state = StreamState.STOPPED
         self.finish_reason = FinishReason.ERROR if error else FinishReason.CANCELLED
         self.error = error
         self.finish_time = time.time()
-        self._out_q.put(
+        self._emit(
             StreamOutput(new_tokens=[], finished=True,
                          finish_reason=self.finish_reason, error=error)
         )
 
     # ---- consumer-side API ----
+
+    def _emit(self, out: "StreamOutput"):
+        """Route one output chunk to the consumer. With an asyncio consumer
+        registered, deliver straight into its event loop (no blocking thread
+        per stream — at hundreds of concurrent SSE streams a thread-pool
+        next_output() starves and dominates TTFT); otherwise the thread
+        queue."""
+        with self._emit_lock:
+            if self._aloop is not None:
+                try:
+                    self._aloop.call_soon_threadsafe(self._aq.put_nowait, out)
+                    return
+                except RuntimeError:  # loop closed: fall back
+                    self._aloop = None
+            self._out_q.put(out)
+
+    def register_async(self, loop):
+        """Bridge this stream's outputs into an asyncio.Queue owned by
+        ``loop``. Must be awaited from that loop. Returns the queue."""
+        import asyncio
+
+        aq = asyncio.Queue()
+        with self._emit_lock:
+            self._aloop = loop
+            self._aq = aq
+            while True:  # re-route anything already queued
+                try:
+                    aq.put_nowait(self._out_q.get_nowait())
+                except queue.Empty:
+                    break
+        return aq
 
     def next_output(self, timeout: Optional[float] = None) -> StreamOutput:
         """Block for the next incremental chunk (reference: pollStreamOutput,

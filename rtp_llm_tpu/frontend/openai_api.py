@@ -79,9 +79,9 @@ class OpenAIApp:
         the engine stops spending decode capacity on it."""
         from rtp_llm_tpu.engine.stream import FinishReason
 
-        loop = asyncio.get_running_loop()
+        aq = stream.register_async(asyncio.get_running_loop())
         while True:
-            out = await loop.run_in_executor(None, stream.next_output)
+            out = await aq.get()
             if out.error:
                 raise web.HTTPInternalServerError(text=out.error)
             _, hit = detok.push(out.new_tokens)
@@ -349,8 +349,9 @@ class OpenAIApp:
             try:
                 if chat:
                     await resp.write(chunk({"role": "assistant", "content": ""}))
+                aq = stream.register_async(loop)
                 while True:
-                    out = await loop.run_in_executor(None, stream.next_output)
+                    out = await aq.get()
                     if out.error:
                         break
                     text, hit = detok.push(out.new_tokens)

@@ -63,9 +63,9 @@ class DecodeRole:
         )
         await resp.prepare(request)
         # the first (prefill-produced) token is already in the stream's queue
-        loop = asyncio.get_running_loop()
+        aq = stream.register_async(asyncio.get_running_loop())
         while True:
-            out = await loop.run_in_executor(None, stream.next_output)
+            out = await aq.get()
             payload = {
                 "tokens": [int(t) for t in out.new_tokens],
                 "finished": out.finished,

@@ -41,6 +41,10 @@ class VisionChatHandler:
                 from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
                 self._tower = ClipVisionTower(self.model_path)
+            elif self.cfg.model_type == "qwen2_5_vl":
+                from rtp_llm_tpu.multimodal.vit_jax import Qwen25VisionTower
+
+                self._tower = Qwen25VisionTower(self.model_path)
             else:
                 from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
 

@@ -1090,6 +1090,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3_moe": _llama_family_specs,
     "qwen3_next": _qwen3_next_specs,
     "qwen2_vl": _qwen2_vl_specs,
+    "qwen2_5_vl": _qwen2_vl_specs,
     "deepseek_v2": _deepseek_with_mtp_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,

@@ -62,6 +62,7 @@ def _make_qwen2_vl(cfg: ModelConfig):
 
 
 register_model("qwen2_vl", _make_qwen2_vl)
+register_model("qwen2_5_vl", _make_qwen2_vl)
 
 
 def _make_qwen3_next(cfg: ModelConfig):

@@ -221,3 +221,218 @@ class JaxVisionTower:
             grids.append((int(t_), int(h // m), int(w // m)))
             off += k
         return embeds, grids
+
+
+class Qwen25VisionTower(JaxVisionTower):
+    """Qwen2.5-VL windowed vision tower (HF
+    Qwen2_5_VisionTransformerPretrainedModel): RMSNorms, gated silu MLP,
+    window attention with full-attention blocks at fullatt_block_indexes.
+    Window reordering happens on host; the jitted forward takes the
+    reordered patches plus per-token window/image segment ids."""
+
+    def _load(self):
+        if self._w is not None:
+            return
+        import jax.numpy as jnp
+
+        with open(os.path.join(self.model_path, "config.json")) as f:
+            vc = json.load(f)["vision_config"]
+        self._cfg = dict(
+            embed_dim=vc.get("hidden_size", 1280),
+            depth=vc.get("depth", 32),
+            num_heads=vc.get("num_heads", 16),
+            intermediate_size=vc.get("intermediate_size", 3420),
+            in_channels=vc.get("in_channels", 3),
+            patch_size=vc.get("patch_size", 14),
+            temporal_patch_size=vc.get("temporal_patch_size", 2),
+            spatial_merge_size=vc.get("spatial_merge_size", 2),
+            hidden_size=vc.get("out_hidden_size", 3584),
+            window_size=vc.get("window_size", 112),
+            fullatt=tuple(vc.get("fullatt_block_indexes") or (7, 15, 23, 31)),
+            hidden_act=vc.get("hidden_act", "silu"),
+        )
+        self._merge = self._cfg["spatial_merge_size"]
+        dtype = self._dtype or jnp.float32
+
+        state = {}
+        from safetensors import safe_open
+
+        for fname in sorted(os.listdir(self.model_path)):
+            if not fname.endswith(".safetensors"):
+                continue
+            with safe_open(os.path.join(self.model_path, fname),
+                           framework="np") as f:
+                for name in f.keys():
+                    for pref in ("model.visual.", "visual."):
+                        if name.startswith(pref):
+                            state[name[len(pref):]] = f.get_tensor(name)
+
+        def t(name, transpose=False):
+            a = np.asarray(state[name], np.float32)
+            if transpose:
+                a = a.T
+            return jnp.asarray(a, dtype)
+
+        c = self._cfg
+        d = c["depth"]
+        w = {
+            "patch_proj": jnp.asarray(
+                np.asarray(state["patch_embed.proj.weight"], np.float32)
+                .reshape(c["embed_dim"], -1).T, dtype),
+            "ln_q_w": t("merger.ln_q.weight"),  # RMSNorm (weight only)
+            "merge_fc1": t("merger.mlp.0.weight", True),
+            "merge_fc1_b": t("merger.mlp.0.bias"),
+            "merge_fc2": t("merger.mlp.2.weight", True),
+            "merge_fc2_b": t("merger.mlp.2.bias"),
+        }
+        for nm, hf, tr in (
+            ("norm1_w", "norm1.weight", False),
+            ("norm2_w", "norm2.weight", False),
+            ("qkv", "attn.qkv.weight", True), ("qkv_b", "attn.qkv.bias", False),
+            ("proj", "attn.proj.weight", True), ("proj_b", "attn.proj.bias", False),
+            ("gate", "mlp.gate_proj.weight", True),
+            ("gate_b", "mlp.gate_proj.bias", False),
+            ("up", "mlp.up_proj.weight", True),
+            ("up_b", "mlp.up_proj.bias", False),
+            ("down", "mlp.down_proj.weight", True),
+            ("down_b", "mlp.down_proj.bias", False),
+        ):
+            w[nm] = jnp.stack([t(f"blocks.{i}.{hf}", tr) for i in range(d)])
+        self._w = w
+
+    # ---- host-side window planning (HF get_window_index port) ----
+
+    def _window_plan(self, grid_thw):
+        """Returns (window_index [G] over merge-groups, win_seg [N] per
+        token, img_seg [N] per token in the REORDERED order)."""
+        c = self._cfg
+        m = self._merge
+        unit = m * m
+        vit_ws = c["window_size"] // m // c["patch_size"]
+        idx_list, seqlens_all, img_of_group = [], [], []
+        base = 0
+        for gi, (t_, h, w) in enumerate(np.asarray(grid_thw)):
+            lh, lw = int(h) // m, int(w) // m
+            index = np.arange(int(t_) * lh * lw).reshape(int(t_), lh, lw)
+            pad_h = (-lh) % vit_ws
+            pad_w = (-lw) % vit_ws
+            nh = (lh + pad_h) // vit_ws
+            nw = (lw + pad_w) // vit_ws
+            padded = np.pad(index, ((0, 0), (0, pad_h), (0, pad_w)),
+                            constant_values=-100)
+            padded = padded.reshape(int(t_), nh, vit_ws, nw, vit_ws)
+            padded = padded.transpose(0, 1, 3, 2, 4).reshape(
+                int(t_), nh * nw, vit_ws, vit_ws)
+            seqlens = (padded != -100).sum((2, 3)).reshape(-1)
+            flat = padded.reshape(-1)
+            flat = flat[flat != -100]
+            idx_list.append(flat + base)
+            seqlens_all.append(seqlens)
+            img_of_group.append(np.full(int(t_) * lh * lw, gi))
+            base += int(t_) * lh * lw
+        window_index = np.concatenate(idx_list)
+        seqlens = np.concatenate(seqlens_all)  # groups per window
+        seqlens = seqlens[seqlens > 0]
+        win_seg = np.repeat(np.arange(len(seqlens)), seqlens * unit)
+        img_seg = np.repeat(
+            np.concatenate(img_of_group)[window_index], unit)
+        return window_index, win_seg, img_seg
+
+    def _forward_fn(self, n: int):
+        if n in self._fns:
+            return self._fns[n]
+        import jax
+        import jax.numpy as jnp
+
+        c = self._cfg
+        heads = c["num_heads"]
+        hd = c["embed_dim"] // heads
+        fullatt = set(c["fullatt"])
+
+        def rms(x, wt, eps=1e-6):
+            xf = x.astype(jnp.float32)
+            return (xf * jax.lax.rsqrt(
+                jnp.mean(xf * xf, -1, keepdims=True) + eps)
+                * wt).astype(x.dtype)
+
+        def rotate_half(x):
+            a, b = jnp.split(x, 2, axis=-1)
+            return jnp.concatenate([-b, a], axis=-1)
+
+        def fwd(w, patches, pos_ids, win_seg, img_seg):
+            x = patches @ w["patch_proj"]
+            inv = 1.0 / (10000.0 ** (
+                jnp.arange(0, hd // 2, 2, dtype=jnp.float32) / (hd // 2)))
+            fr = pos_ids[:, :, None].astype(jnp.float32) * inv[None, None, :]
+            fr = fr.reshape(n, -1)
+            emb = jnp.concatenate([fr, fr], axis=-1)
+            cos, sin = jnp.cos(emb)[:, None, :], jnp.sin(emb)[:, None, :]
+            win_mask = win_seg[:, None] == win_seg[None, :]
+            img_mask = img_seg[:, None] == img_seg[None, :]
+
+            def block(x, wi, mask):
+                h = rms(x, wi["norm1_w"])
+                qkv = (h @ wi["qkv"] + wi["qkv_b"]).reshape(n, 3, heads, hd)
+                q, k, v = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+                qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+                q = (qf * cos + rotate_half(qf) * sin).astype(x.dtype)
+                k = (kf * cos + rotate_half(kf) * sin).astype(x.dtype)
+                s = jnp.einsum("nhd,mhd->hnm", q.astype(jnp.float32),
+                               k.astype(jnp.float32)) * (hd ** -0.5)
+                s = jnp.where(mask[None], s, -jnp.inf)
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.einsum("hnm,mhd->nhd", p, v.astype(jnp.float32))
+                x = x + (o.reshape(n, -1).astype(x.dtype) @ wi["proj"]
+                         + wi["proj_b"])
+                h = rms(x, wi["norm2_w"])
+                g = jax.nn.silu((h @ wi["gate"] + wi["gate_b"]
+                                 ).astype(jnp.float32))
+                u = (h @ wi["up"] + wi["up_b"]).astype(jnp.float32)
+                x = x + ((g * u).astype(x.dtype) @ wi["down"] + wi["down_b"])
+                return x
+
+            for i in range(c["depth"]):
+                wi = {k_: w[k_][i] for k_ in (
+                    "norm1_w", "norm2_w", "qkv", "qkv_b", "proj", "proj_b",
+                    "gate", "gate_b", "up", "up_b", "down", "down_b")}
+                x = block(x, wi, img_mask if i in fullatt else win_mask)
+
+            x = rms(x, w["ln_q_w"])
+            x = x.reshape(-1, c["embed_dim"] * self._merge ** 2)
+            x = jax.nn.gelu(x @ w["merge_fc1"] + w["merge_fc1_b"],
+                            approximate=False)
+            return x @ w["merge_fc2"] + w["merge_fc2_b"]
+
+        import jax
+
+        self._fns[n] = jax.jit(fwd)
+        return self._fns[n]
+
+    def encode_images(self, pixel_values, grid_thw) -> tuple:
+        import jax.numpy as jnp
+
+        self._load()
+        pv = np.asarray(pixel_values, np.float32)
+        n = pv.shape[0]
+        m = self._merge
+        unit = m * m
+        pos = self._pos_ids(grid_thw)
+        window_index, win_seg, img_seg = self._window_plan(grid_thw)
+        # reorder patches + positions at merge-group granularity
+        pv_r = pv.reshape(n // unit, unit, -1)[window_index].reshape(n, -1)
+        pos_r = pos.reshape(n // unit, unit, 2)[window_index].reshape(n, 2)
+        fn = self._forward_fn(n)
+        out = np.asarray(fn(
+            self._w, jnp.asarray(pv_r, self._w["patch_proj"].dtype),
+            jnp.asarray(pos_r, jnp.int32), jnp.asarray(win_seg, jnp.int32),
+            jnp.asarray(img_seg, jnp.int32),
+        ), dtype=np.float32)
+        out = out[np.argsort(window_index)]  # undo window reorder
+        g = np.asarray(grid_thw)
+        grids, embeds, off = [], [], 0
+        for t_, h, w in g:
+            k = int(t_ * (h // m) * (w // m))
+            embeds.append(out[off: off + k])
+            grids.append((int(t_), int(h // m), int(w // m)))
+            off += k
+        return embeds, grids
