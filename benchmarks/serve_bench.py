@@ -108,6 +108,10 @@ def main():
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
 
+    from rtp_llm_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from bench import MODELS, build_device_weights
 
     from rtp_llm_tpu.config.engine_config import (

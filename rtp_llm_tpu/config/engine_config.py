@@ -53,6 +53,20 @@ class ParallelConfig:
 
     # MoE dispatch (reference: fused-MoE strategies + DeepEP wrapper config)
     moe_capacity_factor: float = 2.0  # expert capacity = N*K/E * this
+    # layer micro-batching (reference: PyWrappedModel.cc:347-433 dual-batch
+    # overlap of MoE comm with compute). TPU-native form: the MoE token batch
+    # splits into N independent halves inside one program so XLA's
+    # latency-hiding scheduler can overlap one half's dispatch/combine
+    # collectives with the other half's expert GEMMs. 1 = off.
+    moe_micro_batches: int = 1
+    # AFD — attention-FFN disaggregation (reference: ConfigModules.h:43-55,
+    # model_desc/disaggregate_qwen3.py + docs/backend/af_disaggregation.md).
+    # TPU-native form: one SPMD program where attention runs dp-batch-
+    # parallel x tp while EXPERT weights shard over the combined (dp, tp)
+    # device set — the whole slice acts as the FFN role and XLA inserts the
+    # boundary all-to-alls that the reference issues explicitly between
+    # attention and FFN instances.
+    afd_mode: bool = False
     # EPLB closed loop (reference: ExpertBalancer, eplb/ep_balancer.py:53):
     # collect per-expert gating counts each step and rebalance the most
     # unbalanced MoE layer every eplb_interval steps; 0 = off

@@ -96,6 +96,8 @@ class LlmEngine:
         # reads them and permutes the hottest layer's experts
         if hasattr(model, "moe_capacity_factor"):
             model.moe_capacity_factor = config.parallel.moe_capacity_factor
+        if hasattr(model, "moe_micro_batches"):
+            model.moe_micro_batches = config.parallel.moe_micro_batches
         self._moe_layer_ids = [
             i for i in range(mc.num_layers)
             if getattr(mc, "num_experts", 0) and mc.is_moe_layer(i)
@@ -1710,20 +1712,32 @@ class LlmEngine:
         with self.device_lock:
             for bucket in self.config.scheduler.prefill_buckets:
                 fn = self._get_prefill_fn(bucket)
-                self.kv, _ = fn(
-                    self.weights, self.kv,
-                    jnp.zeros((1, bucket), jnp.int32),
-                    jnp.zeros((1, bucket), jnp.int32),
-                    jnp.zeros((1, mb), jnp.int32),
-                    jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1,), jnp.int32),
-                )
-            warm_buckets = {self._kv_buckets[0], self._kv_buckets[-1]}
+                for rows in (1, self.PREFILL_PACK):
+                    # rows=PACK: the packed continuous-batching prefill
+                    # program (serving admits several streams per cycle)
+                    self.kv, _ = fn(
+                        self.weights, self.kv,
+                        jnp.zeros((rows, bucket), jnp.int32),
+                        jnp.zeros((rows, bucket), jnp.int32),
+                        jnp.zeros((rows, mb), jnp.int32),
+                        jnp.zeros((rows,), jnp.int32),
+                        jnp.zeros((rows,), jnp.int32),
+                    )
+            # EVERY kv bucket must be compiled before serving: a miss at
+            # serving time is a multi-second (remote) compile holding the
+            # device lock — measured as a ~90 s TTFT cliff under load
+            n_multi = self.config.scheduler.decode_steps
             for need_sampling in (False, True):
-                for kvb in sorted(warm_buckets):
+                for kvb in self._kv_buckets:
                     self.kv, self.state, _, _ = self._decode_jit(
                         self.weights, self.kv, self.state, need_sampling,
                         kv_blocks=kvb,
+                    )
+            if n_multi > 1:
+                for kvb in self._kv_buckets:
+                    self.kv, self.state, _, _ = self._decode_multi_jit(
+                        self.weights, self.kv, self.state, True,
+                        n_steps=n_multi, kv_blocks=kvb,
                     )
             if self.spec.enabled:
                 self.kv, self.state, _, _ = self._verify_jit(
@@ -1743,12 +1757,13 @@ class LlmEngine:
                     self.draft.propose(self.state, self.spec.draft_tokens)
             # slot ops + first-token sampler
             v = self.model.cfg.vocab_size
-            params1 = SamplingParams.zeros(1)
-            for need in (False, True):
-                self._first_sample_jit(
-                    jnp.zeros((1, v), jnp.float32), params1,
-                    jnp.zeros((1, v), bool), self.state.rng, need,
-                )
+            for rows in (1, self.PREFILL_PACK):
+                params_r = SamplingParams.zeros(rows)
+                for need in (False, True):
+                    self._first_sample_jit(
+                        jnp.zeros((rows, v), jnp.float32), params_r,
+                        jnp.zeros((rows, v), bool), self.state.rng, need,
+                    )
             self.state = self._insert_jit(
                 self.state, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((mb,), jnp.int32), jnp.zeros((v,), bool),

@@ -99,6 +99,7 @@ class LlamaFamilyModel:
         self.attn_backend = "auto"  # auto | pallas | ref
         self.mesh = None  # set by the engine; enables the shard_map kernel path
         self.moe_capacity_factor = 2.0  # engine sets from ParallelConfig
+        self.moe_micro_batches = 1  # engine sets from ParallelConfig
 
     # ---- cache ----
 
@@ -459,14 +460,14 @@ class LlamaFamilyModel:
                 top_idx.reshape(-1)[:, None] == jnp.arange(e)[None, :],
                 axis=0,
             ).astype(jnp.int32))
-        if "moe_gate.scale" not in w:
-            from rtp_llm_tpu.ops.moe import fused_moe
+        def experts(xp, idxp, valp):
+            if "moe_gate.scale" not in w:
+                from rtp_llm_tpu.ops.moe import fused_moe
 
-            out = fused_moe(
-                xt, top_idx, top_vals,
-                w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
-            )
-        else:
+                return fused_moe(
+                    xp, idxp, valp,
+                    w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
+                )
             # quantized experts: capacity dispatch + per-expert quantized
             # GEMMs (parallel/ep_moe.py) — each expert computes only its
             # assigned tokens, weights stay int8/int4 in HBM; under a mesh
@@ -482,12 +483,29 @@ class LlamaFamilyModel:
                 zeros_d = {"gate": w["moe_gate.zero"][i],
                            "up": w["moe_up.zero"][i],
                            "down": w["moe_down.zero"][i]}
-            out, _ = ep_moe(
-                xt, top_idx, top_vals,
+            o, _ = ep_moe(
+                xp, idxp, valp,
                 w["moe_gate"][i], w["moe_up"][i], w["moe_down"][i],
                 mesh=self.mesh, scales=scales, zeros=zeros_d,
                 capacity_factor=self.moe_capacity_factor,
             )
+            return o
+
+        mb = self.moe_micro_batches
+        n_tok = xt.shape[0]
+        if mb > 1 and n_tok % mb == 0 and n_tok >= 2 * mb:
+            # layer micro-batching (reference: PyWrappedModel.cc:347-433):
+            # the halves are data-independent, so XLA's latency-hiding
+            # scheduler can overlap one half's dispatch/combine collectives
+            # with the other half's expert GEMMs
+            outs = [
+                experts(xp, ip, vp) for xp, ip, vp in zip(
+                    jnp.split(xt, mb), jnp.split(top_idx, mb),
+                    jnp.split(top_vals, mb))
+            ]
+            out = jnp.concatenate(outs, axis=0)
+        else:
+            out = experts(xt, top_idx, top_vals)
 
         if "shared_gate" in w:
             sg = self._linear(w, "shared_gate", i, xt)

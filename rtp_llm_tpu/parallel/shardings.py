@@ -25,30 +25,36 @@ from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.loader.weight_maps import WeightSpec
 
 
-def _spec_for(spec: WeightSpec, shape: tuple) -> P:
+def _spec_for(spec: WeightSpec, shape: tuple, afd: bool = False) -> P:
     nd = len(shape)
     if spec.shard_axis == "out":
         return P(*([None] * (nd - 1) + ["tp"]))
     if spec.shard_axis == "in":
         return P(*([None] * (nd - 2) + ["tp", None]))
     if spec.shard_axis == "expert":
-        # [L, E, ...]: expert axis is dim 1
-        return P(*([None, "tp"] + [None] * (nd - 2)))
+        # [L, E, ...]: expert axis is dim 1. AFD mode spreads experts over
+        # the whole slice (dp x tp acts as the FFN role; attention stays
+        # dp-batch-parallel x tp) — XLA inserts the attention<->FFN boundary
+        # collectives the reference's AFD instances exchange explicitly.
+        return P(*([None, ("dp", "tp") if afd else "tp"]
+                   + [None] * (nd - 2)))
     return P()
 
 
-def make_weight_shard_fn(mesh: Mesh, model_config: ModelConfig):
+def make_weight_shard_fn(mesh: Mesh, model_config: ModelConfig,
+                         afd: bool = False):
     """Returns the loader's shard_fn: (WeightSpec, shape) -> NamedSharding.
 
     Validates divisibility (reference: weight splitter asserts) and degrades
     to replication when a tensor cannot shard (e.g. kv heads < tp for k/v)."""
     tp = mesh.shape["tp"]
+    sizes = {"tp": tp, ("dp", "tp"): mesh.shape["dp"] * tp}
 
     def shard_fn(spec: WeightSpec, shape: tuple) -> Optional[NamedSharding]:
-        pspec = _spec_for(spec, shape)
+        pspec = _spec_for(spec, shape, afd=afd)
         # divisibility check on the sharded dim; replicate if it cannot split
         for dim, name in enumerate(pspec):
-            if name == "tp" and shape[dim] % tp != 0:
+            if name is not None and shape[dim] % sizes.get(name, 1) != 0:
                 pspec = P()
                 break
         return NamedSharding(mesh, pspec)

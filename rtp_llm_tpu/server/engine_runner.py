@@ -91,7 +91,8 @@ class EngineRunner:
         if eng.mesh is not None:
             from rtp_llm_tpu.parallel import make_weight_shard_fn
 
-            shard_fn = make_weight_shard_fn(eng.mesh, eng.model.cfg)
+            shard_fn = make_weight_shard_fn(eng.mesh, eng.model.cfg,
+                                            afd=eng.config.parallel.afd_mode)
         new_weights = CheckpointLoader(
             eng.model.cfg, transform=transform, shard_fn=shard_fn
         ).load(model_path)

@@ -39,7 +39,8 @@ def build_engine(
         from rtp_llm_tpu.parallel import make_mesh, make_weight_shard_fn
 
         mesh = make_mesh(config.parallel)
-        shard_fn = make_weight_shard_fn(mesh, model_config)
+        shard_fn = make_weight_shard_fn(mesh, model_config,
+                                        afd=config.parallel.afd_mode)
 
     transform = make_quant_transform(config.quant)
     logger.info("loading weights from %s (quant=%s)", model_path,

@@ -64,3 +64,41 @@ def test_duplicate_expert_per_token():
         np.asarray(dense_moe(x, comb, wg, wu, wd)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_moe_micro_batching_exact(tmp_path):
+    """parallel.moe_micro_batches=2 (layer micro-batching analog of
+    PyWrappedModel.cc:347-433) splits the MoE token batch into independent
+    halves — outputs must be bit-identical to the unsplit path (routing is
+    per-token)."""
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2_moe")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "mb"), cfg)
+
+    def run(mb):
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            parallel=ParallelConfig(moe_micro_batches=mb),
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        eng = LlmEngine(create_model(cfg), weights, econf)
+        assert eng.model.moe_micro_batches == mb
+        return eng.generate([1, 5, 9, 42, 7], GenerateConfig(
+            max_new_tokens=8, do_sample=False, ignore_eos=True,
+        )).output_token_ids
+
+    assert run(1) == run(2)

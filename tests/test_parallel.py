@@ -153,3 +153,42 @@ def test_pallas_decode_kernel_under_mesh(tmp_path, tp, dp):
         shard.step()
     for s, exp in zip(streams, expected):
         assert s.output_token_ids == exp
+
+
+def test_afd_moe_matches_unsharded(tmp_path):
+    """AFD mode (attention-FFN disaggregation, reference ConfigModules.h:43-55
+    + disaggregate_qwen3.py): expert weights shard over the combined (dp, tp)
+    device set while attention stays dp x tp; outputs must exactly match the
+    unsharded engine (XLA inserts the role-boundary collectives)."""
+    cfg = tiny_config("qwen2_moe")
+    ckpt = write_fake_checkpoint(str(tmp_path / "afd"), cfg)
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=2))
+
+    base = _engine("qwen2_moe", ckpt)
+
+    cfg2 = tiny_config("qwen2_moe")
+    cfg2.dtype = "float32"
+    shard_fn = make_weight_shard_fn(mesh, cfg2, afd=True)
+    weights = CheckpointLoader(cfg2, shard_fn=shard_fn).load(ckpt)
+    # experts must actually be sharded over all 4 devices
+    assert tuple(weights["moe_gate"].sharding.spec)[1] == ("dp", "tp")
+    econf = EngineConfig(
+        parallel=ParallelConfig(tp_size=2, dp_size=2, afd_mode=True),
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    shard = LlmEngine(create_model(cfg2), weights, econf, mesh=mesh)
+
+    prompts = [[1, 5, 9, 42], [7, 100], [3, 55, 8]]
+    gc = lambda: GenerateConfig(max_new_tokens=6, do_sample=False,
+                                ignore_eos=True)
+    expected = [base.generate(p, gc()).output_token_ids for p in prompts]
+    streams = [shard.enqueue(p, gc()) for p in prompts]
+    for _ in range(60):
+        if all(s.is_finished() for s in streams):
+            break
+        shard.step()
+    for s, exp in zip(streams, expected):
+        assert s.output_token_ids == exp
