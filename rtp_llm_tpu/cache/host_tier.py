@@ -32,6 +32,8 @@ class HostKVTier:
         self.capacity = capacity_bytes
         self._store: OrderedDict[int, object] = OrderedDict()
         self._bytes = 0
+        # next-tier demotion hook (TieredKVStore wires the disk tier here)
+        self.evict_sink = None
 
     def __len__(self) -> int:
         return len(self._store)
@@ -51,8 +53,10 @@ class HostKVTier:
         if nb > self.capacity:
             return
         while self._bytes + nb > self.capacity and self._store:
-            _, old = self._store.popitem(last=False)
+            old_h, old = self._store.popitem(last=False)
             self._bytes -= _tree_bytes(old)
+            if self.evict_sink is not None:
+                self.evict_sink(old_h, old)
         self._store[h] = rows
         self._bytes += nb
 
@@ -60,4 +64,119 @@ class HostKVTier:
         rows = self._store.get(h)
         if rows is not None:
             self._store.move_to_end(h)
+        return rows
+
+
+class DiskKVTier:
+    """Byte-capped LRU of KV blocks on local disk, one file per block hash
+    (reference analog: the disk cache connector under
+    rtp_llm/cpp/cache/connector/ and the 3FS backend, docs/backend/3fs.md —
+    single-host file store instead of a distributed FS client).
+
+    Files survive restarts: the constructor re-indexes the directory, so a
+    warm disk cache keeps serving prefix hits after a process bounce."""
+
+    def __init__(self, path: str, capacity_bytes: int):
+        import os
+
+        self.path = path
+        self.capacity = capacity_bytes
+        os.makedirs(path, exist_ok=True)
+        self._index: OrderedDict[int, int] = OrderedDict()  # hash -> nbytes
+        self._bytes = 0
+        for fname in sorted(
+            os.listdir(path),
+            key=lambda f: os.path.getmtime(os.path.join(path, f)),
+        ):
+            if not fname.endswith(".npz"):
+                continue
+            try:
+                h = int(fname[:-4])
+            except ValueError:
+                continue
+            nb = os.path.getsize(os.path.join(path, fname))
+            self._index[h] = nb
+            self._bytes += nb
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __contains__(self, h: int) -> bool:
+        return h in self._index
+
+    @property
+    def used_bytes(self) -> int:
+        return self._bytes
+
+    def _file(self, h: int) -> str:
+        import os
+
+        return os.path.join(self.path, f"{h}.npz")
+
+    def put(self, h: int, rows) -> None:
+        import os
+
+        if h in self._index:
+            self._index.move_to_end(h)
+            return
+        flat = rows if isinstance(rows, dict) else {"kv": rows}
+        np.savez(self._file(h), **{k: np.asarray(v) for k, v in flat.items()})
+        nb = os.path.getsize(self._file(h))
+        if nb > self.capacity:
+            os.remove(self._file(h))
+            return
+        while self._bytes + nb > self.capacity and self._index:
+            old, old_nb = self._index.popitem(last=False)
+            self._bytes -= old_nb
+            try:
+                os.remove(self._file(old))
+            except OSError:
+                pass
+        self._index[h] = nb
+        self._bytes += nb
+
+    def get(self, h: int):
+        if h not in self._index:
+            return None
+        self._index.move_to_end(h)
+        try:
+            with np.load(self._file(h)) as z:
+                flat = {k: z[k] for k in z.files}
+        except (OSError, ValueError):
+            nb = self._index.pop(h, 0)
+            self._bytes -= nb
+            return None
+        return flat["kv"] if set(flat) == {"kv"} else flat
+
+
+class TieredKVStore:
+    """host-RAM LRU in front of a disk LRU (reference:
+    KVCacheConnectorCoordinator chaining memory -> disk -> remote
+    connectors). Host evictions demote to disk; disk hits promote back."""
+
+    def __init__(self, host: HostKVTier, disk: DiskKVTier):
+        self.host = host
+        self.disk = disk
+        host.evict_sink = self.disk.put
+
+    def __len__(self) -> int:
+        return len(self.host) + len(self.disk)
+
+    def __contains__(self, h: int) -> bool:
+        return h in self.host or h in self.disk
+
+    @property
+    def used_bytes(self) -> int:
+        return self.host.used_bytes + self.disk.used_bytes
+
+    def put(self, h: int, rows) -> None:
+        self.host.put(h, rows)
+
+    def get(self, h: int):
+        rows = self.host.get(h)
+        if rows is not None:
+            return rows
+        rows = self.disk.get(h)
+        if rows is not None:
+            self.host.put(h, rows)  # promote
         return rows

@@ -97,6 +97,11 @@ class CacheConfig:
     # host-RAM KV tier for evicted prefix blocks, 0 = off (reference:
     # memory-tier cache connector, cache/connector/memory/)
     host_cache_mb: int = 0
+    # disk tier under the host tier (reference: disk connector + 3FS
+    # backend, docs/backend/3fs.md): host evictions demote to files here;
+    # survives restarts. Requires host_cache_mb > 0.
+    disk_cache_path: str = ""
+    disk_cache_mb: int = 0
 
 
 @dataclasses.dataclass

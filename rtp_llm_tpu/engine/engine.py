@@ -75,7 +75,17 @@ class LlmEngine:
         if cc.host_cache_mb > 0 and not self.is_hybrid:
             from rtp_llm_tpu.cache.host_tier import HostKVTier
 
-            self.cache_mgr.host_tier = HostKVTier(cc.host_cache_mb << 20)
+            tier = HostKVTier(cc.host_cache_mb << 20)
+            if cc.disk_cache_path and cc.disk_cache_mb > 0:
+                # mem -> disk tier chain (reference: connector coordinator)
+                from rtp_llm_tpu.cache.host_tier import (
+                    DiskKVTier, TieredKVStore,
+                )
+
+                tier = TieredKVStore(
+                    tier, DiskKVTier(cc.disk_cache_path,
+                                     cc.disk_cache_mb << 20))
+            self.cache_mgr.host_tier = tier
             self.cache_mgr.evict_hook = self._block_rows_to_host
         self.scheduler = FIFOScheduler(sc, self.cache_mgr)
 
