@@ -33,6 +33,10 @@ class GenerateConfig:
     # fan-out
     num_return_sequences: int = 1
     num_beams: int = 1  # beam search: future round
+    # per-step beam widths (reference: GenerateStream::numBeams,
+    # engine_base/stream/GenerateStream.cc:217-230): width at output step i
+    # is variable_num_beams[min(i-1, len-1)]; empty = constant num_beams
+    variable_num_beams: List[int] = dataclasses.field(default_factory=list)
     # returns
     return_logprobs: bool = False
     top_logprobs: int = 0
@@ -68,6 +72,21 @@ class GenerateConfig:
             # reference semantics: temperature 0 == greedy
             self.do_sample = False
             self.temperature = 1.0
+
+    @property
+    def max_num_beams(self) -> int:
+        return (max(self.variable_num_beams) if self.variable_num_beams
+                else self.num_beams)
+
+    def beam_width_at(self, out_len: int) -> int:
+        """Beam width once ``out_len`` output tokens exist (reference:
+        GenerateStream::numBeams). out_len 0 is always width 1."""
+        if out_len <= 0:
+            return 1
+        if not self.variable_num_beams:
+            return self.num_beams
+        idx = min(out_len - 1, len(self.variable_num_beams) - 1)
+        return self.variable_num_beams[idx]
 
     @classmethod
     def from_dict(cls, d: dict) -> "GenerateConfig":

@@ -60,6 +60,11 @@ class BeamGroup:
     def prompt_len(self) -> int:
         return self.stream.prompt_len
 
+    def width_at(self, out_len: int) -> int:
+        """Beam width once out_len output tokens exist (reference:
+        GenerateStream::numBeams; variable_num_beams schedule)."""
+        return max(1, min(self.stream.config.beam_width_at(out_len), self.k))
+
     def seq_len(self, beam: Beam) -> int:
         return self.prompt_len + len(beam.tokens)
 
@@ -68,7 +73,7 @@ class BeamGroup:
         """Branch the prefilled sequence into k beams using the first-token
         distribution. Beam 0 owns the original blocks; others share them
         (full blocks by ref; tail block copied by the engine)."""
-        top = np.argsort(-first_logprobs)[: self.k]
+        top = np.argsort(-first_logprobs)[: self.width_at(1)]
         self.beams = []
         for rank, tok in enumerate(top):
             self.beams.append(Beam(
@@ -84,12 +89,15 @@ class BeamGroup:
         the engine then fixes KV block ownership for each child."""
         k, v = logprobs.shape
         assert k == len(self.beams)
+        # next step's target width (variable_num_beams schedule)
+        k_next = self.width_at(len(self.beams[0].tokens) + 1)
         scores = logprobs + np.array(
             [b.cum_logprob for b in self.beams]
         )[:, None]  # [k, V]
         flat = scores.reshape(-1)
         # 2k candidates so eos-terminated ones don't starve the beam
-        top = np.argpartition(-flat, 2 * k)[: 2 * k]
+        npick = min(2 * max(k, k_next), flat.size - 1)
+        top = np.argpartition(-flat, npick)[: npick]
         top = top[np.argsort(-flat[top])]
 
         new_children: List[tuple] = []
@@ -104,7 +112,7 @@ class BeamGroup:
                     blocks=[],
                 ))
                 continue
-            if len(new_children) < k:
+            if len(new_children) < k_next:
                 new_children.append((parent, tok, score))
         # termination: best possible remaining score can't beat worst finished
         if len(self.finished) >= self.k:

@@ -703,7 +703,7 @@ class LlmEngine:
 
         logits = self._prefill_forward(stream)  # [1, V]
         logprobs = np.asarray(self._logsoftmax_jit(logits))[0]
-        k = stream.config.num_beams
+        k = stream.config.max_num_beams
         group = BeamGroup(stream, k, self.cache_mgr, self.block_size)
         # effective budget: never let a beam outgrow max_seq_len (its block
         # table row is fixed at max_blocks_per_seq)
@@ -766,7 +766,7 @@ class LlmEngine:
         """One decode+rerank step for a beam group."""
         from rtp_llm_tpu.engine.stream import FinishReason
 
-        k = group.k
+        k = len(group.beams)
         stream = group.stream
         n = group.seq_len(group.beams[0]) - 1  # position of pending tokens
         mb = self.max_blocks_per_seq
@@ -1352,8 +1352,8 @@ class LlmEngine:
             self._resolve_pending()
         with timed("engine.schedule_ms"):
             sr = self.scheduler.schedule()
-        beam_new = [s for s in sr.new_streams if s.config.num_beams > 1]
-        normal_new = [s for s in sr.new_streams if s.config.num_beams <= 1]
+        beam_new = [s for s in sr.new_streams if s.config.max_num_beams > 1]
+        normal_new = [s for s in sr.new_streams if s.config.max_num_beams <= 1]
         for s in beam_new:
             with timed("engine.prefill_ms"):
                 self._run_beam_prefill(s)
@@ -1800,10 +1800,10 @@ class LlmEngine:
         """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36).
         mm: optional MMInputs (multimodal/processor.py) with vision
         embeddings + MRoPE positions."""
-        if self.is_hybrid and config is not None and config.num_beams > 1:
+        if self.is_hybrid and config is not None and config.max_num_beams > 1:
             raise ValueError("beam search is not supported for hybrid "
                              "linear-attention models")
-        if mm is not None and config is not None and config.num_beams > 1:
+        if mm is not None and config is not None and config.max_num_beams > 1:
             raise ValueError("beam search with multimodal inputs is not "
                              "supported")
         stream = GenerateStream(

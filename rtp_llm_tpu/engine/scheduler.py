@@ -103,7 +103,7 @@ class FIFOScheduler:
                 ctx_len,
                 min(s.config.max_new_tokens - len(s.output_token_ids),
                     self.config.max_seq_len - ctx_len),
-            ) * max(1, s.config.num_beams)  # beams fork the KV footprint
+            ) * max(1, s.config.max_num_beams)  # beams fork the KV footprint
             if need + watermark > self.cache.free_blocks:
                 break  # strict FIFO: do not skip ahead (reference behavior)
             alloc = self.cache.allocate(s.all_token_ids,

@@ -91,6 +91,84 @@ class OpenAIApp:
             if out.finished:
                 return out
 
+    async def _stream_fanout(self, request, token_ids, cfg, stop_seqs, n,
+                             rid, created, chat, route, t_start):
+        """SSE with n choices: each sampled stream's chunks carry its choice
+        index; [DONE] once all finish."""
+        resp = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache", "Connection": "keep-alive"},
+        )
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+
+        def chunk_i(i, delta, finish=None):
+            if chat:
+                d = {"id": rid, "object": "chat.completion.chunk",
+                     "created": created, "model": self.model_name,
+                     "choices": [{"index": i, "delta": delta,
+                                  "finish_reason": finish}]}
+            else:
+                d = {"id": rid, "object": "text_completion",
+                     "created": created, "model": self.model_name,
+                     "choices": [{"index": i,
+                                  "text": delta.get("content", ""),
+                                  "finish_reason": finish}]}
+            return f"data: {json.dumps(d, ensure_ascii=False)}\n\n".encode()
+
+        async with self.sem:
+            merged: asyncio.Queue = asyncio.Queue()
+            streams, detoks = [], []
+            for i in range(n):
+                s = self.runner.enqueue(token_ids, cfg,
+                                        stop_token_sequences=stop_seqs)
+                streams.append(s)
+                detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
+
+                async def pump(i=i, s=s):
+                    aq = s.register_async(loop)
+                    while True:
+                        out = await aq.get()
+                        merged.put_nowait((i, out))
+                        if out.finished:
+                            return
+
+                asyncio.ensure_future(pump())
+
+            if chat:
+                for i in range(n):
+                    await resp.write(chunk_i(i, {"role": "assistant",
+                                                 "content": ""}))
+            live = n
+            try:
+                while live:
+                    i, out = await merged.get()
+                    if out.error:
+                        await resp.write(chunk_i(i, {}, finish="error"))
+                        live -= 1
+                        continue
+                    text, hit = detoks[i].push(out.new_tokens)
+                    if hit and not out.finished:
+                        from rtp_llm_tpu.engine.stream import FinishReason
+
+                        streams[i].finish(FinishReason.STOP)
+                    if text:
+                        await resp.write(chunk_i(i, {"content": text}))
+                    if out.finished:
+                        fin = (out.finish_reason.value if out.finish_reason
+                               else "stop")
+                        await resp.write(chunk_i(i, {}, finish=fin))
+                        live -= 1
+                await resp.write(b"data: [DONE]\n\n")
+            finally:
+                for s in streams:
+                    if not s.is_finished():
+                        s.abort()
+            self._log_done(rid, route, streams[0], token_ids, t_start)
+        await resp.write_eof()
+        return resp
+
     # ---- routes ----
 
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
@@ -188,6 +266,15 @@ class OpenAIApp:
         # num_return_sequences fan-out (reference: beam/num-return fanout in
         # GenerateStream; independent sampled streams, one choice each)
         n = max(1, cfg.num_return_sequences)
+        if n > 1 and stream_mode:
+            # streaming fan-out: n independent streams, chunks interleaved
+            # with per-choice indices (reference: num_return_sequences
+            # streaming in GenerateStream)
+            cfg.num_return_sequences = 1
+            return await self._stream_fanout(
+                request, token_ids, cfg, stop_seqs, n, rid, created, chat,
+                route, t_start,
+            )
         if n > 1 and not stream_mode:
             cfg.num_return_sequences = 1
             async with self.sem:

@@ -88,3 +88,41 @@ def test_beam_and_normal_interleave(ckpt):
         eng.step()
     assert normal.output_token_ids == normal_ref
     assert len(beam.output_token_ids) == 6
+
+
+def test_variable_num_beams_schedule(tmp_path):
+    """variable_num_beams (reference GenerateStream::numBeams,
+    GenerateStream.cc:217-230): per-step beam widths; schedule [1] must
+    reproduce greedy, and a widening schedule must run with the width
+    clamped to the per-step plan."""
+    ckpt = write_fake_checkpoint(str(tmp_path / "vb"), tiny_config("qwen2"))
+
+    greedy = _engine(ckpt).generate([1, 5, 9, 42], GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True,
+    )).output_token_ids
+
+    # constant width-1 schedule == greedy
+    eng = _engine(ckpt)
+    s = eng.enqueue([1, 5, 9, 42], GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True,
+        variable_num_beams=[1],
+    ))
+    for _ in range(40):
+        if s.is_finished():
+            break
+        eng.step()
+    assert s.output_token_ids == greedy
+
+    # widening schedule 1 -> 4: runs to completion, output length respected
+    eng2 = _engine(ckpt)
+    s2 = eng2.enqueue([1, 5, 9, 42], GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True,
+        variable_num_beams=[1, 2, 4],
+    ))
+    for _ in range(40):
+        if s2.is_finished():
+            break
+        eng2.step()
+    assert len(s2.output_token_ids) == 6
+    # a width-4 run should score at least as well as greedy under the
+    # beam objective (it contains the greedy path in its search space)

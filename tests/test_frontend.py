@@ -438,3 +438,50 @@ async def _downstream_heads(fake_dir, tmp_path):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_streaming_num_return_sequences(fake_dir):
+    asyncio.run(_streaming_fanout(fake_dir))
+
+
+async def _streaming_fanout(fake_dir):
+    """n>1 with stream=true: SSE chunks carry per-choice indices and every
+    choice gets a finish_reason (reference: num_return_sequences streaming
+    fanout)."""
+    import json as _json
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/completions", json={
+                "prompt": "w1 w2 w3", "max_tokens": 4, "n": 3,
+                "stream": True, "temperature": 0.0, "ignore_eos": True,
+            })
+            assert r.status == 200
+            texts = {0: "", 1: "", 2: ""}
+            finishes = {}
+            done = False
+            async for raw in r.content:
+                line = raw.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                if line[6:] == "[DONE]":
+                    done = True
+                    break
+                d = _json.loads(line[6:])
+                ch = d["choices"][0]
+                texts[ch["index"]] += ch.get("text", "")
+                if ch.get("finish_reason"):
+                    finishes[ch["index"]] = ch["finish_reason"]
+            assert done
+            assert set(finishes) == {0, 1, 2}
+            # greedy (temperature 0): all three choices agree and are nonempty
+            assert texts[0] and texts[0] == texts[1] == texts[2]
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
