@@ -619,6 +619,86 @@ class LlmEngine:
             self._prefill_hidden_jits[bucket] = fn
         return fn
 
+    def generate_with_hidden(self, prompt_token_ids, config=None):
+        """Synchronous generate that also returns the final-layer hidden
+        state that produced each output token (reference: GenerateConfig
+        return_hidden_states, consumed by RL reward/scoring clients).
+
+        Teacher-forced loop over the hidden-returning prefill program — not
+        the fused decode path (hidden plumbing through the decode scan would
+        retrace every hot program for a cold feature). Returns
+        (GenerateStream, hidden [n_out, H] float32)."""
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.engine.stream import StreamState
+
+        config = config or GenerateConfig()
+        # private allocation — NOT scheduler-admitted (the engine loop could
+        # otherwise pick the stream up concurrently from another thread)
+        stream = GenerateStream(list(prompt_token_ids), config)
+        with self.device_lock:
+            alloc = self.cache_mgr.allocate(list(prompt_token_ids),
+                                            allow_reuse=False)
+        if alloc is None:
+            raise RuntimeError("KV pool exhausted")
+        stream.alloc = alloc
+        stream.state = StreamState.RUNNING
+        hiddens = []
+        with self.device_lock:
+            block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+            block_row[: len(stream.alloc.blocks)] = stream.alloc.blocks
+            rng = jax.random.PRNGKey(config.seed or 0)
+            toks = list(prompt_token_ids)
+            pos = 0
+            while True:
+                t_real = len(toks) - pos
+                bucket = self._pick_bucket(t_real)
+                tk = np.zeros((1, bucket), np.int32)
+                tk[0, :t_real] = toks[pos : pos + bucket][: t_real]
+                ps = np.zeros((1, bucket), np.int32)
+                ps[0, :t_real] = np.arange(pos, pos + t_real)
+                self.kv, logits, hid = self._get_prefill_hidden_fn(bucket)(
+                    self.weights, self.kv, jnp.asarray(tk), jnp.asarray(ps),
+                    jnp.asarray(block_row)[None, :],
+                    jnp.asarray([pos + t_real], np.int32),
+                    jnp.asarray([pos], np.int32),
+                    jnp.zeros((1,), np.int32),
+                )
+                last_hid = np.asarray(hid[0, t_real - 1], np.float32)
+                if pos + t_real < len(toks):
+                    pos += t_real
+                    continue
+                # sample the next token from the last position's logits
+                lg = np.asarray(logits[0], np.float32)
+                if config.do_sample and config.temperature > 0:
+                    rng, key = jax.random.split(rng)
+                    p_ = jax.nn.softmax(
+                        jnp.asarray(lg) / max(config.temperature, 1e-5))
+                    tok = int(jax.random.choice(key, lg.shape[0], p=p_))
+                else:
+                    tok = int(np.argmax(lg))
+                hiddens.append(last_hid)
+                finished = stream.append_token(
+                    tok, self.eos_ids,
+                    max_seq_len=self.config.scheduler.max_seq_len)
+                if finished or len(stream.output_token_ids) >=                         config.max_new_tokens:
+                    if not stream.is_finished():
+                        from rtp_llm_tpu.engine.stream import FinishReason
+
+                        stream.finish(FinishReason.LENGTH)
+                    break
+                if not self.cache_mgr.extend(stream.alloc, len(toks) + 2):
+                    from rtp_llm_tpu.engine.stream import FinishReason
+
+                    stream.finish(FinishReason.LENGTH)
+                    break
+                block_row[: len(stream.alloc.blocks)] = stream.alloc.blocks
+                toks.append(tok)
+                pos = len(toks) - 1
+            self.cache_mgr.free(stream.alloc)
+            stream.alloc = None
+        return stream, np.stack(hiddens) if hiddens else np.zeros(
+            (0, self.model.cfg.hidden_size), np.float32)
+
     def _get_prefill_fn(self, bucket: int):
         fn = self._prefill_jits.get(bucket)
         if fn is None:

@@ -265,6 +265,37 @@ class OpenAIApp:
 
         # num_return_sequences fan-out (reference: beam/num-return fanout in
         # GenerateStream; independent sampled streams, one choice each)
+        if cfg.return_hidden_states and not stream_mode:
+            # reference: GenerateConfig return_hidden_states (RL scoring
+            # clients); teacher-forced loop outside the fused decode path
+            loop = asyncio.get_running_loop()
+            async with self.sem:
+                stream, hid = await loop.run_in_executor(
+                    None, self.runner.engine.generate_with_hidden,
+                    token_ids, cfg)
+            detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
+            text, _ = detok.push(stream.output_token_ids)
+            fin = stream.finish_reason.value if stream.finish_reason else "stop"
+            self._log_done(rid, route, stream, token_ids, t_start)
+            choice = ({"index": 0, "message": {"role": "assistant",
+                                               "content": text},
+                       "finish_reason": fin} if chat
+                      else {"index": 0, "text": text, "finish_reason": fin,
+                            "logprobs": None})
+            choice["hidden_states"] = hid.tolist()
+            return web.json_response({
+                "id": rid,
+                "object": "chat.completion" if chat else "text_completion",
+                "created": created, "model": self.model_name,
+                "choices": [choice],
+                "usage": {
+                    "prompt_tokens": len(token_ids),
+                    "completion_tokens": len(stream.output_token_ids),
+                    "total_tokens": len(token_ids)
+                    + len(stream.output_token_ids),
+                },
+            })
+
         n = max(1, cfg.num_return_sequences)
         if n > 1 and stream_mode:
             # streaming fan-out: n independent streams, chunks interleaved

@@ -425,3 +425,43 @@ def test_tree_constrained_decode(tmp_path):
     # without a start token in prompt/output flow, generation is unconstrained
     s2 = eng.generate([1], greedy(3))
     assert s2.output_token_ids == expected_chain([1], 3)
+
+
+def test_generate_with_hidden(tmp_path):
+    """return_hidden_states (reference GenerateConfig:43): greedy output
+    must match the fused decode path and hidden rows must equal the
+    final-norm hidden that produced each token."""
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "gh"), cfg)
+
+    def build():
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                      prefill_buckets=(16, 64)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(cfg), weights, econf)
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = GenerateConfig(max_new_tokens=6, do_sample=False, ignore_eos=True)
+    expect = build().generate(prompt, gc).output_token_ids
+
+    eng = build()
+    stream, hid = eng.generate_with_hidden(prompt, GenerateConfig(
+        max_new_tokens=6, do_sample=False, ignore_eos=True,
+        return_hidden_states=True,
+    ))
+    assert stream.output_token_ids == expect
+    assert hid.shape == (6, cfg.hidden_size)
+    assert np.isfinite(hid).all() and np.abs(hid).max() > 0
+    # pool must be clean afterwards
+    assert eng.cache_mgr.pool.free_blocks > 0
