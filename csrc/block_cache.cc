@@ -12,6 +12,7 @@
 // Build: make -C csrc   (produces build/librtp_cache.so)
 
 #include <cstdint>
+#include <mutex>
 #include <cstring>
 #include <list>
 #include <unordered_map>
@@ -60,6 +61,12 @@ struct PrefixCache {
   }
 };
 
+// One process-wide mutex guarding every entry point: ctypes CDLL calls
+// release the GIL, so the engine loop and HTTP/executor threads can enter
+// concurrently (enqueue_preloaded, generate_with_hidden). Contention is
+// negligible next to the device step; correctness is not optional.
+static std::mutex g_mu;
+
 }  // namespace
 
 extern "C" {
@@ -67,18 +74,22 @@ extern "C" {
 // ---- pool ----
 
 void* rtp_pool_create(int num_blocks) {
+  std::lock_guard<std::mutex> g(g_mu);
   if (num_blocks < 2) return nullptr;
   return new BlockPool(num_blocks);
 }
 
-void rtp_pool_destroy(void* p) { delete static_cast<BlockPool*>(p); }
+void rtp_pool_destroy(void* p) {
+  std::lock_guard<std::mutex> g(g_mu); delete static_cast<BlockPool*>(p); }
 
 int rtp_pool_free_count(void* p) {
+  std::lock_guard<std::mutex> g(g_mu);
   return static_cast<int>(static_cast<BlockPool*>(p)->free_list.size());
 }
 
 // returns 0 on success (out filled with n block ids), -1 if insufficient
 int rtp_pool_malloc(void* p, int n, int32_t* out) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* pool = static_cast<BlockPool*>(p);
   if (n > static_cast<int>(pool->free_list.size())) return -1;
   for (int i = 0; i < n; ++i) {
@@ -91,6 +102,7 @@ int rtp_pool_malloc(void* p, int n, int32_t* out) {
 }
 
 void rtp_pool_ref(void* p, const int32_t* blocks, int n) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* pool = static_cast<BlockPool*>(p);
   for (int i = 0; i < n; ++i) {
     if (blocks[i] == 0) continue;
@@ -99,6 +111,7 @@ void rtp_pool_ref(void* p, const int32_t* blocks, int n) {
 }
 
 void rtp_pool_release(void* p, const int32_t* blocks, int n) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* pool = static_cast<BlockPool*>(p);
   for (int i = 0; i < n; ++i) {
     int b = blocks[i];
@@ -113,6 +126,7 @@ void rtp_pool_release(void* p, const int32_t* blocks, int n) {
 }
 
 int rtp_pool_refcount(void* p, int block) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* pool = static_cast<BlockPool*>(p);
   auto it = pool->refs.find(block);
   return it == pool->refs.end() ? 0 : it->second;
@@ -120,9 +134,12 @@ int rtp_pool_refcount(void* p, int block) {
 
 // ---- prefix cache ----
 
-void* rtp_cache_create() { return new PrefixCache(); }
-void rtp_cache_destroy(void* c) { delete static_cast<PrefixCache*>(c); }
+void* rtp_cache_create() {
+  std::lock_guard<std::mutex> g(g_mu); return new PrefixCache(); }
+void rtp_cache_destroy(void* c) {
+  std::lock_guard<std::mutex> g(g_mu); delete static_cast<PrefixCache*>(c); }
 int rtp_cache_size(void* c) {
+  std::lock_guard<std::mutex> g(g_mu);
   return static_cast<int>(static_cast<PrefixCache*>(c)->entries.size());
 }
 
@@ -130,6 +147,7 @@ int rtp_cache_size(void* c) {
 // first n_tokens-1 tokens; returns number of matched blocks written to out.
 int rtp_cache_match(void* c, const int32_t* token_ids, int n_tokens,
                     int block_size, int32_t* out, int out_cap) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* cache = static_cast<PrefixCache*>(c);
   int usable = n_tokens - 1;
   int n_blocks = usable / block_size;
@@ -150,6 +168,7 @@ int rtp_cache_match(void* c, const int32_t* token_ids, int n_tokens,
 int rtp_cache_insert(void* c, const int32_t* token_ids, int n_tokens,
                      const int32_t* blocks, int n_blocks_in, int block_size,
                      int32_t* out, int out_cap) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* cache = static_cast<PrefixCache*>(c);
   int n_blocks = n_tokens / block_size;
   if (n_blocks > n_blocks_in) n_blocks = n_blocks_in;
@@ -174,6 +193,7 @@ int rtp_cache_insert(void* c, const int32_t* token_ids, int n_tokens,
 
 // evict LRU entry; returns its block id or -1 if empty
 int rtp_cache_pop_lru(void* c) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* cache = static_cast<PrefixCache*>(c);
   if (cache->lru.empty()) return -1;
   uint64_t h = cache->lru.front();
@@ -186,6 +206,7 @@ int rtp_cache_pop_lru(void* c) {
 }
 
 int rtp_cache_holds(void* c, int block) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* cache = static_cast<PrefixCache*>(c);
   return cache->by_block.count(block) ? 1 : 0;
 }
@@ -193,6 +214,7 @@ int rtp_cache_holds(void* c, int block) {
 // blocks held only by the cache (refcount==1 in the pool): count for the
 // scheduler's reclaimable estimate
 int rtp_cache_reclaimable(void* c, void* p) {
+  std::lock_guard<std::mutex> g(g_mu);
   auto* cache = static_cast<PrefixCache*>(c);
   auto* pool = static_cast<BlockPool*>(p);
   int n = 0;
