@@ -143,6 +143,16 @@ def main():
     warmup_s = time.time() - t0
 
     runner = EngineRunner(engine).start()
+    tracked = []
+    _orig_enqueue = runner.enqueue
+
+    def _tracked_enqueue(*a, **k):
+        s = _orig_enqueue(*a, **k)
+        tracked.append(s)
+        return s
+
+    runner.enqueue = _tracked_enqueue
+    engine._bench_streams = tracked
     app = OpenAIApp(runner, IdTokenizer(), model_name="serve-bench",
                     enable_access_log=False)
 
@@ -170,6 +180,23 @@ def main():
 
     results, wall = asyncio.run(run())
     runner.stop()
+
+    # server-side truth: engine phase timings + stream-level TTFT measured
+    # from enqueue to first emitted token (bisects engine vs delivery)
+    from rtp_llm_tpu.utils.metrics import METRICS
+
+    snap = METRICS.snapshot()
+    eng_hist = {k: v for k, v in snap.get("histograms", {}).items()
+                if k.startswith("engine.")}
+    print("ENGINE_METRICS", json.dumps(eng_hist), file=sys.stderr)
+    svr_ttft = sorted(
+        (s.first_token_time - s.enqueue_time)
+        for s in getattr(engine, "_bench_streams", [])
+        if s.first_token_time)
+    if svr_ttft:
+        print("SERVER_TTFT p50=%.2f p99=%.2f" % (
+            float(np.percentile(svr_ttft, 50)),
+            float(np.percentile(svr_ttft, 99))), file=sys.stderr)
 
     ok = [r for r in results if r.get("ok")]
     fail = len(results) - len(ok)

@@ -50,6 +50,11 @@ class ParallelConfig:
     ep_size: int = 1  # expert parallel; folded into tp axis of the mesh for MoE
     pp_size: int = 1  # reserved (reference defines but does not implement PP)
     cp_size: int = 1  # prefill context parallel (long context)
+    # zig-zag ring CP (reference: ZigzagProcessor.h:18 + CP ring rotation):
+    # prefill attention runs ring-wise over the cp axis with the zig-zag
+    # column layout instead of GSPMD token sharding. Prompts must fit the
+    # largest prefill bucket; prefix-cache reuse is disabled.
+    cp_ring: bool = False
 
     # MoE dispatch (reference: fused-MoE strategies + DeepEP wrapper config)
     moe_capacity_factor: float = 2.0  # expert capacity = N*K/E * this

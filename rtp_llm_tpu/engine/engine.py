@@ -108,6 +108,20 @@ class LlmEngine:
             model.moe_capacity_factor = config.parallel.moe_capacity_factor
         if hasattr(model, "moe_micro_batches"):
             model.moe_micro_batches = config.parallel.moe_micro_batches
+        # zig-zag ring CP prefill (parallel.cp_ring)
+        self._cp_ring = bool(
+            mesh is not None and mesh.shape.get("cp", 1) > 1
+            and config.parallel.cp_ring
+            and hasattr(model, "use_ring_prefill")
+        )
+        if self._cp_ring:
+            if getattr(model, "alibi_slopes", None) is not None or getattr(
+                    mc, "sliding_window", 0):
+                raise NotImplementedError(
+                    "cp_ring supports plain causal attention only")
+            model.use_ring_prefill = True
+            # ring attention covers whole fresh prompts: no prefix reuse
+            self.cache_mgr.prefix_cache = None
         self._moe_layer_ids = [
             i for i in range(mc.num_layers)
             if getattr(mc, "num_experts", 0) and mc.is_moe_layer(i)
@@ -560,6 +574,16 @@ class LlmEngine:
             # (reference: PCPAllGatherAttnOp scheme, allgather_cp_impl.py:34)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            if self._cp_ring:
+                # zig-zag column layout: rank r holds sequence chunks r and
+                # 2n-1-r, balancing causal work (ZigzagProcessor.h:18);
+                # attention runs ring-wise (model.use_ring_prefill)
+                from rtp_llm_tpu.ops.attention.ring import zigzag_perm
+
+                perm = zigzag_perm(tokens.shape[1],
+                                   self.mesh.shape["cp"])
+                tokens = tokens[:, perm]
+                positions = positions[:, perm]
             cons = NamedSharding(self.mesh, P(None, "cp"))
             tokens = jax.lax.with_sharding_constraint(tokens, cons)
             positions = jax.lax.with_sharding_constraint(positions, cons)
@@ -969,6 +993,10 @@ class LlmEngine:
             toks[0, :t_real] = chunk
             positions = np.zeros((1, bucket), np.int32)
             positions[0, :t_real] = np.arange(pos, pos + t_real)
+            if self._cp_ring:
+                # ring CP keys validity on POSITION VALUES (columns get
+                # zig-zag permuted); padded columns carry a huge sentinel
+                positions[0, t_real:] = 1 << 30
             aid = self._adapter_id_for(stream)
             extra = ()
             if state_slot is not None:
@@ -1079,6 +1107,8 @@ class LlmEngine:
             t_real = len(prompt) - rlen
             toks[r, :t_real] = prompt[rlen:]
             positions[r, :t_real] = np.arange(rlen, len(prompt))
+            if self._cp_ring:
+                positions[r, t_real:] = 1 << 30
             bt[r, : len(s.alloc.blocks)] = s.alloc.blocks
             kv_lens[r] = len(prompt)
             q_offsets[r] = rlen
@@ -1880,6 +1910,11 @@ class LlmEngine:
         """Reference: EngineBase::enqueue (engine_base/EngineBase.h:36).
         mm: optional MMInputs (multimodal/processor.py) with vision
         embeddings + MRoPE positions."""
+        if self._cp_ring and len(prompt_token_ids) > \
+                self.config.scheduler.prefill_buckets[-1]:
+            raise ValueError(
+                "cp_ring prefill requires the prompt to fit the largest "
+                f"prefill bucket ({self.config.scheduler.prefill_buckets[-1]})")
         if self.is_hybrid and config is not None and config.max_num_beams > 1:
             raise ValueError("beam search is not supported for hybrid "
                              "linear-attention models")

@@ -100,6 +100,10 @@ class LlamaFamilyModel:
         self.mesh = None  # set by the engine; enables the shard_map kernel path
         self.moe_capacity_factor = 2.0  # engine sets from ParallelConfig
         self.moe_micro_batches = 1  # engine sets from ParallelConfig
+        # zig-zag ring CP prefill (engine sets under parallel.cp_ring): the
+        # prefill program permutes token columns into the zig-zag layout and
+        # attention runs ring-wise over the cp axis (ops/attention/ring.py)
+        self.use_ring_prefill = False
 
     # ---- cache ----
 
@@ -158,8 +162,14 @@ class LlamaFamilyModel:
 
         # per-token validity + flat cache slots, computed once for all layers
         tpos = inputs.positions  # [B,T]
-        valid = (inputs.q_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
-                 ) < inputs.kv_lens[:, None]
+        if self.use_ring_prefill and t > 1:
+            # zig-zag CP: columns are permuted, so validity keys on the
+            # POSITION value (padded columns carry a 1<<30 sentinel)
+            valid = tpos < inputs.kv_lens[:, None]
+        else:
+            valid = (inputs.q_offsets[:, None]
+                     + jnp.arange(t, dtype=jnp.int32)[None, :]
+                     ) < inputs.kv_lens[:, None]
         slots = token_slots(
             tpos, inputs.block_tables, self.block_size, valid
         ).reshape(-1)  # [B*T]
@@ -181,6 +191,11 @@ class LlamaFamilyModel:
         # logits only at each row's last valid token (reference lm_output_indexes,
         # PyWrappedModel.cc:714-742)
         last = jnp.clip(inputs.kv_lens - inputs.q_offsets - 1, 0, t - 1)  # [B]
+        if self.use_ring_prefill and t > 1:
+            # zig-zag column order: locate the last token by POSITION value
+            last_pos = inputs.kv_lens - 1
+            last = jnp.argmax(tpos == last_pos[:, None], axis=1).astype(
+                jnp.int32)
         hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
         logits = (hidden_last @ lm_head).astype(jnp.float32)
         if "lm_head.bias" in weights:  # phi-2
@@ -347,6 +362,21 @@ class LlamaFamilyModel:
             k_cache, v_cache = cache[i, 0], cache[i, 1]
             full_cache = cache
 
+        if self.use_ring_prefill and t > 1:
+            # ring CP prefill: self-attention over this (whole, fresh)
+            # prompt chunk computed ring-wise over cp; padded columns carry
+            # sentinel positions (masked as keys). KV writes above keyed on
+            # positions, so the zig-zag column order is cache-layout-safe.
+            from rtp_llm_tpu.ops.attention.ring import (
+                ring_prefill_attention_pos,
+            )
+
+            # padded columns already carry the 1<<30 sentinel position
+            attn = ring_prefill_attention_pos(
+                q, k, v, inputs.positions, self.mesh, self.sm_scale)
+            x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
+            return self._post_attention(w, cache, i, x, res, aids,
+                                        gating_out)
         sliding = cfg.sliding_window
         if cfg.sliding_window_pattern:
             # gemma2: every Nth layer is global attention
@@ -367,6 +397,12 @@ class LlamaFamilyModel:
             full_cache=full_cache, layer=i,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
+        return self._post_attention(w, cache, i, x, res, aids, gating_out)
+
+    def _post_attention(self, w, cache, i, x, res, aids, gating_out):
+        """Residual + MLP tail shared by the paged and ring attention
+        paths."""
+        cfg = self.cfg
         if cfg.parallel_residual:
             # cohere/falcon/phi: attn and mlp consume the SAME normed input;
             # gpt_neox ("dual"): mlp reads post_attn_norm of the ORIGINAL

@@ -87,3 +87,82 @@ def ring_prefill_attention(
         out_specs=P(axis),
     )
     return fn(q, k, v)
+
+
+def zigzag_perm(t: int, n: int) -> "jnp.ndarray":
+    """Token-column permutation for the zig-zag CP layout (reference:
+    ZigzagProcessor.h:18): the sequence splits into 2n chunks and rank r
+    owns chunks r and 2n-1-r, balancing causal-attention work (early ranks
+    otherwise see mostly-masked KV). Returns perm such that
+    permuted[i] = original[perm[i]]; columns [r*tc .. (r+1)*tc) of the
+    permuted layout land on rank r under a plain "cp" sharding."""
+    import numpy as np
+
+    assert t % (2 * n) == 0, (t, n)
+    c = t // (2 * n)
+    order = []
+    for r in range(n):
+        order.extend(range(r * c, (r + 1) * c))
+        order.extend(range((2 * n - 1 - r) * c, (2 * n - r) * c))
+    return jnp.asarray(np.asarray(order, np.int32))
+
+
+def ring_prefill_attention_pos(
+    q: jnp.ndarray,  # [B, T, Hq, D] (any token order; causality via positions)
+    k: jnp.ndarray,  # [B, T, Hkv, D]
+    v: jnp.ndarray,  # [B, T, Hkv, D]
+    positions: jnp.ndarray,  # [B, T] i32 absolute position per column
+    mesh,
+    sm_scale: float,
+    axis: str = "cp",
+) -> jnp.ndarray:
+    """Batched ring attention with EXPLICIT positions: the causal mask
+    compares absolute positions instead of assuming rank-contiguous chunks,
+    so one kernel serves both the contiguous and zig-zag layouts (the engine
+    permutes columns; KV-cache writes key on positions and are layout-safe).
+    Padded columns carry a huge sentinel position: as keys they are masked
+    for every real query, as queries they produce ignored rows."""
+    n = mesh.shape[axis]
+    b, t, hq, d = q.shape
+    assert t % n == 0, (t, n)
+    tc = t // n
+    hkv = k.shape[1 + 1]
+    g = hq // hkv
+
+    def local(q_l, k_l, v_l, pos_l):
+        # [B, Tc, H*, D] local columns; absolute positions drive the mask
+        q_pos = pos_l  # [B, Tc]
+        qf = q_l.reshape(b, tc, hkv, g, d).astype(jnp.float32) * sm_scale
+        m = jnp.full((b, tc, hkv, g, 1), NEG_INF, jnp.float32)
+        l = jnp.zeros((b, tc, hkv, g, 1), jnp.float32)
+        acc = jnp.zeros((b, tc, hkv, g, d), jnp.float32)
+        k_cur, v_cur, p_cur = k_l, v_l, pos_l
+
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        for step in range(n):
+            s = jnp.einsum(
+                "bthgd,bshd->bthgs", qf, k_cur.astype(jnp.float32))
+            mask = p_cur[:, None, :] <= q_pos[:, :, None]  # [B, Tc, Tc]
+            s = jnp.where(mask[:, :, None, None, :], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bthgs,bshd->bthgd", p, v_cur.astype(jnp.float32))
+            m = m_new
+            if step + 1 < n:
+                k_cur = jax.lax.ppermute(k_cur, axis, perm)
+                v_cur = jax.lax.ppermute(v_cur, axis, perm)
+                p_cur = jax.lax.ppermute(p_cur, axis, perm)
+
+        out = acc / jnp.maximum(l, 1e-20)
+        return out.reshape(b, tc, hq, d).astype(q_l.dtype)
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=P(None, axis),
+    )
+    return fn(q, k, v, positions)
