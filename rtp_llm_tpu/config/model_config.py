@@ -205,6 +205,15 @@ class ModelConfig:
                 e = hf["eos_token_id"]
                 cfg.eos_token_id = [e] if isinstance(e, int) else list(e)
             return cfg
+        if arch == "qwen2_audio":
+            # reference: rtp_llm/models/qwen_v2_audio.py — qwen2 LM +
+            # Whisper-style audio tower (multimodal/audio_jax.py)
+            tc = dict(hf.get("text_config") or {})
+            cfg = cls.from_hf_config(tc, tc.get("model_type", "qwen2"))
+            cfg.model_type = mt
+            cfg.image_token_id = hf.get("audio_token_index", 151646)
+            cfg.vision_config = hf.get("audio_config")
+            return cfg
         if arch == "qwen2_5_vl":  # qwen2-vl LM semantics, nested text_config
             tc = dict(hf.get("text_config") or hf)
             rs = tc.pop("rope_scaling", None) or hf.get("rope_scaling") or {}

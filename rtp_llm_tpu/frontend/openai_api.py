@@ -183,6 +183,36 @@ class OpenAIApp:
                     for p in m["content"])
             for m in messages
         )
+        has_audio = any(
+            isinstance(m.get("content"), list)
+            and any(p.get("type") == "input_audio" for p in m["content"])
+            for m in messages
+        )
+        if has_audio:
+            # qwen2_audio: decode + mel-extract audio parts on host, encode
+            # through the JAX audio tower, splice like vision
+            from rtp_llm_tpu.frontend.audio_chat import AudioChatHandler
+
+            cfg = self.runner.engine.model.cfg
+            if cfg.model_type != "qwen2_audio":
+                raise web.HTTPBadRequest(
+                    text="served model has no audio tower")
+            if not hasattr(self, "_audio"):
+                self._audio = AudioChatHandler(self.model_path, cfg)
+            messages, audios = AudioChatHandler.extract_audio(messages)
+            rendered = self.renderer.render(
+                messages, tools=body.get("tools"),
+                chat_template_kwargs=body.get("chat_template_kwargs"),
+            )
+            loop = asyncio.get_running_loop()
+            token_ids, mm = await loop.run_in_executor(
+                None, self._audio.process, rendered.token_ids, audios)
+            return await self._generate_http(
+                request, body, token_ids,
+                extra_stop_words=rendered.stop_words,
+                extra_stop_ids=rendered.stop_token_ids,
+                chat=True, mm=mm,
+            )
         if has_images:
             from rtp_llm_tpu.frontend.vision_chat import VisionChatHandler
 

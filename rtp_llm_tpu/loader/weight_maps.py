@@ -1119,6 +1119,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "glm4_moe": _glm4_moe_specs,
     "kimi_linear": _kimi_linear_specs,
     "llava": _llava_specs,
+    "qwen2_audio": _llava_specs,
     "aquila": _llama_family_specs,
     "xverse": _llama_family_specs,
     "kimi_k2": _deepseek_with_mtp_specs,

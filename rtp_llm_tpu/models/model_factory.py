@@ -51,8 +51,10 @@ def _make_kimi_linear(cfg: ModelConfig):
 
 register_model("kimi_linear", _make_kimi_linear)
 
-# llava: llama-family LM with vision embeddings spliced at prefill
+# llava / qwen2_audio: llama-family LM with modality embeddings spliced
+# at prefill (flat positions)
 register_model("llava", LlamaFamilyModel)
+register_model("qwen2_audio", LlamaFamilyModel)
 
 
 def _make_qwen2_vl(cfg: ModelConfig):
