@@ -12,7 +12,7 @@ import sys
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd = argv.pop(0) if argv and not argv[0].startswith("-") else "serve"
-    if cmd not in ("serve", "launch"):
+    if cmd not in ("serve", "launch", "vit-serve"):
         # model path given directly: treat as serve target
         argv.insert(0, cmd)
         cmd = "serve"
@@ -32,6 +32,17 @@ def main(argv=None):
         from rtp_llm_tpu.server.launcher import launch
 
         return launch(config)
+
+    if cmd == "vit-serve":
+        # standalone VIT worker (reference: vit_start_server.py)
+        from rtp_llm_tpu.config.model_config import ModelConfig
+        from rtp_llm_tpu.server.vit_server import serve_vit
+
+        mc = ModelConfig.from_pretrained(config.server.model_path,
+                                         config.server.model_type)
+        serve_vit(config.server.model_path, mc.model_type,
+                  host=config.server.host, port=config.server.port)
+        return 0
 
     from rtp_llm_tpu.server.server import serve
 

@@ -194,6 +194,9 @@ class ServerConfig:
     # host:port of the decode instance's gRPC plane; when set, PD KV ships
     # as binary protobuf over HTTP/2 instead of the NDJSON HTTP fallback
     decode_grpc_peer: str = ""
+    # remote VIT worker endpoint (reference: VIT role, vit_start_server.py);
+    # empty = encode in-process on this chip
+    vit_endpoint: str = ""
 
 
 @dataclasses.dataclass

@@ -43,7 +43,9 @@ class OpenAIApp:
         enable_access_log: bool = True,
         pd_forwarder=None,  # PrefillForwarder when this app is a prefill role
         model_path: str = "",  # for downstream head discovery (_heads)
+        vit_endpoint: str = "",  # remote VIT worker (VIT role)
     ):
+        self.vit_endpoint = vit_endpoint
         self.model_path = model_path
         self.pd_forwarder = pd_forwarder
         self.runner = runner
@@ -221,8 +223,9 @@ class OpenAIApp:
                 raise web.HTTPBadRequest(
                     text="served model has no vision tower")
             if not hasattr(self, "_vision"):
-                self._vision = VisionChatHandler(self.model_path, cfg,
-                                                 self.tok)
+                self._vision = VisionChatHandler(
+                    self.model_path, cfg, self.tok,
+                    vit_endpoint=self.vit_endpoint)
             messages, images = VisionChatHandler.extract_images(messages)
             rendered = self.renderer.render(
                 messages, tools=body.get("tools"),

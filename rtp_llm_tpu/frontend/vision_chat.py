@@ -23,10 +23,14 @@ logger = logging.getLogger(__name__)
 class VisionChatHandler:
     """Owns the image processor + vision tower for one served VL model."""
 
-    def __init__(self, model_path: str, model_config, tokenizer):
+    def __init__(self, model_path: str, model_config, tokenizer,
+                 vit_endpoint: str = ""):
         self.model_path = model_path
         self.cfg = model_config
         self.tok = tokenizer
+        # remote VIT worker (reference: VIT role processes,
+        # vit_start_server.py); empty = in-process JAX tower
+        self.vit_endpoint = vit_endpoint
         self._improc = None
         self._tower = None
         self._mm = None
@@ -37,7 +41,12 @@ class VisionChatHandler:
 
             self._improc = AutoImageProcessor.from_pretrained(self.model_path)
         if self._tower is None:
-            if self.cfg.model_type == "llava":
+            if self.vit_endpoint:
+                from rtp_llm_tpu.server.vit_server import RemoteTower
+
+                self._tower = RemoteTower(self.vit_endpoint,
+                                          self.cfg.model_type)
+            elif self.cfg.model_type == "llava":
                 from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
                 self._tower = ClipVisionTower(self.model_path)

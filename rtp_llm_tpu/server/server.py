@@ -142,6 +142,7 @@ def serve(config: EngineConfig):
         model_type=engine.model.cfg.model_type,
         pd_forwarder=pd_forwarder,
         model_path=config.server.model_path,
+        vit_endpoint=config.server.vit_endpoint,
     )
     app = api.build_app()
     grpc_srv = None

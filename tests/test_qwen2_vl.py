@@ -211,3 +211,39 @@ def test_vision_chat_handler_end_to_end(ckpt):
             break
         eng.step()
     assert len(s.output_token_ids) == 4
+
+
+def test_vit_worker_remote_matches_local(ckpt):
+    """VIT role (reference: vit_start_server.py): a standalone encode worker
+    over HTTP must return exactly the local tower's embeddings."""
+    import asyncio
+
+    import numpy as np
+
+    from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
+    from rtp_llm_tpu.server.vit_server import RemoteTower, VitServer
+
+    grid = (1, 4, 4)
+    torch.manual_seed(5)
+    pix = torch.randn(int(np.prod(grid)), 3 * 2 * 4 * 4).numpy()
+
+    local = JaxVisionTower(ckpt)
+    l_embeds, l_grids = local.encode_images(pix, np.asarray([grid]))
+
+    async def run():
+        from aiohttp.test_utils import TestServer
+
+        srv = TestServer(VitServer(ckpt, "qwen2_vl").build_app())
+        await srv.start_server()
+        try:
+            ep = f"http://127.0.0.1:{srv.port}"
+            loop = asyncio.get_running_loop()
+            remote = RemoteTower(ep, "qwen2_vl")
+            return await loop.run_in_executor(
+                None, remote.encode_images, pix, np.asarray([grid]))
+        finally:
+            await srv.close()
+
+    r_embeds, r_grids = asyncio.run(run())
+    assert r_grids == l_grids
+    np.testing.assert_allclose(r_embeds[0], l_embeds[0], rtol=1e-6)
