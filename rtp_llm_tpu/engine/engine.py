@@ -1526,15 +1526,23 @@ class LlmEngine:
 
         # grow block allocations for the token(s) this step writes
         for s in list(active):
-            if not self.scheduler.grow_for_decode(s, extra):
-                # preempted back to WAITING: clear its slot
-                slot = s.slot
+            if s.alloc is None or s.slot < 0:
+                continue  # evicted as a victim earlier in this loop
+            preempted_self = not self.scheduler.grow_for_decode(s, extra)
+            # running-memory eviction can preempt OTHER (newer) streams to
+            # make room (reference: evaluateRunningMemory); clear every
+            # victim's slot
+            for v in self.scheduler.preempted_this_step:
+                slot = v.slot
                 if slot >= 0:
                     self.state = self._clear_jit(self.state, jnp.int32(slot))
                     self.slots[slot] = None
                     self._free_slots.append(slot)
-                    s.slot = -1
-                active.remove(s)
+                    v.slot = -1
+                if v in active:
+                    active.remove(v)
+            self.scheduler.preempted_this_step.clear()
+            if preempted_self:
                 continue
             if len(s.alloc.blocks) != self._slot_nblocks[s.slot]:
                 row = np.zeros((self.max_blocks_per_seq,), np.int32)

@@ -39,6 +39,9 @@ class FIFOScheduler:
         self.min_batch = min_batch
         self.waiting: Deque[GenerateStream] = deque()
         self.running: List[GenerateStream] = []
+        # victims evicted by running-memory pressure this step; the engine
+        # drains this to clear their decode slots
+        self.preempted_this_step: List[GenerateStream] = []
         # PD-fusion ratio control (reference: PDFusionRatioScheduler):
         # decode-only steps executed since the last prefill round
         self._steps_since_prefill = 0
@@ -127,19 +130,38 @@ class FIFOScheduler:
 
     def grow_for_decode(self, stream: GenerateStream, extra: int = 0) -> bool:
         """Ensure stream's allocation covers this step's writes (+``extra``
-        speculative draft positions); on OOM, preempt it back to WAITING
-        (freeing blocks). Returns False if preempted."""
-        ok = self.cache.extend(stream.alloc, stream.total_len + extra)
-        if ok:
+        speculative draft positions). On OOM, evict the NEWEST running
+        stream first (reference: FIFOScheduler::evaluateRunningMemory —
+        running-memory eviction preserves FIFO order for the oldest work)
+        and retry; only if ``stream`` itself is the newest does it preempt.
+        Returns False if ``stream`` was preempted; evicted victims are
+        reported via ``self.preempted_this_step``."""
+        if stream.alloc is None:
+            return False  # already evicted as a running-memory victim
+        if self.cache.extend(stream.alloc, stream.total_len + extra):
             return True
-        # preempt: release blocks, requeue at the front (will re-prefill)
+        # evict newest-first among OTHER running streams with allocations
+        victims = [s for s in self.running
+                   if s is not stream and s.alloc is not None]
+        victims.sort(key=lambda s: s.enqueue_time, reverse=True)
+        for v in victims:
+            if stream.enqueue_time > v.enqueue_time:
+                break  # stream itself is newer: it should yield instead
+            self._preempt(v)
+            self.preempted_this_step.append(v)
+            if self.cache.extend(stream.alloc, stream.total_len + extra):
+                return True
+        self._preempt(stream)
+        self.preempted_this_step.append(stream)
+        return False
+
+    def _preempt(self, stream: GenerateStream):
+        """Release blocks and requeue at the front (vLLM-style recompute)."""
         self.cache.free(stream.alloc)
         stream.alloc = None
-        stream.slot = -1
         stream.state = StreamState.WAITING
         self.waiting.appendleft(stream)
         self.running = [s for s in self.running if s is not stream]
-        return False
 
     def release(self, stream: GenerateStream):
         """Free a finished stream's blocks (offering them to the prefix cache)."""

@@ -125,3 +125,33 @@ def test_beam_respects_max_seq_len():
     assert s.is_finished()
     assert 1 <= len(s.output_token_ids) <= 16 - 6
     assert eng.cache_mgr.pool.free_blocks == free0
+
+
+def test_oom_evicts_newest_not_oldest():
+    """Running-memory eviction (reference FIFOScheduler::evaluateRunningMemory):
+    when decode growth hits OOM, the NEWEST running stream is evicted so
+    FIFO order survives — the oldest stream is never preempted while a
+    newer one occupies memory."""
+    import time as _t
+
+    eng = make_engine(max_batch=4, num_blocks=10, block_size=4,
+                      max_seq_len=40, prefix_cache=False)
+    old = eng.enqueue([1, 2, 3, 4], greedy(20))
+    eng.step()  # admit + prefill the old stream first
+    _t.sleep(0.01)
+    newer = eng.enqueue([5, 6, 7, 8], greedy(20))
+    old_preempted = False
+    newer_preempted = False
+    for _ in range(300):
+        if old.is_finished() and newer.is_finished():
+            break
+        eng.step()
+        if old.state == StreamState.WAITING and old.output_token_ids:
+            old_preempted = True
+        if newer.state == StreamState.WAITING and newer.output_token_ids:
+            newer_preempted = True
+    assert old.is_finished() and newer.is_finished()
+    assert newer_preempted, "test setup must actually trigger eviction"
+    assert not old_preempted, "the oldest stream must never be the victim"
+    assert old.output_token_ids == expected_chain([1, 2, 3, 4], 20)
+    assert newer.output_token_ids == expected_chain([5, 6, 7, 8], 20)
