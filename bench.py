@@ -59,7 +59,8 @@ def build_device_weights(cfg, quant, mesh=None):
     from rtp_llm_tpu.loader.fake_checkpoint import _hf_shape
     from rtp_llm_tpu.loader.weight_maps import get_weight_specs
 
-    quantize_int8 = quant == "int8"
+    quantize_int8 = quant in ("int8", "int4")
+    group = 128  # int4 groupwise scale granularity
     plan = []  # (name, full_shape, kind)
     for spec in get_weight_specs(cfg):
         shape = _hf_shape(spec.name, cfg)
@@ -85,7 +86,15 @@ def build_device_weights(cfg, quant, mesh=None):
         out = {}
         for name, full, kind in plan:
             key, sub = jax.random.split(key)
-            if kind == "int8":
+            if kind == "int8" and quant == "int4":
+                # packed s4 groupwise weights: native int4 dtype halves the
+                # HBM bytes of int8 (quant/weight_only.py packed path)
+                out[name] = jax.random.randint(
+                    sub, full, -7, 8, jnp.int8).astype(jnp.int4)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-2] // group, full[-1]), 4e-4,
+                    jnp.float32)
+            elif kind == "int8":
                 out[name] = jax.random.randint(sub, full, -127, 128, jnp.int8)
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-1],), 2e-4, jnp.float32
@@ -102,7 +111,8 @@ def build_device_weights(cfg, quant, mesh=None):
 def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
-    p.add_argument("--quant", default="int8", choices=["int8", "bf16"])
+    p.add_argument("--quant", default="int8",
+                   choices=["int8", "int4", "bf16"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
@@ -163,7 +173,7 @@ def main():
             decode_steps=args.multi_steps,
             defer_kv_writes=args.defer_kv,
         ),
-        quant=QuantConfig(method="int8" if args.quant == "int8" else "none",
+        quant=QuantConfig(method=args.quant if args.quant != "bf16" else "none",
                           kv_cache_dtype=("int8" if args.kv == "int8"
                                           else "bfloat16")),
     )
@@ -209,7 +219,7 @@ def main():
     decode_tps = args.batch * n_tok_steps / decode_time
 
     # roofline for vs_baseline
-    bpe = 1 if args.quant == "int8" else 2
+    bpe = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[args.quant]
     h, inter, L = mc.hidden_size, mc.intermediate_size, mc.num_layers
     attn_bytes = (h * (mc.num_attention_heads + 2 * mc.num_kv_heads)
                   * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe
