@@ -855,6 +855,52 @@ def _neox_split_qkv(which: int):
     return f
 
 
+def _internlm2_split_qkv(which: int):
+    """internlm2 fused wqkv groups rows per kv-head: [Hkv, g+2, d] where
+    the first g slots are that group's query heads, then one k, one v
+    (reference: rtp_llm internlm2 weight map)."""
+
+    def f(t, cfg):
+        hkv = cfg.num_kv_heads
+        g = cfg.num_attention_heads // hkv
+        d = cfg.head_dim
+        t2 = t.reshape(hkv, g + 2, d, *t.shape[1:])
+        sel = (t2[:, :g] if which == 0
+               else t2[:, g:g + 1] if which == 1 else t2[:, g + 1:])
+        return sel.reshape(-1, *t.shape[1:])
+
+    return f
+
+
+def _internlm2_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """internlm2 (reference: rtp_llm internlm2 registration): llama math
+    with grouped fused wqkv and w1/w3/w2 MLP naming."""
+    L = "model.layers.{l}."
+    specs = [
+        WeightSpec("embed_tokens", "model.tok_embeddings.weight"),
+        WeightSpec("final_norm", "model.norm.weight"),
+        WeightSpec("lm_head", "output.weight", transpose=True,
+                   shard_axis="out"),
+        WeightSpec("input_norm", L + "attention_norm.weight", per_layer=True),
+        WeightSpec("post_attn_norm", L + "ffn_norm.weight", per_layer=True),
+        WeightSpec("o_proj", L + "attention.wo.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+        WeightSpec("gate_proj", L + "feed_forward.w1.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("up_proj", L + "feed_forward.w3.weight", per_layer=True,
+                   transpose=True, shard_axis="out"),
+        WeightSpec("down_proj", L + "feed_forward.w2.weight", per_layer=True,
+                   transpose=True, shard_axis="in"),
+    ]
+    for j, n in enumerate(("q", "k", "v")):
+        specs.append(
+            WeightSpec(f"{n}_proj", L + "attention.wqkv.weight",
+                       per_layer=True, transpose=True,
+                       shard_axis="out" if n == "q" else None,
+                       hf_transform=_internlm2_split_qkv(j)))
+    return specs
+
+
 def _qwen_specs(cfg: ModelConfig) -> list[WeightSpec]:
     """qwen v1 (reference: rtp_llm/models/qwen.py QWenWeight): fused c_attn
     qkv with bias, w2 = swiglu gate / w1 = up in HF QWenMLP."""
@@ -1095,6 +1141,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
     "internlm": _llama_family_specs,
+    "internlm2": _internlm2_specs,
     "yi": _llama_family_specs,
     "baichuan": _baichuan_specs,
     "baichuan2": _baichuan_specs,

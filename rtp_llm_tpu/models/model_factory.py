@@ -21,7 +21,7 @@ def register_model(model_type: str, factory: Callable[[ModelConfig], object]):
 
 for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
             "mixtral", "gemma", "gemma2", "phi3", "glm4", "cohere",
-            "internlm", "yi", "baichuan", "baichuan2", "starcoder2",
+            "internlm", "internlm2", "yi", "baichuan", "baichuan2", "starcoder2",
             "bloom", "falcon",
             # round 2 additions (reference model_factory_register.py types)
             "qwen", "qwen_7b", "qwen_13b", "qwen_1b8",

@@ -505,3 +505,63 @@ def test_arch_aliases_resolve():
     m = create_model(kimi)
     assert type(m).__name__ == "DeepseekModel"
     assert len(get_weight_specs(kimi)) > 10
+
+
+def test_internlm2_weight_map_and_generate(tmp_path):
+    """internlm2 (no transformers class): the grouped fused wqkv must split
+    into q/k/v per kv-head group (reference: internlm2 weight map)."""
+    rng = np.random.default_rng(2)
+    H, I, V, L, heads, kvh, d = 32, 48, 64, 2, 4, 2, 8
+    g = heads // kvh
+    t = {
+        "model.tok_embeddings.weight": rng.standard_normal((V, H)) * 0.05,
+        "model.norm.weight": np.ones(H),
+        "output.weight": rng.standard_normal((V, H)) * 0.05,
+    }
+    for l in range(L):
+        p = f"model.layers.{l}."
+        t[p + "attention_norm.weight"] = np.ones(H)
+        t[p + "ffn_norm.weight"] = np.ones(H)
+        t[p + "attention.wqkv.weight"] = (
+            rng.standard_normal((kvh * (g + 2) * d, H)) * 0.05)
+        t[p + "attention.wo.weight"] = rng.standard_normal((H, heads * d)) * 0.05
+        t[p + "feed_forward.w1.weight"] = rng.standard_normal((I, H)) * 0.05
+        t[p + "feed_forward.w3.weight"] = rng.standard_normal((I, H)) * 0.05
+        t[p + "feed_forward.w2.weight"] = rng.standard_normal((H, I)) * 0.05
+    path = str(tmp_path / "il2")
+    _save_manual_ckpt(path, t, {
+        "model_type": "internlm2", "vocab_size": V, "hidden_size": H,
+        "intermediate_size": I, "num_hidden_layers": L,
+        "num_attention_heads": heads, "num_key_value_heads": kvh,
+        "head_dim": d,
+    })
+    cfg = ModelConfig.from_pretrained(path)
+    cfg.dtype = "float32"
+    w = CheckpointLoader(cfg).load(path)
+    fused = t["model.layers.0.attention.wqkv.weight"].reshape(kvh, g + 2, d, H)
+    np.testing.assert_allclose(
+        np.asarray(w["q_proj"][0]),
+        fused[:, :g].reshape(heads * d, H).T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(w["k_proj"][0]),
+        fused[:, g:g + 1].reshape(kvh * d, H).T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(w["v_proj"][0]),
+        fused[:, g + 1:].reshape(kvh * d, H).T, rtol=1e-6)
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=32),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), w, econf)
+    out = eng.generate([1, 5, 9], GenerateConfig(
+        max_new_tokens=4, do_sample=False, ignore_eos=True))
+    assert len(out.output_token_ids) == 4
