@@ -214,6 +214,21 @@ class ModelConfig:
             cfg.image_token_id = hf.get("audio_token_index", 151646)
             cfg.vision_config = hf.get("audio_config")
             return cfg
+        if arch in ("qwen3_vl", "qwen3_vl_moe"):
+            # qwen3 LM + interleaved MRoPE + deepstack vision injection
+            tc = dict(hf.get("text_config") or {})
+            rs = tc.pop("rope_scaling", None) or {}
+            inner = "qwen3_moe" if arch == "qwen3_vl_moe" else "qwen3"
+            cfg = cls.from_hf_config({**tc, "model_type": inner}, inner)
+            cfg.model_type = mt
+            cfg.mrope_section = tuple(rs.get("mrope_section") or ())
+            cfg.rope_scaling = None
+            cfg.image_token_id = hf.get("image_token_id", 151655)
+            cfg.video_token_id = hf.get("video_token_id", 151656)
+            cfg.vision_start_token_id = hf.get("vision_start_token_id",
+                                               151652)
+            cfg.vision_config = hf.get("vision_config")
+            return cfg
         if arch == "qwen2_5_vl":  # qwen2-vl LM semantics, nested text_config
             tc = dict(hf.get("text_config") or hf)
             rs = tc.pop("rope_scaling", None) or hf.get("rope_scaling") or {}

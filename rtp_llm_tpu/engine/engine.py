@@ -1003,7 +1003,7 @@ class LlmEngine:
                 extra = (jnp.asarray([state_slot], np.int32),)
             if stream.mm is not None:
                 mm = stream.mm
-                h = self.model.cfg.hidden_size
+                h = mm.embeds.shape[-1]  # may pack deepstack channels
                 mm_len = mm.positions3.shape[1]
                 if p > mm_len:
                     # recompute covers generated tokens past the prompt: text
@@ -1115,11 +1115,15 @@ class LlmEngine:
             aids[r] = self._adapter_id_for(s)
             block_rows.append(jnp.asarray(bt[r]))
         fn = self._get_prefill_fn(bucket)
-        self.kv, logits = fn(
-            self.weights, self.kv,
-            jnp.asarray(toks), jnp.asarray(positions), jnp.asarray(bt),
-            jnp.asarray(kv_lens), jnp.asarray(q_offsets), jnp.asarray(aids),
-        )
+        from rtp_llm_tpu.utils.metrics import timed as _timed
+
+        with _timed("engine.prefill_group_ms"):
+            self.kv, logits = fn(
+                self.weights, self.kv,
+                jnp.asarray(toks), jnp.asarray(positions), jnp.asarray(bt),
+                jnp.asarray(kv_lens), jnp.asarray(q_offsets),
+                jnp.asarray(aids),
+            )
         # batched first-token sampling with per-row params
         rows = [ds.params_row_from_config(s.config, s.needs_eos_ban())
                 for s in group]
@@ -1862,11 +1866,13 @@ class LlmEngine:
                         kv_blocks=kvb,
                     )
             if n_multi > 1:
-                for kvb in self._kv_buckets:
-                    self.kv, self.state, _, _ = self._decode_multi_jit(
-                        self.weights, self.kv, self.state, True,
-                        n_steps=n_multi, kv_blocks=kvb,
-                    )
+                for need_sampling in (False, True):
+                    # greedy batches (temperature 0) run need_sampling=False
+                    for kvb in self._kv_buckets:
+                        self.kv, self.state, _, _ = self._decode_multi_jit(
+                            self.weights, self.kv, self.state, need_sampling,
+                            n_steps=n_multi, kv_blocks=kvb,
+                        )
             if self.spec.enabled:
                 self.kv, self.state, _, _ = self._verify_jit(
                     self.weights, self.kv, self.state,

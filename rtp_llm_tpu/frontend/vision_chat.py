@@ -54,6 +54,10 @@ class VisionChatHandler:
                 from rtp_llm_tpu.multimodal.vit_jax import Qwen25VisionTower
 
                 self._tower = Qwen25VisionTower(self.model_path)
+            elif self.cfg.model_type in ("qwen3_vl", "qwen3_vl_moe"):
+                from rtp_llm_tpu.multimodal.vit_jax import Qwen3VisionTower
+
+                self._tower = Qwen3VisionTower(self.model_path)
             else:
                 from rtp_llm_tpu.multimodal.vit_jax import JaxVisionTower
 

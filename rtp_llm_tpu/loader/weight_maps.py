@@ -719,6 +719,19 @@ def _llava_specs(cfg: ModelConfig) -> list[WeightSpec]:
             for sp in _llama_family_specs(cfg)]
 
 
+def _qwen3_vl_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """qwen3_vl: qwen3 LM under the ``model.language_model.`` prefix
+    (lm_head stays at root); the vision tower + deepstack mergers load in
+    multimodal/vit_jax.Qwen3VisionTower."""
+    out = []
+    for sp in _llama_family_specs(cfg):
+        pat = sp.hf_pattern
+        if pat.startswith("model."):
+            pat = "model.language_model." + pat[len("model."):]
+        out.append(dataclasses.replace(sp, hf_pattern=pat))
+    return out
+
+
 def _kimi_full_layers(cfg: ModelConfig) -> list:
     return [i for i, t in enumerate(cfg.layer_types or ())
             if t == "full_attention"]
@@ -1137,6 +1150,8 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3_next": _qwen3_next_specs,
     "qwen2_vl": _qwen2_vl_specs,
     "qwen2_5_vl": _qwen2_vl_specs,
+    "qwen3_vl": _qwen3_vl_specs,
+    "qwen3_vl_moe": _qwen3_vl_specs,
     "deepseek_v2": _deepseek_with_mtp_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,

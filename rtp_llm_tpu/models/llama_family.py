@@ -149,9 +149,12 @@ class LlamaFamilyModel:
             x = self._norm_at(weights, "embed_norm", x)
         if inputs.mm_embeds is not None:
             # splice precomputed vision embeddings over placeholder tokens
-            # (reference: MultimodalProcessor, cpp/multimodal_processor/)
+            # (reference: MultimodalProcessor, cpp/multimodal_processor/).
+            # qwen3_vl packs deepstack features as extra channels: the
+            # embedding override uses the first H only
             x = jnp.where(inputs.mm_mask[..., None],
-                          inputs.mm_embeds.astype(x.dtype), x)
+                          inputs.mm_embeds[..., : x.shape[-1]].astype(x.dtype),
+                          x)
         if cfg.scale_embeddings:  # gemma
             x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
         if "pos_embed" in weights:  # gpt_bigcode/starcoder: learned wpe
@@ -180,6 +183,7 @@ class LlamaFamilyModel:
             x, cache = self._layer(weights, cache, i, x, inputs, slots,
                                    kv_writes=kv_writes,
                                    gating_out=gating_out)
+            x = self._post_layer_hook(i, x, inputs)
 
         x = self._norm_at(weights, "final_norm", x)
 
@@ -224,6 +228,10 @@ class LlamaFamilyModel:
             if kv_writes is not None else None,
             moe_gating=jnp.stack(gating_out) if gating_out else None,
         ), cache
+
+    def _post_layer_hook(self, i, x, inputs):
+        """Subclass hook after layer i (qwen3_vl deepstack injection)."""
+        return x
 
     def _norm_at(self, w, name, x, i=None):
         """Apply the layer's norm; a ``<name>.bias`` entry selects full

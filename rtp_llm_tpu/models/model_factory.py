@@ -67,6 +67,16 @@ register_model("qwen2_vl", _make_qwen2_vl)
 register_model("qwen2_5_vl", _make_qwen2_vl)
 
 
+def _make_qwen3_vl(cfg: ModelConfig):
+    from rtp_llm_tpu.models.qwen2_vl import Qwen3VLModel
+
+    return Qwen3VLModel(cfg)
+
+
+register_model("qwen3_vl", _make_qwen3_vl)
+register_model("qwen3_vl_moe", _make_qwen3_vl)
+
+
 def _make_qwen3_next(cfg: ModelConfig):
     from rtp_llm_tpu.models.qwen3_next import QwenNextModel
 

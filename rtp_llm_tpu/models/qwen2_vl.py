@@ -49,3 +49,37 @@ class Qwen2VLModel(LlamaFamilyModel):
             )
             return apply_rope(x, shifted, self.cos, self.sin)
         return super()._apply_rope(x, inputs)
+
+
+class Qwen3VLModel(Qwen2VLModel):
+    """Qwen3-VL: qwen3 text stack (qk-norm) + INTERLEAVED MRoPE + deepstack
+    (reference: qwen3_vl registration; HF Qwen3VLTextRotaryEmbedding
+    apply_interleaved_mrope + Qwen3VLModel._deepstack_process).
+
+    Interleaved MRoPE reassigns rotation-pair streams as [T H W T H W ...]
+    instead of contiguous sections — expressed here as a different secmap.
+    Deepstack: the vision tower also emits K merged feature sets from early
+    blocks; mm_embeds packs them channel-wise ([T, H*(1+K)]) and the hidden
+    states of the first K layers get feature k added at visual positions.
+    """
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        sec = cfg.mrope_section or ()
+        half = cfg.head_dim // 2
+        secmap = np.zeros((half,), np.int32)  # default stream: T
+        if len(sec) == 3:
+            secmap[1: sec[1] * 3: 3] = 1  # H
+            secmap[2: sec[2] * 3: 3] = 2  # W
+        self.secmap = jnp.asarray(secmap)
+        ds = (cfg.vision_config or {}).get("deepstack_visual_indexes") or ()
+        self.num_deepstack = len(ds)
+
+    def _post_layer_hook(self, i, x, inputs: ModelInputs):
+        if (inputs.mm_mask is None or self.num_deepstack == 0
+                or i >= self.num_deepstack or inputs.mm_embeds is None):
+            return x
+        h = self.cfg.hidden_size
+        ds = inputs.mm_embeds[..., h * (1 + i): h * (2 + i)]
+        return jnp.where(inputs.mm_mask[..., None],
+                         x + ds.astype(x.dtype), x)

@@ -73,6 +73,11 @@ class MultimodalProcessor:
     def __init__(self, cfg):
         self.image_token_id = cfg.image_token_id
         self.hidden_size = cfg.hidden_size
+        # qwen3_vl deepstack: K extra feature sets pack channel-wise
+        ds = (getattr(cfg, "vision_config", None) or {}).get(
+            "deepstack_visual_indexes") or ()
+        if ds and cfg.model_type in ("qwen3_vl", "qwen3_vl_moe"):
+            self.hidden_size = cfg.hidden_size * (1 + len(ds))
 
     def prepare(self, token_ids: Sequence[int],
                 image_embeds: List[np.ndarray],
