@@ -73,7 +73,7 @@ def main():
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--steps", type=int, default=16)
     p.add_argument("--block-size", type=int, default=32)
-    p.add_argument("--variants", default="full,fwd,matmuls,sampler,lmhead")
+    p.add_argument("--variants", default="full,fwd,matmuls,sampler")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 

@@ -15,6 +15,38 @@ from typing import Any, Optional
 # Architecture aliases: model types that reuse another family's forward and
 # weight map wholesale (the reference registers these as distinct types in
 # rtp_llm/model_factory_register.py; here they normalize to one arch).
+# Reference-exact registered names (rtp_llm/model_factory_register.py) that
+# are spelling or role variants of families we implement. Mapped to our
+# canonical type before any other dispatch, so a user migrating from the
+# reference can keep their MODEL_TYPE value verbatim. Role-suffixed types
+# (-mtp / _eagle3 / _embedding / _tool) register the same trunk in the
+# reference too — the extra modules are selected by engine config there
+# (RtpLLMOp.cc:26-98) and by spec/embedding config here.
+REFERENCE_TYPE_ALIASES = {
+    "qwen_2": "qwen2",
+    "qwen_3": "qwen3",
+    "qwen_2_moe": "qwen2_moe",
+    "qwen_3_moe": "qwen3_moe",
+    "qwen_2-mtp": "qwen2",
+    "qwen_2_embedding": "qwen2",
+    "qwen_agent": "qwen",
+    "qwen_tool": "qwen",
+    "qwen_3_tool": "qwen3",
+    "qwen_v2_audio": "qwen2_audio",
+    "qwen35_moe_mtp": "qwen35_moe",
+    "qwen3_next_mtp": "qwen3_next",
+    "qwen_3_moe_eagle3": "qwen3_moe",
+    "deepseek2": "deepseek_v2",
+    "deepseek3": "deepseek_v3",
+    "deepseek-v3-mtp": "deepseek_v3",
+    "chatglm4": "glm4",
+    "glm_5": "glm4_moe",
+    "glm4_moe_lite": "glm4_moe",
+    "gpt_neox_13b": "gpt_neox",
+    "megatron-bert": "megatron_bert",  # HF config.json spelling
+    "cosyvoice_qwen": "qwen2",
+}
+
 ARCH_ALIASES = {
     "aquila": "llama",
     "xverse": "llama",
@@ -57,6 +89,9 @@ class ModelConfig:
     mlp_bias: bool = False
     # qwen3-style per-head q/k norms
     use_qk_norm: bool = False
+    # encoder family variant: "bert" (post-LN), "megatron" (pre-LN, final
+    # encoder ln), "jina" (ALiBi + gated-gelu + qk post-norm)
+    bert_variant: str = "bert"
     # activation: silu (llama family) | gelu_tanh (gemma/starcoder)
     hidden_act: str = "silu"
     # gemma: rmsnorm computes x * (1 + w); embeddings scaled by sqrt(hidden)
@@ -168,6 +203,7 @@ class ModelConfig:
         rtp_llm/models/{qwen_v2,llama,...}.py, but data-driven.
         """
         mt = model_type or hf.get("model_type", "qwen2")
+        mt = REFERENCE_TYPE_ALIASES.get(mt, mt)
         arch = ARCH_ALIASES.get(mt, mt)
         # gpt2-lineage configs (gpt_bigcode) use n_embd/n_layer/n_head; mpt
         # uses d_model/n_layers
@@ -278,6 +314,21 @@ class ModelConfig:
         if arch == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True
+        if arch == "megatron_bert":
+            # pre-LayerNorm bert (reference: models/megatron_bert.py —
+            # layernorm_type=pre_layernorm, no embedding LN, final encoder ln)
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
+            cfg.attention_bias = True
+            cfg.bert_variant = "megatron"
+        if arch == "jina_bert_code":
+            # reference: models/jina_bert/jina_bert.py — gated-gelu MLP,
+            # ALiBi (no position embeddings), qk post-norm
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
+            cfg.attention_bias = True
+            cfg.bert_variant = "jina"
+            cfg.use_alibi = True
+            cfg.use_qk_norm = True
+            cfg.intermediate_size = hf.get("intermediate_size", 4 * hidden)
         if arch in ("internlm", "yi"):
             # llama architecture; internlm v1 carries attention biases
             cfg.attention_bias = hf.get("bias", arch == "internlm")

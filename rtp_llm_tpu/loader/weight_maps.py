@@ -429,6 +429,85 @@ def _bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
     ]
 
 
+def _megatron_bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """Pre-LN bert (reference: models/megatron_bert_weight.py — attention.ln
+    as the pre-attn LN, layer.ln as the pre-MLP LN; HF MegatronBertModel adds
+    a final encoder.ln which the canonical map carries as final_norm)."""
+    L = "encoder.layer.{l}."
+
+    def t(name, pat, **kw):
+        return WeightSpec(name, pat, per_layer=True, **kw)
+
+    return [
+        WeightSpec("embed_tokens", "embeddings.word_embeddings.weight"),
+        WeightSpec("pos_embed", "embeddings.position_embeddings.weight"),
+        WeightSpec("type_embed", "embeddings.token_type_embeddings.weight"),
+        # no embeddings.LayerNorm: megatron moves every LN into the layers
+        t("attn_norm", L + "attention.ln.weight"),
+        t("attn_norm_bias", L + "attention.ln.bias"),
+        t("q_proj", L + "attention.self.query.weight", transpose=True, shard_axis="out"),
+        t("q_bias", L + "attention.self.query.bias", shard_axis="out"),
+        t("k_proj", L + "attention.self.key.weight", transpose=True, shard_axis="out"),
+        t("k_bias", L + "attention.self.key.bias", shard_axis="out"),
+        t("v_proj", L + "attention.self.value.weight", transpose=True, shard_axis="out"),
+        t("v_bias", L + "attention.self.value.bias", shard_axis="out"),
+        t("o_proj", L + "attention.output.dense.weight", transpose=True, shard_axis="in"),
+        t("o_bias", L + "attention.output.dense.bias"),
+        t("mlp_norm", L + "ln.weight"),
+        t("mlp_norm_bias", L + "ln.bias"),
+        t("up_proj", L + "intermediate.dense.weight", transpose=True, shard_axis="out"),
+        t("up_bias", L + "intermediate.dense.bias", shard_axis="out"),
+        t("down_proj", L + "output.dense.weight", transpose=True, shard_axis="in"),
+        t("down_bias", L + "output.dense.bias"),
+        WeightSpec("final_norm", "encoder.ln.weight"),
+        WeightSpec("final_norm_bias", "encoder.ln.bias"),
+        WeightSpec("pooler", "pooler.dense.weight", transpose=True, optional=True),
+        WeightSpec("pooler_bias", "pooler.dense.bias", optional=True),
+    ]
+
+
+def _jina_bert_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """jina-bert-v2 qk-post-norm (reference:
+    models/jina_bert/jina_bert_weight.py): no positional embeddings (ALiBi),
+    LayerNorm on q/k projections, gated-gelu MLP stored as one fused
+    ``up_gated_layer`` = [up | gate] row blocks (the reference slices
+    up=block 0, gate=block 1 into ffn_w3/ffn_w1)."""
+    L = "encoder.layer.{l}."
+
+    def t(name, pat, **kw):
+        return WeightSpec(name, pat, per_layer=True, **kw)
+
+    return [
+        WeightSpec("embed_tokens", "embeddings.word_embeddings.weight"),
+        WeightSpec("type_embed", "embeddings.token_type_embeddings.weight"),
+        WeightSpec("embed_norm", "embeddings.LayerNorm.weight"),
+        WeightSpec("embed_norm_bias", "embeddings.LayerNorm.bias"),
+        t("q_proj", L + "attention.self.query.weight", transpose=True, shard_axis="out"),
+        t("q_bias", L + "attention.self.query.bias", shard_axis="out"),
+        t("k_proj", L + "attention.self.key.weight", transpose=True, shard_axis="out"),
+        t("k_bias", L + "attention.self.key.bias", shard_axis="out"),
+        t("v_proj", L + "attention.self.value.weight", transpose=True, shard_axis="out"),
+        t("v_bias", L + "attention.self.value.bias", shard_axis="out"),
+        t("q_norm", L + "attention.self.layer_norm_q.weight"),
+        t("q_norm_bias", L + "attention.self.layer_norm_q.bias"),
+        t("k_norm", L + "attention.self.layer_norm_k.weight"),
+        t("k_norm_bias", L + "attention.self.layer_norm_k.bias"),
+        t("o_proj", L + "attention.output.dense.weight", transpose=True, shard_axis="in"),
+        t("o_bias", L + "attention.output.dense.bias"),
+        t("attn_norm", L + "attention.output.LayerNorm.weight"),
+        t("attn_norm_bias", L + "attention.output.LayerNorm.bias"),
+        t("mlp_pre_norm", L + "layer_norm_1.weight"),
+        t("mlp_pre_norm_bias", L + "layer_norm_1.bias"),
+        # not TP-shardable on 'out': columns are [up | gate] halves and a
+        # column split would straddle the concat boundary
+        t("up_gate_proj", L + "mlp.up_gated_layer.weight", transpose=True),
+        t("down_proj", L + "mlp.down_layer.weight", transpose=True, shard_axis="in"),
+        t("down_bias", L + "mlp.down_layer.bias"),
+        t("mlp_norm", L + "layer_norm_2.weight"),
+        t("mlp_norm_bias", L + "layer_norm_2.bias"),
+    ]
+
+
 def _mtp_layers(cfg: ModelConfig) -> list:
     return [cfg.num_layers]  # HF stores MTP as layer index num_hidden_layers
 
@@ -1155,6 +1234,8 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "deepseek_v2": _deepseek_with_mtp_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
+    "megatron_bert": _megatron_bert_specs,
+    "jina_bert_code": _jina_bert_specs,
     "internlm": _llama_family_specs,
     "internlm2": _internlm2_specs,
     "yi": _llama_family_specs,
@@ -1192,6 +1273,13 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen35_dense": _llama_family_specs,
     "qwen35_moe": _llama_family_specs,
 }
+
+
+from rtp_llm_tpu.config.model_config import REFERENCE_TYPE_ALIASES as _REF_ALIASES
+
+for _alias, _target in _REF_ALIASES.items():
+    if _target in _FAMILY_BUILDERS:
+        _FAMILY_BUILDERS[_alias] = _FAMILY_BUILDERS[_target]
 
 
 def register_weight_specs(model_type: str, builder: Callable[[ModelConfig], list[WeightSpec]]):

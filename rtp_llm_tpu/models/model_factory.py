@@ -93,6 +93,19 @@ def _make_bert(cfg: ModelConfig):
 
 
 register_model("bert", _make_bert)
+# encoder variants share the BertModel forward, selected by cfg.bert_variant
+# (reference: models/megatron_bert.py, models/jina_bert/jina_bert.py)
+register_model("megatron_bert", _make_bert)
+register_model("jina_bert_code", _make_bert)
+
+
+# Reference-exact type spellings resolve to the same factories
+# (config/model_config.py REFERENCE_TYPE_ALIASES documents each mapping).
+from rtp_llm_tpu.config.model_config import REFERENCE_TYPE_ALIASES
+
+for _alias, _target in REFERENCE_TYPE_ALIASES.items():
+    if _target in _REGISTRY:
+        register_model(_alias, _REGISTRY[_target])
 
 
 def create_model(cfg: ModelConfig):

@@ -54,6 +54,108 @@ def test_encode_matches_hf(bert_ckpt):
     np.testing.assert_allclose(ours[m], theirs[m], rtol=3e-4, atol=3e-4)
 
 
+def test_megatron_bert_matches_hf(tmp_path):
+    """Pre-LN variant (reference: models/megatron_bert.py) vs HF
+    MegatronBertModel token-for-token."""
+    import torch
+    from transformers import MegatronBertConfig, MegatronBertModel
+
+    torch.manual_seed(1)
+    hf_cfg = MegatronBertConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64, type_vocab_size=2,
+    )
+    m = MegatronBertModel(hf_cfg)
+    m.eval()
+    path = str(tmp_path)
+    m.save_pretrained(path, safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.model_type == "megatron_bert" and cfg.bert_variant == "megatron"
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(path)
+    assert "embed_norm" not in weights and "final_norm" in weights
+    model = create_model(cfg)
+
+    tokens = [[2, 45, 9, 17, 88, 3], [5, 6, 7, 3, 0, 0]]
+    mask = [[1, 1, 1, 1, 1, 1], [1, 1, 1, 1, 0, 0]]
+    ours = np.asarray(model.encode(
+        weights, jnp.asarray(tokens, jnp.int32), jnp.asarray(mask, jnp.int32)))
+    with torch.no_grad():
+        theirs = m(torch.tensor(tokens),
+                   attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(ours[valid], theirs[valid], rtol=3e-4, atol=3e-4)
+
+
+def test_jina_bert_variant(tmp_path):
+    """jina-bert-v2 qk-post-norm structure (reference:
+    models/jina_bert/jina_bert_weight.py): ALiBi (no positional embeddings),
+    q/k LayerNorms, fused up_gated gelu MLP. No HF class exists in
+    transformers, so this checks load + forward structure: translation
+    sensitivity must come only from ALiBi (shifting the window changes
+    nothing), and the gated split ordering is exercised."""
+    import json
+    import numpy as _np
+    from safetensors.numpy import save_file
+
+    rng = _np.random.default_rng(0)
+    H, I, L, V = 32, 64, 2, 64
+
+    def lin(i, o):
+        return rng.standard_normal((o, i), dtype=_np.float32) * 0.05
+
+    tensors = {
+        "embeddings.word_embeddings.weight": rng.standard_normal((V, H)).astype(_np.float32) * 0.05,
+        "embeddings.token_type_embeddings.weight": _np.zeros((2, H), _np.float32),
+        "embeddings.LayerNorm.weight": _np.ones((H,), _np.float32),
+        "embeddings.LayerNorm.bias": _np.zeros((H,), _np.float32),
+    }
+    for l in range(L):
+        p = f"encoder.layer.{l}."
+        for nm, shp in [("attention.self.query", (H, H)),
+                        ("attention.self.key", (H, H)),
+                        ("attention.self.value", (H, H)),
+                        ("attention.output.dense", (H, H))]:
+            tensors[p + nm + ".weight"] = lin(*shp)
+            tensors[p + nm + ".bias"] = _np.zeros((shp[1],), _np.float32)
+        for nm in ["attention.self.layer_norm_q", "attention.self.layer_norm_k",
+                   "attention.output.LayerNorm", "layer_norm_1", "layer_norm_2"]:
+            tensors[p + nm + ".weight"] = _np.ones((H,), _np.float32)
+            tensors[p + nm + ".bias"] = _np.zeros((H,), _np.float32)
+        tensors[p + "mlp.up_gated_layer.weight"] = lin(H, 2 * I)
+        tensors[p + "mlp.down_layer.weight"] = lin(I, H)
+        tensors[p + "mlp.down_layer.bias"] = _np.zeros((H,), _np.float32)
+    path = str(tmp_path)
+    save_file(tensors, path + "/model.safetensors")
+    with open(path + "/config.json", "w") as f:
+        json.dump({"model_type": "bert", "vocab_size": V, "hidden_size": H,
+                   "num_hidden_layers": L, "num_attention_heads": 4,
+                   "intermediate_size": I, "layer_norm_eps": 1e-12}, f)
+
+    cfg = ModelConfig.from_pretrained(path, model_type="jina_bert_code")
+    assert cfg.bert_variant == "jina" and cfg.use_alibi
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(path)
+    assert "pos_embed" not in weights and weights["up_gate_proj"].shape == (L, H, 2 * I)
+    model = create_model(cfg)
+
+    toks = jnp.asarray([[2, 45, 9, 17]], jnp.int32)
+    mask = jnp.ones_like(toks)
+    out = np.asarray(model.encode(weights, toks, mask))
+    assert out.shape == (1, 4, H) and np.isfinite(out).all()
+    # No positional embeddings + symmetric ALiBi (|i-j|) => the encoder is
+    # equivariant to sequence reversal: encode(reverse) == reverse(encode).
+    rev = np.asarray(model.encode(
+        weights, jnp.asarray([[17, 9, 45, 2]], jnp.int32), mask))
+    np.testing.assert_allclose(rev[0, ::-1], out[0], rtol=2e-5, atol=2e-5)
+    # ...and the ALiBi bias is actually live: disabling slopes changes output
+    model._slopes = None
+    no_bias = np.asarray(model.encode(weights, toks, mask))
+    assert not np.allclose(no_bias, out)
+
+
 def test_embed_pooling(bert_ckpt):
     path, _ = bert_ckpt
     cfg = ModelConfig.from_pretrained(path)

@@ -91,3 +91,26 @@ def test_cli_model_tag():
     cfg = parse_engine_config(["/path/to/model", "--server-port", "9000"])
     assert cfg.server.model_path == "/path/to/model"
     assert cfg.server.port == 9000
+
+
+def test_reference_type_aliases_resolve():
+    """Reference-exact MODEL_TYPE spellings (rtp_llm/model_factory_register.py)
+    normalize to our canonical families across config, weight map, and
+    factory registries."""
+    from rtp_llm_tpu.config.model_config import (
+        ModelConfig, REFERENCE_TYPE_ALIASES,
+    )
+    from rtp_llm_tpu.loader.weight_maps import _FAMILY_BUILDERS
+    from rtp_llm_tpu.models.model_factory import _REGISTRY
+
+    cfg = ModelConfig.from_hf_config(
+        {"model_type": "qwen_2", "vocab_size": 64, "hidden_size": 32,
+         "num_hidden_layers": 2, "num_attention_heads": 4,
+         "intermediate_size": 64}, None)
+    assert cfg.model_type == "qwen2" and cfg.attention_bias
+    for alias, target in REFERENCE_TYPE_ALIASES.items():
+        # every alias whose target family exists must be serveable end-to-end
+        if target in _FAMILY_BUILDERS:
+            assert alias in _FAMILY_BUILDERS, alias
+        if target in _REGISTRY:
+            assert alias in _REGISTRY, alias
