@@ -179,6 +179,27 @@ def main():
             return kv, state, toks
         return jax.jit(f, donate_argnums=(1, 2))
 
+    def fwd_noattn_k(K):
+        """Real forward with the attention op replaced by identity (q
+        passthrough): fwd - fwd_noattn = in-program attention cost;
+        fwd_noattn - matmuls = rope/norms/embeds/reshapes overhead."""
+        import rtp_llm_tpu.models.llama_family as lf
+        real = lf.paged_attention
+
+        def stub(q, k_cache, v_cache, block_tables, kv_lens, q_offsets,
+                 sm_scale, **kw):
+            return q
+
+        fwd = fwd_only_k(K)
+
+        def f(weights, kv, state):
+            lf.paged_attention = stub
+            try:
+                return fwd(weights, kv, state)
+            finally:
+                lf.paged_attention = real
+        return f
+
     def matmuls_k(K):
         def mm_only(weights, x):
             def body(x, _):
@@ -206,11 +227,15 @@ def main():
             def body(acc, _):
                 q = q0 + (acc * 0).astype(q0.dtype)
                 for i in range(mc.num_layers):
+                    # full_cache mode, like the engine's forward: the kernel
+                    # DMAs at a static layer offset (per-layer kv[i, 0]
+                    # slices would materialize slab copies XLA-side)
                     o = paged_attention(
                         q, kv[i, 0], kv[i, 1],
                         state.block_tables, state.kv_lens, state.kv_lens - 1,
                         mc.head_dim ** -0.5, block_size=args.block_size,
                         backend=model.attn_backend,
+                        full_cache=kv, layer=i,
                     )
                     acc = acc + o.astype(jnp.float32).mean()
                 return acc, None
@@ -220,8 +245,9 @@ def main():
         return jax.jit(attn_only)
 
     def kvwrite_k(K):
-        """Per-layer KV writes only (slice + scatter + slab write-back)."""
-        from rtp_llm_tpu.ops.kv_cache import token_slots, write_kv
+        """Per-layer KV writes only (direct 3D scatters on the donated pool,
+        matching the engine's in-layer write path)."""
+        from rtp_llm_tpu.ops.kv_cache import token_slots
 
         def f(kv, state, rows_k, rows_v):
             def body(carry, _):
@@ -232,10 +258,13 @@ def main():
                     st.kv_lens[:, None], st.block_tables,
                     args.block_size, active[:, None],
                 ).reshape(-1)
+                k2d = rows_k.reshape(-1, rows_k.shape[-2] * rows_k.shape[-1])
+                v2d = rows_v.reshape(-1, rows_v.shape[-2] * rows_v.shape[-1])
                 for i in range(mc.num_layers):
-                    kc, vc = kv[i, 0], kv[i, 1]
-                    kc, vc = write_kv(kc, vc, rows_k, rows_v, slots)
-                    kv = kv.at[i, 0].set(kc).at[i, 1].set(vc)
+                    kv = (kv.at[i, 0, slots].set(k2d.astype(kv.dtype),
+                                                 mode="drop")
+                            .at[i, 1, slots].set(v2d.astype(kv.dtype),
+                                                 mode="drop"))
                 st = st._replace(kv_lens=kv_lens_new)
                 return (kv, st), None
             (kv, state), _ = jax.lax.scan(body, (kv, state), None, length=K)
@@ -272,6 +301,8 @@ def main():
                           "kvstate"),
         "fwd_nosample": lambda K: (
             functools.partial(fwd_nosample_k(K), weights), "kvstate"),
+        "fwd_noattn": lambda K: (
+            functools.partial(fwd_noattn_k(K), weights), "kvstate"),
         "matmuls": lambda K: (matmuls_k(K), "x"),
         "attn": lambda K: (attn_k(K), "attn"),
         "kvwrite": lambda K: (kvwrite_k(K), "kvrows"),

@@ -84,6 +84,8 @@ class DiskKVTier:
         os.makedirs(path, exist_ok=True)
         self._index: OrderedDict[int, int] = OrderedDict()  # hash -> nbytes
         self._bytes = 0
+        # next-tier demotion hook (TieredKVStore wires the remote tier here)
+        self.evict_sink = None
         for fname in sorted(
             os.listdir(path),
             key=lambda f: os.path.getmtime(os.path.join(path, f)),
@@ -128,6 +130,14 @@ class DiskKVTier:
         while self._bytes + nb > self.capacity and self._index:
             old, old_nb = self._index.popitem(last=False)
             self._bytes -= old_nb
+            if self.evict_sink is not None:
+                try:
+                    with np.load(self._file(old)) as z:
+                        flat = {k: z[k] for k in z.files}
+                    self.evict_sink(
+                        old, flat["kv"] if set(flat) == {"kv"} else flat)
+                except (OSError, ValueError):
+                    pass
             try:
                 os.remove(self._file(old))
             except OSError:
@@ -150,24 +160,39 @@ class DiskKVTier:
 
 
 class TieredKVStore:
-    """host-RAM LRU in front of a disk LRU (reference:
-    KVCacheConnectorCoordinator chaining memory -> disk -> remote
-    connectors). Host evictions demote to disk; disk hits promote back."""
+    """host-RAM LRU in front of a disk LRU, optionally backed by a shared
+    remote store (reference: KVCacheConnectorCoordinator chaining
+    memory -> disk -> remote connectors). Evictions demote down the chain;
+    hits promote back to RAM. Any level may be None (skipped)."""
 
-    def __init__(self, host: HostKVTier, disk: DiskKVTier):
+    def __init__(self, host: HostKVTier, disk: DiskKVTier | None,
+                 remote=None):
         self.host = host
         self.disk = disk
-        host.evict_sink = self.disk.put
+        self.remote = remote  # RemoteKVTier (cache/remote_tier.py)
+        if disk is not None:
+            host.evict_sink = disk.put
+            if remote is not None:
+                disk.evict_sink = remote.put
+        elif remote is not None:
+            host.evict_sink = remote.put
+
+    @property
+    def _levels(self):
+        return [t for t in (self.host, self.disk, self.remote)
+                if t is not None]
 
     def __len__(self) -> int:
-        return len(self.host) + len(self.disk)
+        # remote length is not enumerable client-side; count local levels
+        return sum(len(t) for t in (self.host, self.disk) if t is not None)
 
     def __contains__(self, h: int) -> bool:
-        return h in self.host or h in self.disk
+        return any(h in t for t in self._levels)
 
     @property
     def used_bytes(self) -> int:
-        return self.host.used_bytes + self.disk.used_bytes
+        return sum(t.used_bytes for t in (self.host, self.disk)
+                   if t is not None)
 
     def put(self, h: int, rows) -> None:
         self.host.put(h, rows)
@@ -176,7 +201,11 @@ class TieredKVStore:
         rows = self.host.get(h)
         if rows is not None:
             return rows
-        rows = self.disk.get(h)
-        if rows is not None:
-            self.host.put(h, rows)  # promote
-        return rows
+        for t in (self.disk, self.remote):
+            if t is None:
+                continue
+            rows = t.get(h)
+            if rows is not None:
+                self.host.put(h, rows)  # promote
+                return rows
+        return None

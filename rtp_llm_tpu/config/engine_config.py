@@ -107,6 +107,10 @@ class CacheConfig:
     # survives restarts. Requires host_cache_mb > 0.
     disk_cache_path: str = ""
     disk_cache_mb: int = 0
+    # shared remote cache-store URL (reference: remote connector /
+    # cache-store service); "" = off. Chains after the disk tier (or after
+    # host RAM if no disk tier). Requires host_cache_mb > 0.
+    remote_cache_url: str = ""
 
 
 @dataclasses.dataclass

@@ -76,15 +76,23 @@ class LlmEngine:
             from rtp_llm_tpu.cache.host_tier import HostKVTier
 
             tier = HostKVTier(cc.host_cache_mb << 20)
-            if cc.disk_cache_path and cc.disk_cache_mb > 0:
-                # mem -> disk tier chain (reference: connector coordinator)
+            if ((cc.disk_cache_path and cc.disk_cache_mb > 0)
+                    or cc.remote_cache_url):
+                # mem -> disk -> remote tier chain (reference: connector
+                # coordinator; remote = cache-store service analog)
                 from rtp_llm_tpu.cache.host_tier import (
                     DiskKVTier, TieredKVStore,
                 )
 
-                tier = TieredKVStore(
-                    tier, DiskKVTier(cc.disk_cache_path,
-                                     cc.disk_cache_mb << 20))
+                disk = (DiskKVTier(cc.disk_cache_path, cc.disk_cache_mb << 20)
+                        if cc.disk_cache_path and cc.disk_cache_mb > 0
+                        else None)
+                remote = None
+                if cc.remote_cache_url:
+                    from rtp_llm_tpu.cache.remote_tier import RemoteKVTier
+
+                    remote = RemoteKVTier(cc.remote_cache_url)
+                tier = TieredKVStore(tier, disk, remote)
             self.cache_mgr.host_tier = tier
             self.cache_mgr.evict_hook = self._block_rows_to_host
         self.scheduler = FIFOScheduler(sc, self.cache_mgr)

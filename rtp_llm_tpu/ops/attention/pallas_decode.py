@@ -447,8 +447,15 @@ def paged_decode_attention(
             "int8-KV pallas decode requires the fullrow path "
             "(dispatch gates on this)")
     if fullrow:
-        # buffer depth: keep ~<=12 MiB of VMEM for row buffers
-        nbf = max(2, min(4, (12 << 20) // max(2 * mb * bs * hd * 2, 1)))
+        # buffer depth: keep ~<=RTP_FULLROW_VMEM_MB (default 12) MiB of VMEM
+        # for row buffers. Measured on v5e (b=64, 768-token bucket): deeper
+        # rings are noise at block 64 (2.85 vs 2.89 ms/step nb8 vs nb4) and
+        # NEGATIVE at block 32 (3.79 vs 3.60) — the kernel is DMA-issue-rate
+        # bound, not depth bound, so 4 buffers is the sweet spot.
+        vmem_mb = int(_os.environ.get("RTP_FULLROW_VMEM_MB", "12"))
+        nbf = max(2, min(8, (vmem_mb << 20) // max(2 * mb * bs * hd * 2, 1)))
+        if _os.environ.get("RTP_FULLROW_NB"):
+            nbf = int(_os.environ["RTP_FULLROW_NB"])
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,
