@@ -119,7 +119,8 @@ def _parse_args():
     p.add_argument("--multi-steps", type=int, default=16,
                    help="decode iterations fused per dispatch (scheduler.decode_steps)")
     p.add_argument("--warmup-steps", type=int, default=8)
-    p.add_argument("--block-size", type=int, default=32)
+    p.add_argument("--block-size", type=int, default=64)  # fewer, larger KV
+    # DMAs: the fullrow decode kernel is DMA-issue-rate bound (PERF_NOTES)
     p.add_argument("--defer-kv", action="store_true",
                    help="batch all layers' decode KV writes into one scatter")
     p.add_argument("--kv", default="bf16", choices=["bf16", "int8"],

@@ -115,6 +115,7 @@ def main():
         quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
     )
     eng = LlmEngine(model, weights, econf)
+    weights = eng.weights  # engine may have applied load-time QKV fusion
 
     # synthetic decode state: slot i active at kv_len=prompt_len with a
     # disjoint block range (KV contents are garbage — irrelevant for timing)
@@ -201,17 +202,29 @@ def main():
         return f
 
     def matmuls_k(K):
+        hqd = mc.num_attention_heads * mc.head_dim
+
         def mm_only(weights, x):
             def body(x, _):
                 for i in range(mc.num_layers):
-                    q = model._linear(weights, "q_proj", i, x)
-                    k = model._linear(weights, "k_proj", i, x)
-                    v = model._linear(weights, "v_proj", i, x)
-                    a = q + (k.sum(-1, keepdims=True)
-                             + v.sum(-1, keepdims=True)).astype(q.dtype)
+                    if "qkv_proj" in weights:  # load-time fusion applied
+                        qkv = model._linear(weights, "qkv_proj", i, x)
+                        q = qkv[..., :hqd]
+                        rest = qkv[..., hqd:]
+                        a = q + rest.sum(-1, keepdims=True).astype(q.dtype)
+                    else:
+                        q = model._linear(weights, "q_proj", i, x)
+                        k = model._linear(weights, "k_proj", i, x)
+                        v = model._linear(weights, "v_proj", i, x)
+                        a = q + (k.sum(-1, keepdims=True)
+                                 + v.sum(-1, keepdims=True)).astype(q.dtype)
                     x = model._linear(weights, "o_proj", i, a)
-                    g = model._linear(weights, "gate_proj", i, x)
-                    u = model._linear(weights, "up_proj", i, x)
+                    if "gate_up_proj" in weights:
+                        gu = model._linear(weights, "gate_up_proj", i, x)
+                        g, u = jnp.split(gu, 2, axis=-1)
+                    else:
+                        g = model._linear(weights, "gate_proj", i, x)
+                        u = model._linear(weights, "up_proj", i, x)
                     x = model._linear(weights, "down_proj", i,
                                       jax.nn.silu(g) * u)
                     x = jnp.tanh(x)  # keep magnitudes sane across iterations

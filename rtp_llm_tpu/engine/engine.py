@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from functools import partial
 from typing import List, Optional
@@ -54,6 +55,17 @@ class LlmEngine:
         self.weights = weights
         self.config = config
         self.mesh = mesh
+        # load-time QKV / gate|up fusion (models/llama_family.fuse_weights):
+        # single-device only (under TP the per-tensor shardings stay clean
+        # for GSPMD) and off when LoRA targets the unfused names
+        self.fuse_eligible = (
+            (mesh is None or mesh.devices.size == 1)
+            and not config.server.lora_adapters
+            and hasattr(model, "fuse_weights")
+            and not os.environ.get("RTP_DISABLE_WEIGHT_FUSION")
+        )
+        if self.fuse_eligible:
+            self.weights = model.fuse_weights(self.weights)
         mc = model.cfg
         sc = config.scheduler
         cc = config.cache
@@ -362,6 +374,10 @@ class LlmEngine:
         pack = self.lora_manager.device_pack() if self.lora_manager else {}
         with self.device_lock:
             w = {k: v for k, v in self.weights.items() if ".lora_" not in k}
+            if pack and ("qkv_proj" in w or "gate_up_proj" in w):
+                # dynamic adapters target the per-tensor names: undo the
+                # load-time fusion (exact last-axis splits)
+                w = self.model.unfuse_weights(w)
             w.update(pack)
             self.weights = w
 

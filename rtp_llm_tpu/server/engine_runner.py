@@ -96,6 +96,10 @@ class EngineRunner:
         new_weights = CheckpointLoader(
             eng.model.cfg, transform=transform, shard_fn=shard_fn
         ).load(model_path)
+        if eng.fuse_eligible and not (
+            eng.lora_manager and eng.lora_manager.names()
+        ):
+            new_weights = eng.model.fuse_weights(new_weights)
         with eng.device_lock:
             eng.weights = new_weights
         logger.info("weights updated from %s", model_path)

@@ -45,18 +45,44 @@ class WorkerState:
 
 class Router:
     def __init__(self, workers: List[str], poll_interval: float = 1.0,
-                 tokenizer_path: str = "", cache_weight: float = 4.0):
+                 tokenizer_path: str = "", cache_weight: float = 4.0,
+                 self_address: str = "", peers: Optional[List[str]] = None):
         self.workers: Dict[str, WorkerState] = {
             w: WorkerState(w) for w in workers
         }
         self.poll_interval = poll_interval
         self.cache_weight = cache_weight  # score per matched prefix block
         self._session: Optional[aiohttp.ClientSession] = None
+        # ---- master election (reference: FlexLB master election; the Java
+        # LB elects one scheduler owner so load accounting has one brain).
+        # Leaderless rule: of all ALIVE routers, the lexicographically
+        # smallest address is master; every replica derives this locally
+        # from peer health polls, so failover is automatic and split-brain
+        # resolves as soon as both see the same peer set. Non-masters
+        # forward requests to the master (one hop, loop-guarded).
+        self.self_address = self_address
+        self.peers: Dict[str, bool] = {
+            p: False for p in (peers or []) if p and p != self_address
+        }
         self._tok = None
         if tokenizer_path:
             from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
 
             self._tok = TokenizerFactory.create(tokenizer_path)
+
+    @property
+    def master_address(self) -> str:
+        """Lowest alive router address (self is always alive)."""
+        cands = [p for p, ok in self.peers.items() if ok]
+        if self.self_address:
+            cands.append(self.self_address)
+        return min(cands) if cands else ""
+
+    @property
+    def is_master(self) -> bool:
+        return (not self.peers
+                or not self.self_address
+                or self.master_address == self.self_address)
 
     async def start(self):
         self._session = aiohttp.ClientSession()
@@ -64,8 +90,21 @@ class Router:
 
     async def _poll_loop(self):
         while True:
-            await asyncio.gather(*(self._poll(w) for w in self.workers.values()))
+            await asyncio.gather(
+                *(self._poll(w) for w in self.workers.values()),
+                *(self._poll_peer(p) for p in self.peers),
+            )
             await asyncio.sleep(self.poll_interval)
+
+    async def _poll_peer(self, addr: str):
+        try:
+            async with self._session.get(
+                f"http://{addr}/router_status",
+                timeout=aiohttp.ClientTimeout(total=2),
+            ) as resp:
+                self.peers[addr] = resp.status == 200
+        except Exception:
+            self.peers[addr] = False
 
     async def _poll(self, w: WorkerState):
         try:
@@ -159,6 +198,15 @@ class Router:
 
     async def proxy(self, request: web.Request) -> web.StreamResponse:
         body = await request.read()
+        # non-master replicas forward to the elected master so one brain
+        # does the load accounting; the hop header guards against ping-pong
+        # while two replicas transiently disagree on the election
+        if (not self.is_master and "X-RTP-Router-Hop" not in request.headers
+                and self.master_address):
+            try:
+                return await self._forward_to_master(request, body)
+            except Exception:
+                self.peers[self.master_address] = False  # failover now
         hashes = (
             self._prompt_hashes(body, request.path)
             if request.path.endswith("completions") else []
@@ -186,8 +234,31 @@ class Router:
         finally:
             w.inflight -= 1
 
+    async def _forward_to_master(self, request: web.Request,
+                                 body: bytes) -> web.StreamResponse:
+        headers = {"Content-Type": request.content_type or "application/json",
+                   "X-RTP-Router-Hop": "1"}
+        async with self._session.request(
+            request.method,
+            f"http://{self.master_address}{request.path_qs}",
+            data=body, headers=headers,
+            timeout=aiohttp.ClientTimeout(total=600),
+        ) as upstream:
+            resp = web.StreamResponse(
+                status=upstream.status, headers=upstream.headers.copy()
+            )
+            await resp.prepare(request)
+            async for chunk in upstream.content.iter_any():
+                await resp.write(chunk)
+            await resp.write_eof()
+            return resp
+
     async def status(self, request: web.Request):
         return web.json_response({
+            "self": self.self_address,
+            "master": self.master_address or self.self_address,
+            "is_master": self.is_master,
+            "peers": dict(self.peers),
             "workers": {
                 a: {
                     "alive": w.alive,
@@ -219,10 +290,16 @@ def main():
     p.add_argument("--tokenizer-path", default="",
                    help="tokenizer dir for cache-aware routing of text prompts")
     p.add_argument("--cache-weight", type=float, default=4.0)
+    p.add_argument("--self-address", default="",
+                   help="this router's host:port (enables master election)")
+    p.add_argument("--peers", default="",
+                   help="comma-separated peer router host:port list")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     router = Router(args.workers.split(","), tokenizer_path=args.tokenizer_path,
-                    cache_weight=args.cache_weight)
+                    cache_weight=args.cache_weight,
+                    self_address=args.self_address,
+                    peers=[p for p in args.peers.split(",") if p])
     web.run_app(router.build_app(), host=args.host, port=args.port, print=None)
 
 

@@ -187,3 +187,61 @@ def test_cache_status_diff_journal(tmp_path):
     assert big is not None
     d3 = mgr.cache_hash_diff(d2["version"])
     assert d3["removed"], "evictions must publish removals"
+
+
+def test_master_election_and_failover():
+    """FlexLB master-election analog: of all alive router replicas the
+    lowest address is master; non-masters forward requests to it (one hop,
+    loop-guarded), and a dead master fails over automatically."""
+    asyncio.run(_run_election())
+
+
+async def _run_election():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.router import Router
+
+    backend = TestServer(_stub_backend("w1", available=8))
+    await backend.start_server()
+    workers = [f"{backend.host}:{backend.port}"]
+
+    # two router replicas that know each other
+    r1 = Router(workers, poll_interval=0.1)
+    r2 = Router(workers, poll_interval=0.1)
+    s1 = TestServer(r1.build_app())
+    s2 = TestServer(r2.build_app())
+    await s1.start_server()
+    await s2.start_server()
+    a1 = f"{s1.host}:{s1.port}"
+    a2 = f"{s2.host}:{s2.port}"
+    r1.self_address, r1.peers = a1, {a2: False}
+    r2.self_address, r2.peers = a2, {a1: False}
+    c1 = TestClient(s1)
+    c2 = TestClient(s2)
+    try:
+        await asyncio.sleep(0.5)  # poll loops discover peers + workers
+        st1 = await (await c1.get("/router_status")).json()
+        st2 = await (await c2.get("/router_status")).json()
+        master = min(a1, a2)
+        assert st1["master"] == master == st2["master"]
+        assert (st1["is_master"] if st1["self"] == master
+                else st2["is_master"])
+        # a request to the NON-master is forwarded and still served
+        non_master_client = c2 if master == a1 else c1
+        r = await non_master_client.post("/v1/completions",
+                                         json={"prompt": [1]})
+        assert r.status == 200
+        assert (await r.json())["served_by"] == "w1"
+        # failover: kill the master replica; the survivor elects itself
+        dead_server, surv_router, surv_client = (
+            (s1, r2, c2) if master == a1 else (s2, r1, c1))
+        await dead_server.close()
+        await asyncio.sleep(0.5)
+        st = await (await surv_client.get("/router_status")).json()
+        assert st["is_master"] and st["master"] == surv_router.self_address
+        r = await surv_client.post("/v1/completions", json={"prompt": [1]})
+        assert r.status == 200
+    finally:
+        await c1.close()
+        await c2.close()
+        await backend.close()
