@@ -59,8 +59,9 @@ def build_device_weights(cfg, quant, mesh=None):
     from rtp_llm_tpu.loader.fake_checkpoint import _hf_shape
     from rtp_llm_tpu.loader.weight_maps import get_weight_specs
 
-    quantize_int8 = quant in ("int8", "int4")
+    quantize_int8 = quant in ("int8", "int4", "fp4")
     group = 128  # int4 groupwise scale granularity
+    fp4_group = 32  # e2m1 group granularity (quant/weight_only.FP4_GROUP)
     plan = []  # (name, full_shape, kind)
     for spec in get_weight_specs(cfg):
         shape = _hf_shape(spec.name, cfg)
@@ -86,7 +87,16 @@ def build_device_weights(cfg, quant, mesh=None):
         out = {}
         for name, full, kind in plan:
             key, sub = jax.random.split(key)
-            if kind == "int8" and quant == "int4":
+            if kind == "int8" and quant == "fp4":
+                # packed e2m1 codes (2/byte) + groupwise scales
+                out[name] = jax.random.randint(
+                    sub, full[:-2] + (full[-2] // 2, full[-1]), 0, 256,
+                    jnp.int32).astype(jnp.uint8)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-2] // fp4_group, full[-1]), 4e-3,
+                    jnp.float32)
+                out[name + ".fp4"] = jnp.ones((), jnp.bool_)
+            elif kind == "int8" and quant == "int4":
                 # packed s4 groupwise weights: native int4 dtype halves the
                 # HBM bytes of int8 (quant/weight_only.py packed path)
                 out[name] = jax.random.randint(
@@ -112,7 +122,7 @@ def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8",
-                   choices=["int8", "int4", "bf16"])
+                   choices=["int8", "int4", "fp4", "bf16"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
@@ -220,7 +230,7 @@ def main():
     decode_tps = args.batch * n_tok_steps / decode_time
 
     # roofline for vs_baseline
-    bpe = {"int8": 1.0, "int4": 0.5, "bf16": 2.0}[args.quant]
+    bpe = {"int8": 1.0, "int4": 0.5, "fp4": 0.5, "bf16": 2.0}[args.quant]
     h, inter, L = mc.hidden_size, mc.intermediate_size, mc.num_layers
     attn_bytes = (h * (mc.num_attention_heads + 2 * mc.num_kv_heads)
                   * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe

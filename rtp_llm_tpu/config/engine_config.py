@@ -22,6 +22,8 @@ class QuantMethod(str, enum.Enum):
     WEIGHT_ONLY_INT8 = "int8"  # per-channel weight-only, applied at load
     WEIGHT_ONLY_INT4 = "int4"  # groupwise weight-only (GPTQ/AWQ layouts)
     FP8 = "fp8"  # fp8 (e4m3) weights, per-tensor or per-block scales
+    FP4 = "fp4"  # e2m1 groupwise weights, packed 2/byte (ModelOptFP4 /
+    #              QuarkMXFP4 analogs, QuantInfo.h:6-19)
 
 
 @dataclasses.dataclass

@@ -151,7 +151,12 @@ class LlamaFamilyModel:
             have_bias = [f"{n}.bias" in w for n in names]
             if len(set(have_bias)) != 1:
                 return
+            have_fp4 = [f"{n}.fp4" in w for n in names]
+            if len(set(have_fp4)) != 1:
+                return
             w[out_name] = jnp.concatenate(parts, axis=-1)
+            if have_fp4[0]:
+                w[f"{out_name}.fp4"] = w[f"{names[0]}.fp4"]
             if have_scale[0]:
                 w[f"{out_name}.scale"] = jnp.concatenate(scales, axis=-1)
             if have_zero[0]:
@@ -166,7 +171,7 @@ class LlamaFamilyModel:
                 for b in bias_names:
                     del w[b]
             for n in names:
-                for suf in ("", ".scale", ".zero", ".bias"):
+                for suf in ("", ".scale", ".zero", ".bias", ".fp4"):
                     w.pop(n + suf, None)
 
         fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj",
@@ -191,6 +196,9 @@ class LlamaFamilyModel:
                     w["q_proj" + suf] = q
                     w["k_proj" + suf] = k
                     w["v_proj" + suf] = v
+            if "qkv_proj.fp4" in w:
+                mark = w.pop("qkv_proj.fp4")
+                w["q_proj.fp4"] = w["k_proj.fp4"] = w["v_proj.fp4"] = mark
         if "qkv_bias" in w:
             q, k, v = jnp.split(w.pop("qkv_bias"),
                                 (hq * d, (hq + hkv) * d), axis=-1)
@@ -201,6 +209,9 @@ class LlamaFamilyModel:
                     g, u = jnp.split(w.pop("gate_up_proj" + suf), 2, axis=-1)
                     w["gate_proj" + suf] = g
                     w["up_proj" + suf] = u
+            if "gate_up_proj.fp4" in w:
+                mark = w.pop("gate_up_proj.fp4")
+                w["gate_proj.fp4"] = w["up_proj.fp4"] = mark
         return w
 
     # ---- cache ----
@@ -351,9 +362,15 @@ class LlamaFamilyModel:
         P = w.get(name + ".act_perm")
         # GPTQ act-order: weight rows are group-sorted; gather x to match
         xq = x if P is None else jnp.take(x, P[i], axis=-1)
-        y = quantized_matmul(
-            xq, W, None if s is None else s[i], None if z is None else z[i]
-        )
+        if name + ".fp4" in w:  # packed e2m1 codes (quant/weight_only.py)
+            from rtp_llm_tpu.quant.weight_only import fp4_matmul
+
+            y = fp4_matmul(xq, W, s[i])
+        else:
+            y = quantized_matmul(
+                xq, W, None if s is None else s[i],
+                None if z is None else z[i]
+            )
         bb = w.get(name + ".bias")
         if bb is not None:
             y = y + bb[i]

@@ -119,6 +119,79 @@ def int4_unpack(p: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*lead, 2 * k2, n)
 
 
+# ---- FP4 (e2m1) groupwise --------------------------------------------------
+# Reference analogs: QuantMethod ModelOptFP4 (e2m1 + per-16-group fp8 scales)
+# and QuarkMXFP4 (e2m1 + per-32-group e8m0 scales), QuantInfo.h:6-19.
+# TPU storage: the tunneled platform cannot pass float4_e2m1fn arrays across
+# the jit boundary, so codes are packed two-per-uint8 along the *in* dim
+# (same 0.5 B/elem HBM bytes as a native f4 buffer) and decoded
+# arithmetically inside the matmul (VPU ops fused into the GEMM prologue).
+
+E2M1_VALUES = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
+FP4_GROUP = 32  # MXFP4 group size
+
+
+def _e2m1_encode(mag: np.ndarray) -> np.ndarray:
+    """Nearest-value e2m1 magnitude code (0..7) for non-negative inputs."""
+    mids = (E2M1_VALUES[1:] + E2M1_VALUES[:-1]) / 2.0
+    return np.searchsorted(mids, mag, side="right").astype(np.uint8)
+
+
+def fp4_quantize_groupwise(
+    w: np.ndarray, group_size: int = FP4_GROUP, e8m0_scales: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """w [..., in, out] -> (packed u8 [..., in/2, out], scale [..., in/G, out]).
+
+    Per-(group, out) scale maps the group amax onto e2m1's max (6.0);
+    e8m0_scales=True rounds scales to powers of two (MXFP4 semantics)."""
+    *lead, k, n = w.shape
+    g = k // group_size
+    wf = np.asarray(w, np.float32)
+    wg = wf.reshape(*lead, g, group_size, n)
+    amax = np.maximum(np.max(np.abs(wg), axis=-2, keepdims=True), 1e-10)
+    scale = amax / 6.0
+    if e8m0_scales:
+        scale = np.exp2(np.ceil(np.log2(scale)))
+    scaled = wg / scale
+    sign = (scaled < 0).astype(np.uint8)
+    code = (_e2m1_encode(np.abs(scaled)) | (sign << 3)).astype(np.uint8)
+    code = code.reshape(*lead, k, n)
+    lo = code[..., 0::2, :]
+    hi = code[..., 1::2, :]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return packed, np.squeeze(scale, axis=-2).astype(np.float32)
+
+
+def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
+    """4-bit e2m1 code -> value, arithmetically (jit-safe, no gathers):
+    sign s = c>>3, exponent e = (c>>1)&3, mantissa m = c&1;
+    value = (-1)^s * (e == 0 ? 0.5*m : 2^(e-1) * (1 + 0.5*m))."""
+    c = code.astype(jnp.int32)
+    s = (c >> 3) & 1
+    e = (c >> 1) & 3
+    m = (c & 1).astype(dtype)
+    mag = jnp.where(
+        e == 0, jnp.asarray(0.5, dtype) * m,
+        jnp.exp2((e - 1).astype(dtype)) * (1 + jnp.asarray(0.5, dtype) * m))
+    return jnp.where(s == 1, -mag, mag)
+
+
+def fp4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
+               scale: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ dequant(packed e2m1). packed [..., in/2, out],
+    scale [..., in/G, out]; the unpack+decode fuses into the GEMM read."""
+    *lead, k2, n = packed.shape
+    lo = _e2m1_decode(packed & 0xF, x.dtype)
+    hi = _e2m1_decode(packed >> 4, x.dtype)
+    w = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * k2, n)
+    k = 2 * k2
+    g = scale.shape[-2]
+    group = k // g
+    xg = x.reshape(*x.shape[:-1], g, group)
+    wg = w.reshape(*w.shape[:-2], g, group, n)
+    return jnp.einsum("...gk,gkn,gn->...n", xg, wg, scale.astype(x.dtype))
+
+
 def make_quant_transform(quant: QuantConfig):
     """Loader transform implementing QuantConfig (None for no-op)."""
     if not quant.is_quantized:
@@ -147,6 +220,16 @@ def make_quant_transform(quant: QuantConfig):
                 np.asarray(arr, np.float32), quant.group_size
             )
             return {"": to_int4(q) if INT4_PACKED else q, ".scale": s}
+        if quant.method == QuantMethod.FP4:
+            k = arr.shape[-2]
+            # routed-expert stacks run the batched _expert_linear path,
+            # which consumes int8/int4 layouts; irregular in-dims can't
+            # group — both fall back to per-channel int8
+            if k % (2 * FP4_GROUP) != 0 or spec.shard_axis == "expert":
+                q, s = int8_quantize(np.asarray(arr, np.float32))
+                return {"": q, ".scale": s}
+            q, s = fp4_quantize_groupwise(np.asarray(arr, np.float32))
+            return {"": q, ".scale": s, ".fp4": np.ones((), np.bool_)}
         if quant.method == QuantMethod.FP8:
             block = quant.fp8_block_size
             if block and arr.shape[-2] % block != 0:

@@ -180,3 +180,90 @@ class TestFP8:
         base = eng(None).generate([1, 5, 9], gc).output_token_ids
         got = eng("fp8").generate([1, 5, 9], gc).output_token_ids
         assert len(got) == 5 and got[:2] == base[:2]
+
+
+class TestFP4:
+    """FP4 e2m1 groupwise quantization (reference: QuantMethod ModelOptFP4 /
+    QuarkMXFP4, QuantInfo.h:6-19). Codes pack 2/byte; dequant is arithmetic
+    (no gathers) fused into the matmul."""
+
+    def test_e2m1_codebook_roundtrip(self):
+        from rtp_llm_tpu.quant.weight_only import (
+            E2M1_VALUES, _e2m1_decode, _e2m1_encode,
+        )
+
+        # every representable magnitude encodes to itself
+        codes = _e2m1_encode(E2M1_VALUES)
+        assert list(codes) == list(range(8))
+        dec = np.asarray(_e2m1_decode(jnp.arange(16, dtype=jnp.uint8),
+                                      jnp.float32))
+        np.testing.assert_array_equal(dec[:8], E2M1_VALUES)
+        np.testing.assert_array_equal(dec[8:], -E2M1_VALUES)
+
+    def test_fp4_quantize_matmul_matches_dequant(self):
+        from rtp_llm_tpu.quant.weight_only import (
+            E2M1_VALUES, fp4_matmul, fp4_quantize_groupwise,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((128, 48)).astype(np.float32)
+        packed, scale = fp4_quantize_groupwise(w, 32)
+        assert packed.shape == (64, 48) and packed.dtype == np.uint8
+        assert scale.shape == (4, 48)
+        # reference dequant on host
+        lo, hi = packed & 0xF, packed >> 4
+        def dec(c):
+            mag = E2M1_VALUES[c & 7]
+            return np.where(c >= 8, -mag, mag)
+        wq = np.stack([dec(lo), dec(hi)], axis=1).reshape(128, 48)
+        wq = wq * np.repeat(scale, 32, axis=0)
+        # quantization error bounded by half the coarsest e2m1 gap
+        assert np.abs(wq - w).max() <= np.abs(w).max() / 6.0 + 1e-6
+        x = rng.standard_normal((3, 128)).astype(np.float32)
+        y = np.asarray(fp4_matmul(jnp.asarray(x), jnp.asarray(packed),
+                                  jnp.asarray(scale)))
+        np.testing.assert_allclose(y, x @ wq, rtol=2e-4, atol=2e-4)
+
+    def test_mxfp4_e8m0_scales(self):
+        from rtp_llm_tpu.quant.weight_only import fp4_quantize_groupwise
+
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((64, 8)).astype(np.float32)
+        _, scale = fp4_quantize_groupwise(w, 32, e8m0_scales=True)
+        log = np.log2(scale)
+        np.testing.assert_array_equal(log, np.round(log))
+
+    def test_fp4_model_generates(self, tmp_path):
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.engine import LlmEngine
+
+        cfg = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        def eng(method):
+            c = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+            c.dtype = "float32"
+            transform = (make_quant_transform(QuantConfig(method=method))
+                         if method else None)
+            weights = CheckpointLoader(c, transform=transform).load(ckpt)
+            if method == "fp4":
+                assert weights["q_proj"].dtype == jnp.uint8
+                assert "q_proj.fp4" in weights
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(c), weights, econf)
+
+        gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+        e = eng("fp4")
+        # engine fusion carries the fp4 marker onto the fused tensors
+        assert "qkv_proj.fp4" in e.weights and "gate_up_proj.fp4" in e.weights
+        base = eng(None).generate([1, 5, 9], gc).output_token_ids
+        got = e.generate([1, 5, 9], gc).output_token_ids
+        assert len(got) == 5 and got[:2] == base[:2]
