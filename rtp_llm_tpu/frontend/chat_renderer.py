@@ -75,6 +75,15 @@ def register_renderer(model_type: str, factory):
     _RENDERERS[model_type] = factory
 
 
+def _load_builtin_renderers():
+    """Import renderer modules for their registration side effects
+    (reference: renderer_factory imports every renderers/ module)."""
+    import rtp_llm_tpu.frontend.glm4_renderer  # noqa: F401
+    import rtp_llm_tpu.frontend.qwen_agent_renderer  # noqa: F401
+
+
 def create_renderer(tokenizer, model_type: str = "") -> ChatRenderer:
+    if not _RENDERERS:
+        _load_builtin_renderers()
     factory = _RENDERERS.get(model_type, ChatRenderer)
     return factory(tokenizer, model_type)

@@ -181,6 +181,16 @@ _DETECTORS = {
     "kimi_k2": KimiK2Detector,
 }
 
+
+def register_detector(name: str, cls) -> None:
+    """Registry hook for renderer modules that ship their own detector
+    (reference: renderer_factory_register)."""
+    _DETECTORS[name] = cls
+
+
+def map_model_type(model_type: str, detector_name: str) -> None:
+    _MODEL_MAP[model_type] = detector_name
+
 # model_type -> detector name (families not listed use hermes, which matches
 # qwen/llama hermes-style templates)
 _MODEL_MAP = {

@@ -179,7 +179,20 @@ def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
 def fp4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                scale: jnp.ndarray) -> jnp.ndarray:
     """y = x @ dequant(packed e2m1). packed [..., in/2, out],
-    scale [..., in/G, out]; the unpack+decode fuses into the GEMM read."""
+    scale [..., in/G, out].
+
+    The bit-math decode does not fuse into the MXU convolution the way a
+    plain s8->bf16 convert does, so each GEMM materializes its decoded
+    weight. The optimization barrier ties the decode to the activation's
+    readiness — without it XLA's scheduler hoists ALL layers' decodes to
+    program start and the decoded buffers' lifetimes overlap (measured:
+    Qwen2-7B decode program ran out of HBM, 16.5 G vs 15.75 G). With the
+    barrier the peak extra footprint is one decoded tensor. Net: FP4 here
+    is a CAPACITY feature (weights at 0.5 B/elem in HBM); speed-of-light
+    fp4 needs an in-kernel dequant GEMM (future Pallas work)."""
+    import jax
+
+    x, packed = jax.lax.optimization_barrier((x, packed))
     *lead, k2, n = packed.shape
     lo = _e2m1_decode(packed & 0xF, x.dtype)
     hi = _e2m1_decode(packed >> 4, x.dtype)

@@ -1,0 +1,134 @@
+"""Model-specific chat renderers (reference: rtp_llm/openai/renderers/).
+
+Covers the qwen agent/tool fncall protocol (✿FUNCTION✿ commands,
+qwen_agent/llm/function_calling.py) and the GLM-4 <|role|> special-token
+protocol (chatglm4_renderer.py)."""
+
+import pytest
+
+from rtp_llm_tpu.frontend.chat_renderer import create_renderer
+from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+from rtp_llm_tpu.loader.fake_checkpoint import write_fake_tokenizer
+
+
+@pytest.fixture(scope="module")
+def qwen_tok(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("tok"))
+    write_fake_tokenizer(path, 128)
+    tok = TokenizerFactory.create(path)
+    # the tiny word-level vocab would UNK the fncall markers; real qwen
+    # tokenizers encode them losslessly
+    tok.add_tokens(["✿FUNCTION✿", "✿ARGS✿", "✿RESULT✿", "✿RETURN✿",
+                    "get_weather", "sunny"])
+    return tok
+
+
+TOOLS = [{
+    "type": "function",
+    "function": {
+        "name": "get_weather",
+        "description": "look up weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}}},
+    },
+}]
+
+
+class TestQwenAgentRenderer:
+    def test_no_tools_falls_back_to_template(self, qwen_tok):
+        r = create_renderer(qwen_tok, "qwen_agent")
+        plain = create_renderer(qwen_tok, "qwen2")
+        msgs = [{"role": "user", "content": "w1 w2"}]
+        assert r.render(msgs).token_ids == plain.render(msgs).token_ids
+
+    def test_tools_inject_fncall_section(self, qwen_tok):
+        r = create_renderer(qwen_tok, "qwen_agent")
+        out = r.render([{"role": "user", "content": "w1"}], tools=TOOLS)
+        text = qwen_tok.decode(out.token_ids)
+        assert "✿FUNCTION✿" in text and "get_weather" in text
+        assert "✿RESULT✿" in out.stop_words and "✿RETURN✿" in out.stop_words
+
+    def test_tool_turn_splices_result(self, qwen_tok):
+        r = create_renderer(qwen_tok, "qwen_agent")
+        msgs = [
+            {"role": "user", "content": "weather in sf?"},
+            {"role": "assistant", "tool_calls": [{
+                "function": {"name": "get_weather",
+                             "arguments": '{"city": "sf"}'}}]},
+            {"role": "tool", "content": "sunny"},
+        ]
+        out = r.render(msgs, tools=TOOLS)
+        toks = qwen_tok.decode(out.token_ids).split()
+        # final assistant turn carries the protocol in order:
+        # ✿FUNCTION✿ get_weather ✿ARGS✿ ... ✿RESULT✿ sunny ✿RETURN✿
+        tail = toks[-20:]
+        order = [tail.index(m) for m in
+                 ("✿FUNCTION✿", "get_weather", "✿ARGS✿", "✿RESULT✿",
+                  "sunny", "✿RETURN✿")]
+        assert order == sorted(order), tail
+        # the open ✿RETURN✿ continues the assistant turn: no fresh
+        # generation header after it
+        assert "<|im_start|>" not in tail[tail.index("✿RETURN✿"):]
+
+    def test_detector_parses_calls(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("qwen_tool")
+        calls, rest = det.parse(
+            "let me check\n✿FUNCTION✿: get_weather\n"
+            '✿ARGS✿: {"city": "sf"}\n')
+        assert rest == "let me check"
+        assert len(calls) == 1
+        assert calls[0]["function"]["name"] == "get_weather"
+        assert calls[0]["function"]["arguments"] == '{"city": "sf"}'
+        none, passthrough = det.parse("plain text")
+        assert none is None and passthrough == "plain text"
+
+
+class _GlmTok:
+    """Minimal GLM-4-style tokenizer stub: role special tokens + encode."""
+
+    unk_token_id = 0
+    _special = {"[gMASK]": 1, "<sop>": 2, "<|system|>": 3, "<|user|>": 4,
+                "<|assistant|>": 5, "<|observation|>": 6, "<|endoftext|>": 7}
+
+    def convert_tokens_to_ids(self, t):
+        return self._special.get(t, 0)
+
+    def encode(self, text, add_special_tokens=False):
+        return [100 + (ord(c) % 50) for c in text]
+
+
+class TestGlm4Renderer:
+    def test_role_token_protocol(self):
+        r = create_renderer(_GlmTok(), "glm4")
+        out = r.render([
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "again"},
+        ])
+        ids = out.token_ids
+        assert ids[:2] == [1, 2]  # [gMASK]<sop>
+        assert ids.count(4) == 2 and ids.count(5) == 2  # 2 user + asst+gen
+        assert ids[-1] == 5  # generation opens <|assistant|>
+        assert 4 in out.stop_token_ids and 6 in out.stop_token_ids
+
+    def test_tools_and_observation(self):
+        r = create_renderer(_GlmTok(), "glm4_moe")
+        out = r.render([
+            {"role": "user", "content": "weather?"},
+            {"role": "assistant", "tool_calls": [{
+                "function": {"name": "get_weather",
+                             "arguments": '{"city": "sf"}'}}]},
+            {"role": "tool", "content": "sunny"},
+        ], tools=TOOLS)
+        ids = out.token_ids
+        assert 3 in ids  # tool system block
+        assert 6 in ids  # observation role turn
+        assert "<|observation|>" in out.stop_words
+
+    def test_fallback_without_role_tokens(self, qwen_tok):
+        # a glm4-typed model with a plain tokenizer uses the chat template
+        r = create_renderer(qwen_tok, "glm4")
+        out = r.render([{"role": "user", "content": "w1"}])
+        assert out.token_ids, "template fallback must render"
