@@ -88,9 +88,9 @@ def build_device_weights(cfg, quant, mesh=None):
         for name, full, kind in plan:
             key, sub = jax.random.split(key)
             if kind == "int8" and quant == "fp4":
-                # packed e2m1 codes (2/byte) + groupwise scales
+                # packed e2m1 codes (2 adjacent out cols/byte) + group scales
                 out[name] = jax.random.randint(
-                    sub, full[:-2] + (full[-2] // 2, full[-1]), 0, 256,
+                    sub, full[:-1] + (full[-1] // 2,), 0, 256,
                     jnp.int32).astype(jnp.uint8)
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-2] // fp4_group, full[-1]), 4e-3,

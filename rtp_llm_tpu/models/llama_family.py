@@ -188,15 +188,17 @@ class LlamaFamilyModel:
                       cfg.head_dim)
         w = dict(w)
         if "qkv_proj" in w:
-            bounds = (hq * d, (hq + hkv) * d)
+            fp4 = "qkv_proj.fp4" in w  # packed 2 out-cols/byte: half bounds
             for suf in ("", ".scale", ".zero", ".bias"):
                 if "qkv_proj" + suf in w:
+                    div = 2 if (fp4 and suf == "") else 1
+                    bounds = (hq * d // div, (hq + hkv) * d // div)
                     q, k, v = jnp.split(w.pop("qkv_proj" + suf), bounds,
                                         axis=-1)
                     w["q_proj" + suf] = q
                     w["k_proj" + suf] = k
                     w["v_proj" + suf] = v
-            if "qkv_proj.fp4" in w:
+            if fp4:
                 mark = w.pop("qkv_proj.fp4")
                 w["q_proj.fp4"] = w["k_proj.fp4"] = w["v_proj.fp4"] = mark
         if "qkv_bias" in w:

@@ -140,10 +140,19 @@ def _e2m1_encode(mag: np.ndarray) -> np.ndarray:
 def fp4_quantize_groupwise(
     w: np.ndarray, group_size: int = FP4_GROUP, e8m0_scales: bool = False
 ) -> tuple[np.ndarray, np.ndarray]:
-    """w [..., in, out] -> (packed u8 [..., in/2, out], scale [..., in/G, out]).
+    """w [..., in, out] -> (packed u8 [..., in, out/2], scale [..., in/G, out]).
 
-    Per-(group, out) scale maps the group amax onto e2m1's max (6.0);
-    e8m0_scales=True rounds scales to powers of two (MXFP4 semantics)."""
+    Per-(group, out) scale (group over the *in* dim) maps the group amax
+    onto e2m1's max (6.0); e8m0_scales=True rounds scales to powers of two
+    (MXFP4 semantics).
+
+    Packing pairs ADJACENT OUT COLUMNS into one byte (low nibble = even
+    column), because ``lax.bitcast_convert_type(u8, float4_e2m1fn)`` splits
+    each byte into a trailing length-2 axis: [in, out/2] u8 -> [in, out/2, 2]
+    f4 reshapes straight to [in, out] with no transpose, and XLA:TPU fuses
+    the native f4->bf16 convert into the matmul operand — HBM reads stay at
+    0.5 B/elem (the bit-math fallback decode measured 204 ms/step on
+    Qwen2-7B vs ~the int8 path's 15 ms: VPU-bound and materializing)."""
     *lead, k, n = w.shape
     g = k // group_size
     wf = np.asarray(w, np.float32)
@@ -156,8 +165,8 @@ def fp4_quantize_groupwise(
     sign = (scaled < 0).astype(np.uint8)
     code = (_e2m1_encode(np.abs(scaled)) | (sign << 3)).astype(np.uint8)
     code = code.reshape(*lead, k, n)
-    lo = code[..., 0::2, :]
-    hi = code[..., 1::2, :]
+    lo = code[..., :, 0::2]  # even out columns -> low nibble
+    hi = code[..., :, 1::2]
     packed = (lo | (hi << 4)).astype(np.uint8)
     return packed, np.squeeze(scale, axis=-2).astype(np.float32)
 
@@ -178,31 +187,25 @@ def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def fp4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                scale: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ dequant(packed e2m1). packed [..., in/2, out],
-    scale [..., in/G, out].
+    """y = x @ dequant(packed e2m1). packed [in, out/2] u8 (adjacent out
+    columns per byte, low nibble first), scale [in/G, out].
 
-    The bit-math decode does not fuse into the MXU convolution the way a
-    plain s8->bf16 convert does, so each GEMM materializes its decoded
-    weight. The optimization barrier ties the decode to the activation's
-    readiness — without it XLA's scheduler hoists ALL layers' decodes to
-    program start and the decoded buffers' lifetimes overlap (measured:
-    Qwen2-7B decode program ran out of HBM, 16.5 G vs 15.75 G). With the
-    barrier the peak extra footprint is one decoded tensor. Net: FP4 here
-    is a CAPACITY feature (weights at 0.5 B/elem in HBM); speed-of-light
-    fp4 needs an in-kernel dequant GEMM (future Pallas work)."""
+    The byte bitcasts to native float4_e2m1fn in-graph (the tunneled
+    platform cannot pass f4 arrays across the jit boundary, but bitcast
+    INSIDE the program is fine), so XLA reads the 0.5 B/elem buffer and
+    fuses the f4->bf16 convert into the matmul operand like the s8 path."""
     import jax
 
-    x, packed = jax.lax.optimization_barrier((x, packed))
-    *lead, k2, n = packed.shape
-    lo = _e2m1_decode(packed & 0xF, x.dtype)
-    hi = _e2m1_decode(packed >> 4, x.dtype)
-    w = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * k2, n)
-    k = 2 * k2
+    *lead, k, n2 = packed.shape
+    f4 = jax.lax.bitcast_convert_type(packed, jnp.float4_e2m1fn)
+    w = f4.reshape(*lead, k, 2 * n2)
+    n = 2 * n2
     g = scale.shape[-2]
     group = k // g
     xg = x.reshape(*x.shape[:-1], g, group)
     wg = w.reshape(*w.shape[:-2], g, group, n)
-    return jnp.einsum("...gk,gkn,gn->...n", xg, wg, scale.astype(x.dtype))
+    return jnp.einsum("...gk,gkn,gn->...n",
+                      xg, wg.astype(x.dtype), scale.astype(x.dtype))
 
 
 def make_quant_transform(quant: QuantConfig):

@@ -208,14 +208,14 @@ class TestFP4:
         rng = np.random.default_rng(0)
         w = rng.standard_normal((128, 48)).astype(np.float32)
         packed, scale = fp4_quantize_groupwise(w, 32)
-        assert packed.shape == (64, 48) and packed.dtype == np.uint8
+        assert packed.shape == (128, 24) and packed.dtype == np.uint8
         assert scale.shape == (4, 48)
-        # reference dequant on host
+        # reference dequant on host (low nibble = even out column)
         lo, hi = packed & 0xF, packed >> 4
         def dec(c):
             mag = E2M1_VALUES[c & 7]
             return np.where(c >= 8, -mag, mag)
-        wq = np.stack([dec(lo), dec(hi)], axis=1).reshape(128, 48)
+        wq = np.stack([dec(lo), dec(hi)], axis=-1).reshape(128, 48)
         wq = wq * np.repeat(scale, 32, axis=0)
         # quantization error bounded by half the coarsest e2m1 gap
         assert np.abs(wq - w).max() <= np.abs(w).max() / 6.0 + 1e-6
