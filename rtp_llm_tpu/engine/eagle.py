@@ -54,6 +54,28 @@ class EagleRunner:
         self.tw = target_weights
         self.block_size = block_size
         cfg = model.cfg
+        # EAGLE3 (hidden_norm present): the target captures N layers' hidden
+        # states, fc fuses [N*H] -> H, and the midlayer consumes
+        # cat(input_norm(embed), hidden_norm(feature)) with an H-dim
+        # residual (reference: eagle3_* names W.h:27-30; merged hidden
+        # PyWrappedModel.cc:746)
+        self.is_eagle3 = "hidden_norm" in eagle_weights
+        if self.is_eagle3:
+            h = cfg.hidden_size
+            n_cap = eagle_weights["fc"].shape[0] // h
+            # official EAGLE3 capture points: low/mid/high layer outputs
+            L = cfg.num_layers
+            cand = [2, L // 2, L - 3, 1, L - 1, 0]
+            seen: list = []
+            for c in cand:
+                c = min(max(c, 0), L - 1)
+                if c not in seen:
+                    seen.append(c)
+                if len(seen) == n_cap:
+                    break
+            while len(seen) < n_cap:  # models shallower than the capture
+                seen.append(seen[-1])  # count repeat the deepest layer
+            self.capture_layers = tuple(sorted(seen))
         self.cos, self.sin = compute_rope_freqs(
             cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta,
             cfg.rope_scaling,
@@ -73,23 +95,39 @@ class EagleRunner:
 
     # ---- the fused input + single decoder layer ----
 
-    @staticmethod
-    def _fuse(w, tw, tokens, hidden):
-        """fc([embed(t); h]) -> [..., H]."""
+    def _fuse(self, w, tw, tokens, hidden):
+        """EAGLE1: fc([embed(t); h]) -> [..., H].
+        EAGLE3: cat(input_norm(embed(t)), hidden_norm(h)) -> [..., 2H]
+        (h is the post-fc H-dim feature; fc applies where the target
+        feature enters — prefill/update — not per rollout step)."""
         emb = w.get("embed_tokens")
         if emb is None:
             emb = tw["embed_tokens"]
         emb = jnp.take(emb, tokens, axis=0).astype(jnp.float32)
+        if self.is_eagle3:
+            eps = self.cfg.rms_norm_eps
+            e = rms_norm(emb, w["input_norm"], eps)
+            hn = rms_norm(hidden.astype(jnp.float32), w["hidden_norm"], eps)
+            return jnp.concatenate([e, hn], axis=-1)
         cat = jnp.concatenate([emb, hidden.astype(jnp.float32)], axis=-1)
         return cat.astype(w["fc"].dtype) @ w["fc"]
 
+    def _fc(self, feat):
+        """Project the target's captured [..., N*H] feature to [..., H]
+        (EAGLE3 fc; identity passthrough for EAGLE1 features)."""
+        if not self.is_eagle3:
+            return feat
+        w = self.w["fc"]
+        return (feat.astype(w.dtype) @ w).astype(jnp.float32)
+
     def _layer(self, w, kv, x, positions, block_tables, kv_lens, q_offsets,
-               slots):
-        """One llama decoder layer WITHOUT input layernorm (EAGLE layer 0)."""
+               slots, res=None):
+        """One llama decoder layer WITHOUT input layernorm (EAGLE layer 0;
+        for EAGLE3 ``x`` is the 2H concat and ``res`` the H-dim feature)."""
         cfg = self.cfg
         b, t, h = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
-        res = x
+        res = x if res is None else res.astype(x.dtype)
         q = (x @ w["q_proj"]).reshape(b, t, hq, d)
         k = (x @ w["k_proj"]).reshape(b, t, hkv, d)
         v = (x @ w["v_proj"]).reshape(b, t, hkv, d)
@@ -111,22 +149,35 @@ class EagleRunner:
         return res + mlp, kv
 
     def _head(self, tw, hidden):
-        """Target head on the EAGLE feature (final_norm + lm_head)."""
+        """Head on the EAGLE feature: the draft's own final_norm/lm_head if
+        shipped (EAGLE3 draft-vocab heads), else the target's."""
         cfg = self.cfg
-        hn = rms_norm(hidden.astype(jnp.float32),
-                      tw["final_norm"], cfg.rms_norm_eps)
-        if cfg.tie_word_embeddings:
+        w = self.w
+        fn = w.get("final_norm", tw["final_norm"])
+        hn = rms_norm(hidden.astype(jnp.float32), fn, cfg.rms_norm_eps)
+        if "lm_head" in w:
+            lm = w["lm_head"]
+        elif cfg.tie_word_embeddings:
             lm = tw["embed_tokens"].T
         else:
             lm = tw["lm_head"]
         return (hn.astype(lm.dtype) @ lm).astype(jnp.float32)
+
+    def _to_target_vocab(self, draft_ids):
+        """EAGLE3 draft-vocab heads ship a d2t offset map: target_id =
+        draft_id + d2t[draft_id] (official EAGLE3 convention)."""
+        d2t = self.w.get("d2t")
+        if d2t is None:
+            return draft_ids
+        return draft_ids + jnp.take(d2t, draft_ids, axis=0)
 
     # ---- device programs ----
 
     def _prefill_impl(self, w, tw, kv, tokens, hidden, positions,
                       block_tables, kv_lens, q_offsets):
         """Ingest prompt: feature row i = fuse(token[i+1], target_hidden[i])."""
-        x = self._fuse(w, tw, tokens, hidden).astype(jnp.bfloat16)
+        h = self._fc(hidden)  # EAGLE3: [.., N*H] target capture -> [.., H]
+        x = self._fuse(w, tw, tokens, h).astype(jnp.bfloat16)
         b, t = tokens.shape
         valid = (q_offsets[:, None]
                  + jnp.arange(t, dtype=jnp.int32)[None, :]
@@ -134,7 +185,8 @@ class EagleRunner:
         slots = token_slots(positions, block_tables, self.block_size,
                             valid).reshape(-1)
         _, kv = self._layer(w, kv, x, positions, block_tables, kv_lens,
-                            q_offsets, slots)
+                            q_offsets, slots,
+                            res=h if self.is_eagle3 else None)
         return kv
 
     def _propose_impl(self, w, tw, kv, hidden, last_tokens, kv_lens,
@@ -150,10 +202,12 @@ class EagleRunner:
             valid = (pos[:, None] < kvl[:, None])
             slots = token_slots(positions, block_tables, self.block_size,
                                 valid).reshape(-1)
-            out, kv = self._layer(w, kv, x, positions, block_tables, kvl,
-                                  pos, slots)
+            out, kv = self._layer(
+                w, kv, x, positions, block_tables, kvl, pos, slots,
+                res=h[:, None] if self.is_eagle3 else None)
             h_new = out[:, 0].astype(jnp.float32)
             nxt = jnp.argmax(self._head(tw, h_new), axis=-1).astype(jnp.int32)
+            nxt = self._to_target_vocab(nxt)
             nxt = jnp.where(active, nxt, cur)
             h_new = jnp.where(active[:, None], h_new, h)
             return (kv, h_new, nxt, pos + 1), nxt
@@ -186,7 +240,8 @@ class EagleRunner:
             )
 
     def set_slot_hidden(self, slot: int, hidden_row):
-        self.hidden = self.hidden.at[slot].set(hidden_row.astype(jnp.float32))
+        row = self._fc(jnp.asarray(hidden_row))
+        self.hidden = self.hidden.at[slot].set(row.astype(jnp.float32))
 
     def propose(self, state, k: int):
         self.kv, self.hidden, drafts = self._propose_jit(
@@ -196,6 +251,9 @@ class EagleRunner:
         return drafts
 
     def update_hidden(self, hidden_sel, active_mask):
+        # EAGLE3: the verify program hands back [S, N*H] captured features;
+        # fc-project before storing the per-slot H-dim state
         self.hidden = self._set_hidden_jit(
-            self.hidden, hidden_sel.astype(jnp.float32), active_mask
+            self.hidden, self._fc(hidden_sel).astype(jnp.float32),
+            active_mask
         )

@@ -267,6 +267,10 @@ class LlmEngine:
                 model, weights, eagle, num_blocks, cc.block_size,
                 sc.max_batch_size,
             )
+            if self.mtp.is_eagle3:
+                # the hidden-returning programs concat these layers' outputs
+                # (reference: merged_eagle3_hidden, PyWrappedModel.cc:746)
+                model.spec_capture_layers = self.mtp.capture_layers
         self.draft = None
         if draft is not None:
             from rtp_llm_tpu.engine.draft import DraftRunner

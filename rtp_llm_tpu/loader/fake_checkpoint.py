@@ -428,3 +428,46 @@ def write_fake_eagle_checkpoint(path: str, cfg: ModelConfig,
     }
     save_file(tensors, os.path.join(path, "model.safetensors"))
     return path
+
+
+def write_fake_eagle3_checkpoint(path: str, cfg: ModelConfig, n_capture=3,
+                                 seed: int = 9, scale: float = 0.05,
+                                 draft_vocab: int = 0) -> str:
+    """Write an official-style EAGLE3 head checkpoint (midlayer.* names,
+    3H->H fc, input/hidden norms, own norm + lm_head, optional reduced draft
+    vocab with a d2t offset map)."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    h = cfg.hidden_size
+    hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
+    inter = cfg.intermediate_size
+
+    def w(shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    dv = draft_vocab or cfg.vocab_size
+    tensors = {
+        "fc.weight": w((h, n_capture * h)),  # HF [out, in]
+        "midlayer.input_layernorm.weight": np.ones(h, np.float32),
+        "midlayer.hidden_norm.weight": np.ones(h, np.float32),
+        # midlayer q/k/v consume the 2H concat
+        "midlayer.self_attn.q_proj.weight": w((hq * d, 2 * h)),
+        "midlayer.self_attn.k_proj.weight": w((hkv * d, 2 * h)),
+        "midlayer.self_attn.v_proj.weight": w((hkv * d, 2 * h)),
+        "midlayer.self_attn.o_proj.weight": w((h, hq * d)),
+        "midlayer.mlp.gate_proj.weight": w((inter, h)),
+        "midlayer.mlp.up_proj.weight": w((inter, h)),
+        "midlayer.mlp.down_proj.weight": w((h, inter)),
+        "midlayer.post_attention_layernorm.weight": np.ones(h, np.float32),
+        "norm.weight": np.ones(h, np.float32),
+        "lm_head.weight": w((dv, h)),
+    }
+    if draft_vocab:
+        # d2t offset map: target_id = draft_id + d2t[draft_id] (sorted so
+        # offsets are valid target ids)
+        ids = np.sort(rng.choice(cfg.vocab_size, size=dv, replace=False))
+        tensors["d2t"] = (ids - np.arange(dv)).astype(np.int64)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    return path

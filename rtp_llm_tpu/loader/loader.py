@@ -338,22 +338,48 @@ _EAGLE_NAME_MAP = {
 }
 
 
+# EAGLE3 checkpoint names (official EAGLE3 `midlayer.*` style and the
+# reference's `model.layers.0.*` style, W.h:27-30 eagle3_fc/eagle3_input) ->
+# canonical keys. input_norm normalizes the token embedding, hidden_norm the
+# fc-fused target feature; both halves concat into the 2H midlayer input.
+_EAGLE3_EXTRA_MAP = {
+    "layers.0.hidden_norm.weight": "hidden_norm",
+    "layers.0.input_layernorm.weight": "input_norm",
+    "midlayer.hidden_norm.weight": "hidden_norm",
+    "midlayer.input_layernorm.weight": "input_norm",
+    "midlayer.self_attn.q_proj.weight": "q_proj",
+    "midlayer.self_attn.k_proj.weight": "k_proj",
+    "midlayer.self_attn.v_proj.weight": "v_proj",
+    "midlayer.self_attn.o_proj.weight": "o_proj",
+    "midlayer.mlp.gate_proj.weight": "gate_proj",
+    "midlayer.mlp.up_proj.weight": "up_proj",
+    "midlayer.mlp.down_proj.weight": "down_proj",
+    "midlayer.post_attention_layernorm.weight": "post_attn_norm",
+    "norm.weight": "final_norm",
+    "lm_head.weight": "lm_head",
+    "d2t": "d2t",
+}
+
+
 def load_eagle_weights(model_path: str, dtype=None) -> dict:
-    """Load an HF-format EAGLE draft-head checkpoint (fc + one llama decoder
-    layer; reference: EAGLE propose-model plan, RtpLLMOp.cc:26-98 and EAGLE3
-    weight names in cpp/models/models_weight/W.h).
+    """Load an HF-format EAGLE/EAGLE3 draft-head checkpoint (fc + one llama
+    decoder layer; reference: EAGLE propose-model plan, RtpLLMOp.cc:26-98 and
+    EAGLE3 weight names in cpp/models/models_weight/W.h:27-30).
 
     Returns a canonical dict for engine/eagle.EagleRunner: linear weights in
-    [in, out] layout, norms as vectors; ``embed_tokens`` only if shipped
-    (otherwise the runner shares the target's)."""
+    [in, out] layout, norms as vectors; ``embed_tokens``/``lm_head`` only if
+    shipped (otherwise the runner shares the target's). EAGLE3 checkpoints
+    (detected by ``hidden_norm``) additionally carry input_norm/hidden_norm,
+    a 3H->H feature-fusion fc, optionally a draft-vocab head with its
+    ``d2t`` draft->target token map."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.bfloat16
     src = _TensorSource(model_path)
     try:
         out = {}
-        norms = ("post_attn_norm",)
-        for hf_name, key in _EAGLE_NAME_MAP.items():
+        norms = ("post_attn_norm", "hidden_norm", "input_norm", "final_norm")
+        for hf_name, key in {**_EAGLE_NAME_MAP, **_EAGLE3_EXTRA_MAP}.items():
             arr = None
             for cand in (hf_name, "model." + hf_name):
                 try:
@@ -362,6 +388,9 @@ def load_eagle_weights(model_path: str, dtype=None) -> dict:
                 except KeyError:
                     continue
             if arr is None:
+                continue
+            if key == "d2t":
+                out[key] = jnp.asarray(np.asarray(arr, np.int32))
                 continue
             arr = np.asarray(arr, np.float32)
             if key == "embed_tokens" or key in norms:

@@ -104,6 +104,11 @@ class LlamaFamilyModel:
         # prefill program permutes token columns into the zig-zag layout and
         # attention runs ring-wise over the cp axis (ops/attention/ring.py)
         self.use_ring_prefill = False
+        # EAGLE3 feature capture (engine sets when the draft head is an
+        # EAGLE3 checkpoint): layer indices whose outputs concatenate into
+        # ``all_hidden`` ([B,T,len*H]) in place of the final hidden —
+        # reference: merged_eagle3_hidden, PyWrappedModel.cc:660,746
+        self.spec_capture_layers = None
 
     # ---- load-time weight fusion ----
 
@@ -290,11 +295,19 @@ class LlamaFamilyModel:
 
         kv_writes = ([], []) if defer_kv_writes else None
         gating_out = [] if need_moe_gating else None
+        cap = (tuple(self.spec_capture_layers)
+               if (need_all_hidden and self.spec_capture_layers) else None)
+        cap_out = {}
         for i in range(cfg.num_layers):
             x, cache = self._layer(weights, cache, i, x, inputs, slots,
                                    kv_writes=kv_writes,
                                    gating_out=gating_out)
             x = self._post_layer_hook(i, x, inputs)
+            if cap and i in cap:
+                cap_out[i] = x
+        # ordered (possibly repeated, for models shallower than the head's
+        # capture count) concat of the captured layer outputs
+        aux = [cap_out[c] for c in cap] if cap else []
 
         x = self._norm_at(weights, "final_norm", x)
 
@@ -334,7 +347,8 @@ class LlamaFamilyModel:
                 all_logits = c * jnp.tanh(all_logits / c)
         return ModelOutputs(
             logits=logits, hidden=hidden_last, all_logits=all_logits,
-            all_hidden=x if need_all_hidden else None,
+            all_hidden=(jnp.concatenate(aux, axis=-1) if aux
+                        else x if need_all_hidden else None),
             kv_writes=(jnp.stack(kv_writes[0]), jnp.stack(kv_writes[1]))
             if kv_writes is not None else None,
             moe_gating=jnp.stack(gating_out) if gating_out else None,

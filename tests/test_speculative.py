@@ -218,3 +218,57 @@ def test_eagle_spec_matches_normal(tmp_path):
         want = base.generate(p, gc()).output_token_ids
         got = eng.generate(p, gc()).output_token_ids
         assert got == want
+
+
+def test_eagle3_spec_matches_normal(tmp_path):
+    """EAGLE3 proposer: midlayer consumes cat(input_norm(embed),
+    hidden_norm(feature)) with H-dim residual, the target captures 3 layers'
+    hidden states (model.spec_capture_layers), the head is the draft's own
+    norm+lm_head, and outputs still exactly match normal greedy decode.
+    Reference: eagle3_* weight names W.h:27-30, merged_eagle3_hidden
+    PyWrappedModel.cc:746."""
+    from rtp_llm_tpu.loader import load_eagle_weights
+    from rtp_llm_tpu.loader.fake_checkpoint import write_fake_eagle3_checkpoint
+
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(str(tmp_path / "t"), cfg)
+    eagle_dir = write_fake_eagle3_checkpoint(
+        str(tmp_path / "e3"), cfg, n_capture=3,
+        draft_vocab=cfg.vocab_size // 2)
+    ew = load_eagle_weights(eagle_dir, dtype=jnp.float32)
+    assert ew["fc"].shape == (3 * cfg.hidden_size, cfg.hidden_size)
+    assert "hidden_norm" in ew and "input_norm" in ew
+    assert ew["q_proj"].shape[0] == 2 * cfg.hidden_size
+    assert ew["lm_head"].shape == (cfg.hidden_size, cfg.vocab_size // 2)
+    assert ew["d2t"].shape == (cfg.vocab_size // 2,)
+
+    base = _build_engine(ckpt, tiny_config("qwen2"), spec=False)
+
+    cfg2 = tiny_config("qwen2")
+    cfg2.dtype = "float32"
+    weights = CheckpointLoader(cfg2).load(ckpt)
+    model = create_model(cfg2)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=256),
+        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=128,
+                                  prefill_buckets=(16, 64)),
+        speculative=SpeculativeConfig(method="eagle", draft_tokens=3),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(model, weights, econf, eagle=ew)
+    assert eng.mtp is not None and eng.mtp.is_eagle3
+    assert len(eng.mtp.capture_layers) == 3
+    assert model.spec_capture_layers == eng.mtp.capture_layers
+
+    gc = lambda: GenerateConfig(max_new_tokens=12, do_sample=False,
+                                ignore_eos=True)
+    prompts = [[1, 5, 9, 2, 5, 9, 2], [7, 3, 3, 7, 3, 3]]
+    for p in prompts:
+        want = base.generate(p, gc()).output_token_ids
+        got = eng.generate(p, gc()).output_token_ids
+        assert got == want
+    # d2t mapping keeps drafts inside the target vocab
+    drafts = eng.mtp.propose(eng.state, 3)
+    import numpy as np
+    d = np.asarray(drafts)
+    assert (d >= 0).all() and (d < cfg.vocab_size).all()
