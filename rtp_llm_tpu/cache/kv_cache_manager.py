@@ -31,15 +31,36 @@ class BlockAllocation:
     blocks: list[int]
     reuse_len: int
     restore: list = dataclasses.field(default_factory=list)
+    # sliding-window recycling produced duplicate physical ids in ``blocks``
+    # (logical index -> same physical block); free() must dedup
+    recycled: bool = False
 
 
 class KVCacheManager:
     def __init__(self, num_blocks: int, block_size: int,
-                 enable_prefix_cache: bool = True, backend: str = "auto"):
+                 enable_prefix_cache: bool = True, backend: str = "auto",
+                 sliding_window_tokens: int = 0):
         """backend: auto | native | python — 'native' uses the C++ block pool
         + prefix cache (csrc/block_cache.cc) via ctypes; 'auto' picks native
-        when the library is available."""
+        when the library is available.
+
+        sliding_window_tokens > 0 enables SLIDING-WINDOW BLOCK RECYCLING for
+        uniform-SWA models (mistral-style; reference analog: the hybrid SWA
+        cache pools, cpp/cache/): decode growth reuses the stream's own
+        physical blocks once they fall wholly out of the attention window
+        (the block table keeps pointing at them for masked, DMA-safe reads),
+        and post-prefill out-of-window blocks are released. Requires the
+        prefix cache OFF (recycled block contents no longer match their
+        logical token positions)."""
         self.block_size = block_size
+        self.swa_tokens = sliding_window_tokens
+        if sliding_window_tokens:
+            assert not enable_prefix_cache, (
+                "sliding-window recycling is incompatible with prefix reuse")
+            # live span: ceil(window/bs) blocks + the write block + 1 guard
+            self.swa_keep = -(-sliding_window_tokens // block_size) + 2
+        else:
+            self.swa_keep = 0
         use_native = False
         if backend in ("auto", "native"):
             from rtp_llm_tpu.cache import native as _native
@@ -157,8 +178,22 @@ class KVCacheManager:
 
     def extend(self, alloc: BlockAllocation, new_total_tokens: int) -> bool:
         """Grow a stream's allocation to cover new_total_tokens (decode).
-        Returns False on OOM (caller must pause/evict the stream)."""
+        Returns False on OOM (caller must pause/evict the stream).
+
+        Sliding-window mode: before taking a fresh block for logical index
+        j, reuse the stream's own physical block at j - swa_keep — by then
+        all its token positions are below the attention window, so the
+        kernels never read live data from it (only masked rows)."""
         need = self.blocks_for_tokens(new_total_tokens)
+        if need <= len(alloc.blocks):
+            return True
+        while self.swa_tokens and len(alloc.blocks) < need:
+            j_old = len(alloc.blocks) - self.swa_keep
+            # exclusively-owned blocks only (beam forks / restores hold refs)
+            if j_old < 0 or self.pool.refcount(alloc.blocks[j_old]) != 1:
+                break
+            alloc.blocks.append(alloc.blocks[j_old])
+            alloc.recycled = True
         if need <= len(alloc.blocks):
             return True
         fresh = self._malloc(need - len(alloc.blocks))
@@ -166,6 +201,32 @@ class KVCacheManager:
             return False
         alloc.blocks.extend(fresh)
         return True
+
+    def shrink_sliding(self, alloc: BlockAllocation,
+                       total_tokens: int) -> bool:
+        """Post-prefill: release physical blocks wholly below the sliding
+        window, repointing their logical table entries at the first live
+        block (reads stay DMA-safe; all their positions are masked).
+        Returns True if the block list changed (caller resyncs the device
+        table row). No-op unless sliding-window mode is on."""
+        if not self.swa_tokens or alloc.recycled:
+            return False
+        dead = len(alloc.blocks) - self.swa_keep
+        if dead <= 0:
+            return False
+        live = alloc.blocks[dead]
+        victims = []
+        for i in range(dead):
+            b = alloc.blocks[i]
+            if self.pool.refcount(b) != 1 or b == live:
+                continue
+            victims.append(b)
+            alloc.blocks[i] = live
+        if victims:
+            self.pool.free(victims)
+            alloc.recycled = True  # duplicate ids now present
+            return True
+        return False
 
     def free(self, alloc: BlockAllocation, token_ids: list[int] | None = None):
         """Release a stream's blocks. If token_ids given (prompt+generated),
@@ -192,12 +253,24 @@ class KVCacheManager:
                         self._block_pyhash[b] = h
                         self.hash_version += 1
                         self._journal.append((self.hash_version, "+", h))
-        self.pool.free(alloc.blocks)
+        if alloc.recycled:
+            # sliding-window recycling aliases logical entries onto the same
+            # physical blocks: free each physical id once
+            self.pool.free(list(dict.fromkeys(alloc.blocks)))
+        else:
+            self.pool.free(alloc.blocks)
         alloc.blocks = []
 
     def estimate_peak_blocks(self, prompt_len: int, max_new_tokens: int) -> int:
-        """Admission estimate (reference: estimatePeakNeedBlocks)."""
-        return self.blocks_for_tokens(prompt_len + max_new_tokens)
+        """Admission estimate (reference: estimatePeakNeedBlocks). Sliding
+        recycling bounds the steady-state footprint at swa_keep blocks; the
+        prefill transient still needs the whole prompt."""
+        total = self.blocks_for_tokens(prompt_len + max_new_tokens)
+        if self.swa_tokens:
+            return min(total,
+                       max(self.blocks_for_tokens(prompt_len + 1),
+                           self.swa_keep))
+        return total
 
     # ---- cache-aware routing feed (reference: GetCacheStatus diffs) ----
 

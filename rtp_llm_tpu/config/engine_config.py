@@ -113,6 +113,12 @@ class CacheConfig:
     # cache-store service); "" = off. Chains after the disk tier (or after
     # host RAM if no disk tier). Requires host_cache_mb > 0.
     remote_cache_url: str = ""
+    # sliding-window block recycling for uniform-SWA models (reference:
+    # hybrid SWA cache pools): bounds per-stream KV at ~window tokens by
+    # reusing the stream's own out-of-window blocks. Disables prefix reuse
+    # (recycled contents diverge from their logical positions). Also engages
+    # automatically when enable_prefix_cache is False.
+    swa_recycle: bool = False
 
 
 @dataclasses.dataclass

@@ -80,9 +80,21 @@ class LlmEngine:
         # hybrid (linear-attention) models: per-slot state => no prefix
         # reuse, no host tier, no beams/spec (state is not block-composable)
         self.is_hybrid = bool(getattr(model, "is_hybrid", False))
+        # sliding-window block recycling (uniform-SWA models, mistral-style;
+        # reference analog: hybrid SWA cache pools): bounds each stream's KV
+        # at ~window tokens by reusing its own out-of-window blocks. Opt-in
+        # via cache.swa_recycle, or automatic when the prefix cache is off
+        # (recycled contents can't be prefix-shared).
+        uniform_swa = (mc.sliding_window and not mc.sliding_window_pattern
+                       and not self.is_hybrid)
+        swa_recycle = (mc.sliding_window if uniform_swa and (
+            cc.swa_recycle or not cc.enable_prefix_cache) else 0)
+        prefix_ok = (cc.enable_prefix_cache and not self.is_hybrid
+                     and not swa_recycle)
         self.cache_mgr = KVCacheManager(
             num_blocks, cc.block_size,
-            enable_prefix_cache=cc.enable_prefix_cache and not self.is_hybrid,
+            enable_prefix_cache=prefix_ok,
+            sliding_window_tokens=swa_recycle,
         )
         if cc.host_cache_mb > 0 and not self.is_hybrid:
             from rtp_llm_tpu.cache.host_tier import HostKVTier
@@ -1205,6 +1217,11 @@ class LlmEngine:
         for r, s in enumerate(group):
             token = int(tokens_h[r])
             ban = rows[r]["ban_eos"]
+            # sliding recycling: drop prefill blocks below the window before
+            # the table row lands in decode state
+            if self.cache_mgr.shrink_sliding(s.alloc, s.prompt_len + 1):
+                bt[r, : len(s.alloc.blocks)] = s.alloc.blocks
+                block_rows[r] = jnp.asarray(bt[r])
             slot = self._free_slots.pop()
             s.slot = slot
             self.slots[slot] = s
@@ -1292,6 +1309,11 @@ class LlmEngine:
         token = int(tokens[0])
         logprob = float(logprobs[0])
 
+        # sliding recycling: drop prefill blocks below the window before the
+        # table row lands in decode state
+        if self.cache_mgr.shrink_sliding(stream.alloc, p + 1):
+            block_row[: len(stream.alloc.blocks)] = stream.alloc.blocks
+            block_row_j = jnp.asarray(block_row)
         # insert into a decode slot
         slot = pre_slot if pre_slot is not None else self._free_slots.pop()
         stream.slot = slot
