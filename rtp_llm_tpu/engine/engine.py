@@ -89,14 +89,20 @@ class LlmEngine:
                        and not self.is_hybrid)
         swa_recycle = (mc.sliding_window if uniform_swa and (
             cc.swa_recycle or not cc.enable_prefix_cache) else 0)
+        # mixed global/SWA pool split (gemma2-style; model builds a per-slot
+        # ring pool for sliding layers — the hybrid SWA cache pool analog).
+        # Ring contents diverge from logical positions, so no prefix reuse /
+        # host tier / PD row transfer for these models.
+        self.swa_split = bool(getattr(model, "swa_split", False))
         prefix_ok = (cc.enable_prefix_cache and not self.is_hybrid
-                     and not swa_recycle)
+                     and not swa_recycle and not self.swa_split)
         self.cache_mgr = KVCacheManager(
             num_blocks, cc.block_size,
             enable_prefix_cache=prefix_ok,
             sliding_window_tokens=swa_recycle,
         )
-        if cc.host_cache_mb > 0 and not self.is_hybrid:
+        if (cc.host_cache_mb > 0 and not self.is_hybrid
+                and not self.swa_split):
             from rtp_llm_tpu.cache.host_tier import HostKVTier
 
             tier = HostKVTier(cc.host_cache_mb << 20)
@@ -130,6 +136,15 @@ class LlmEngine:
             "fp8": jnp.float8_e4m3fn,
             "float8_e4m3": jnp.float8_e4m3fn,
         }.get(config.quant.kv_cache_dtype) or jnp.dtype(config.quant.kv_cache_dtype)
+        if self.swa_split:
+            # SWA ring sizing needs the largest prefill chunk (forward
+            # queries reach back `window` past the chunk start)
+            model.swa_prefill_span = max(sc.prefill_buckets)
+            if config.speculative.method not in ("none", ""):
+                raise ValueError(
+                    "speculative decoding is not wired for mixed global/SWA "
+                    "pool models yet (draft prefill bypasses the per-slot "
+                    "ring assignment)")
         self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype,
                                    max_slots=sc.max_batch_size)
         # EPLB closed loop (reference: ExpertBalancer::stepForward,
@@ -244,6 +259,7 @@ class LlmEngine:
         self._defer_decode = bool(
             sc.defer_kv_writes
             and getattr(model, "supports_deferred_kv", False)
+            and not self.swa_split  # split pools write in-layer
         )
         self.spec = config.speculative
         self.tree_config = None
@@ -418,8 +434,19 @@ class LlmEngine:
         else:
             free = 2 << 30  # CPU backend / unknown: 2 GiB worth of blocks
         kv_dtype_bytes = 1 if self.config.quant.kv_cache_dtype in ("int8", "fp8") else 2
+        n_pool_layers = mc.num_layers
+        if getattr(self.model, "swa_split", False):
+            # SWA layers live in a fixed per-slot ring pool: subtract its
+            # bytes from the budget; only full layers scale with the pool
+            n_pool_layers = len(self.model._full_pos)
+            span = max(self.config.scheduler.prefill_buckets)
+            nring = -(-(mc.sliding_window + span) // cc.block_size) + 1
+            free -= (len(self.model._swa_pos) * 2
+                     * self.config.scheduler.max_batch_size * nring
+                     * cc.block_size * mc.num_kv_heads * mc.head_dim
+                     * kv_dtype_bytes)
         per_block = (
-            2 * mc.num_layers * cc.block_size * mc.num_kv_heads * mc.head_dim
+            2 * n_pool_layers * cc.block_size * mc.num_kv_heads * mc.head_dim
             * kv_dtype_bytes
         )
         n = max(16, int(free // per_block))
@@ -1102,9 +1129,9 @@ class LlmEngine:
         whose non-reused prompt exceeds the largest bucket fall back to the
         chunked single-stream path."""
         max_bucket = self.config.scheduler.prefill_buckets[-1]
-        if self.is_hybrid or self.mtp is not None:
-            # per-slot state (hybrid) / per-stream hidden seeding (MTP):
-            # single-stream prefill path only
+        if self.is_hybrid or self.swa_split or self.mtp is not None:
+            # per-slot state (hybrid/SWA rings) / per-stream hidden seeding
+            # (MTP): single-stream prefill path only
             for s in streams:
                 self._run_prefill(s)
             return
@@ -1256,9 +1283,11 @@ class LlmEngine:
         block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
         block_row[: len(blocks)] = blocks
         block_row_j = jnp.asarray(block_row)
-        # hybrid models address per-slot linear state during prefill: the
-        # decode slot is assigned before the forward
-        pre_slot = self._free_slots.pop() if self.is_hybrid else None
+        # hybrid models address per-slot linear state (and SWA-split models
+        # their per-slot KV rings) during prefill: the decode slot is
+        # assigned before the forward
+        pre_slot = (self._free_slots.pop()
+                    if (self.is_hybrid or self.swa_split) else None)
         logits = self._prefill_forward(stream, state_slot=pre_slot)
 
         if stream.is_recompute:
@@ -1982,9 +2011,16 @@ class LlmEngine:
         if self.is_hybrid and config is not None and config.max_num_beams > 1:
             raise ValueError("beam search is not supported for hybrid "
                              "linear-attention models")
+        if self.swa_split and config is not None and config.max_num_beams > 1:
+            raise ValueError("beam search is not supported for mixed "
+                             "global/SWA pool models (per-slot SWA rings "
+                             "are not fork-shareable)")
         if mm is not None and config is not None and config.max_num_beams > 1:
             raise ValueError("beam search with multimodal inputs is not "
                              "supported")
+        if mm is not None and self.swa_split:
+            raise ValueError("multimodal prefill is not wired for mixed "
+                             "global/SWA pool models yet")
         stream = GenerateStream(
             prompt_token_ids, config, stop_token_sequences=stop_token_sequences
         )

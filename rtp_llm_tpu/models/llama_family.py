@@ -109,6 +109,31 @@ class LlamaFamilyModel:
         # ``all_hidden`` ([B,T,len*H]) in place of the final hidden —
         # reference: merged_eagle3_hidden, PyWrappedModel.cc:660,746
         self.spec_capture_layers = None
+        # mixed global/SWA models (gemma2-style sliding_window_pattern):
+        # sliding layers keep KV in a SEPARATE per-slot ring pool sized by
+        # the window — the reference's hybrid SWA cache pools (cpp/cache/).
+        # cache becomes {"full": [Lf,2,NS,HD], "swa": [Ls,2,NSw,HD]}.
+        self.swa_split = bool(cfg.sliding_window
+                              and cfg.sliding_window_pattern)
+        self._swa_pos, self._full_pos = {}, {}
+        if self.swa_split:
+            for i in range(cfg.num_layers):
+                if self.is_swa_layer(i):
+                    self._swa_pos[i] = len(self._swa_pos)
+                else:
+                    self._full_pos[i] = len(self._full_pos)
+        self.swa_nring = 0  # set by init_cache (needs block_size)
+        self.max_slots = 0
+        # largest prefill chunk the engine will run (engine sets this to its
+        # max prefill bucket BEFORE init_cache): a chunk's queries attend
+        # back `window` past the chunk start, so the ring must hold
+        # window + span live tokens
+        self.swa_prefill_span = 128
+
+    def is_swa_layer(self, i: int) -> bool:
+        """gemma2 pattern: every Nth layer is global, the rest slide."""
+        p = self.cfg.sliding_window_pattern
+        return bool(self.cfg.sliding_window) and bool(p) and (i + 1) % p != 0
 
     # ---- load-time weight fusion ----
 
@@ -228,12 +253,7 @@ class LlamaFamilyModel:
         return (c.num_layers, 2, num_blocks * block_size,
                 c.num_kv_heads * c.head_dim)
 
-    def init_cache(
-        self, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
-        max_slots: int = 0,
-    ):
-        self.block_size = block_size
-        shape = self.cache_shape(num_blocks, block_size)
+    def _mk_pool(self, shape, dtype):
         if jnp.dtype(dtype) == jnp.int8:
             # int8 KV: quantized rows + per-(slot, kv-head) scales as a cache
             # pytree (reference: int8 KV cache, ConfigModules.h:146-208)
@@ -243,6 +263,33 @@ class LlamaFamilyModel:
                                    jnp.bfloat16),
             }
         return jnp.zeros(shape, dtype)
+
+    def init_cache(
+        self, num_blocks: int, block_size: int, dtype=jnp.bfloat16,
+        max_slots: int = 0,
+    ):
+        self.block_size = block_size
+        c = self.cfg
+        hd = c.num_kv_heads * c.head_dim
+        if self.swa_split:
+            # SWA layers: per-slot static rings sized by the window (the
+            # reference's hybrid SWA pool); full layers: the paged pool.
+            # max_slots comes from the engine batch; direct model use
+            # (tests, offline forward) defaults to a small slot count
+            self.max_slots = max_slots = max_slots or 8
+            # ring holds window + largest-prefill-chunk live tokens (+1
+            # block so the kept span never collides modulo the ring)
+            self.swa_nring = -(-(c.sliding_window + self.swa_prefill_span)
+                               // block_size) + 1
+            ns_swa = max_slots * self.swa_nring * block_size
+            return {
+                "full": self._mk_pool(
+                    (len(self._full_pos), 2, num_blocks * block_size, hd),
+                    dtype),
+                "swa": self._mk_pool(
+                    (len(self._swa_pos), 2, ns_swa, hd), dtype),
+            }
+        return self._mk_pool(self.cache_shape(num_blocks, block_size), dtype)
 
     # ---- forward ----
 
@@ -292,6 +339,24 @@ class LlamaFamilyModel:
         slots = token_slots(
             tpos, inputs.block_tables, self.block_size, valid
         ).reshape(-1)  # [B*T]
+        if self.swa_split:
+            # SWA layers write to per-slot static rings: ring id = decode
+            # slot (state_slots when prefilling, row index when decoding).
+            # Only the last (nring-1)*block_size positions are written
+            # (covers window + the largest prefill chunk): older tokens are
+            # never read again, and the kept span maps to DISTINCT ring
+            # slots, so scatters stay duplicate-free.
+            bs_, ring = self.block_size, self.swa_nring
+            sids = (inputs.state_slots if inputs.state_slots is not None
+                    else jnp.arange(b, dtype=jnp.int32))
+            mb_ = inputs.block_tables.shape[1]
+            table_swa = (sids[:, None] * ring
+                         + jnp.arange(mb_, dtype=jnp.int32)[None, :] % ring)
+            w_valid = valid & (
+                tpos >= inputs.kv_lens[:, None] - (ring - 1) * bs_)
+            slots_swa = token_slots(
+                tpos, table_swa, bs_, w_valid).reshape(-1)
+            slots = (slots, slots_swa, table_swa)
 
         kv_writes = ([], []) if defer_kv_writes else None
         gating_out = [] if need_moe_gating else None
@@ -434,6 +499,23 @@ class LlamaFamilyModel:
         b, t, h = x.shape
         hq, hkv, d = cfg.num_attention_heads, cfg.num_kv_heads, cfg.head_dim
 
+        # mixed global/SWA pools: pick this layer's pool, group index, table
+        # and write slots (the forward packed them into ``slots``)
+        tbl = inputs.block_tables
+        li = i
+        sub = cache
+        pool_key = None
+        if self.swa_split:
+            slots_full, slots_swa, table_swa = slots
+            if self.is_swa_layer(i):
+                pool_key, li = "swa", self._swa_pos[i]
+                tbl, slots = table_swa, slots_swa
+            else:
+                pool_key, li = "full", self._full_pos[i]
+                slots = slots_full
+            sub = cache[pool_key]
+            assert kv_writes is None, "deferred KV writes unsupported with swa_split"
+
         res = x
         x = self._norm_at(w, "input_norm", x, i)
 
@@ -474,17 +556,17 @@ class LlamaFamilyModel:
         k_scale = v_scale = None
         full_cache = None
         if kv_writes is not None:
-            if isinstance(cache, dict):  # int8 KV, deferred: attention reads
+            if isinstance(sub, dict):  # int8 KV, deferred: attention reads
                 # the quantized pool (kv_len-1 tokens) + the bf16 current
                 # token from registers; the engine quantizes and scatters all
                 # layers' rows in one shot after the forward
-                k_cache, v_cache = cache["data"][i, 0], cache["data"][i, 1]
-                k_scale, v_scale = cache["scale"][i, 0], cache["scale"][i, 1]
-                full_cache = cache["data"]
+                k_cache, v_cache = sub["data"][li, 0], sub["data"][li, 1]
+                k_scale, v_scale = sub["scale"][li, 0], sub["scale"][li, 1]
+                full_cache = sub["data"]
             else:
-                k_cache, v_cache = cache[i, 0], cache[i, 1]
-                full_cache = cache
-        elif isinstance(cache, dict):  # int8 KV with scales
+                k_cache, v_cache = sub[li, 0], sub[li, 1]
+                full_cache = sub
+        elif isinstance(sub, dict):  # int8 KV with scales
             # direct 3D scatters on the donated buffers — slicing a plane out
             # and writing it back (dynamic-update-slice) materializes full
             # [NS, HD] slab copies, measured 41x slower (round-2 perf notes)
@@ -492,21 +574,22 @@ class LlamaFamilyModel:
 
             kq, ks, vq, vs = quantize_kv(
                 k.reshape(-1, hkv, d), v.reshape(-1, hkv, d))
-            data = (cache["data"].at[i, 0, slots].set(kq, mode="drop")
-                                 .at[i, 1, slots].set(vq, mode="drop"))
-            scale = (cache["scale"].at[i, 0, slots].set(ks, mode="drop")
-                                   .at[i, 1, slots].set(vs, mode="drop"))
-            cache = {"data": data, "scale": scale}
-            k_cache, v_cache = data[i, 0], data[i, 1]
-            k_scale, v_scale = scale[i, 0], scale[i, 1]
+            data = (sub["data"].at[li, 0, slots].set(kq, mode="drop")
+                               .at[li, 1, slots].set(vq, mode="drop"))
+            scale = (sub["scale"].at[li, 0, slots].set(ks, mode="drop")
+                                 .at[li, 1, slots].set(vs, mode="drop"))
+            sub = {"data": data, "scale": scale}
+            k_cache, v_cache = data[li, 0], data[li, 1]
+            k_scale, v_scale = scale[li, 0], scale[li, 1]
             full_cache = data  # pallas kernel DMAs at a layer offset
         else:
-            k2d = k.reshape(-1, hkv * d).astype(cache.dtype)
-            v2d = v.reshape(-1, hkv * d).astype(cache.dtype)
-            cache = (cache.at[i, 0, slots].set(k2d, mode="drop")
-                          .at[i, 1, slots].set(v2d, mode="drop"))
-            k_cache, v_cache = cache[i, 0], cache[i, 1]
-            full_cache = cache
+            k2d = k.reshape(-1, hkv * d).astype(sub.dtype)
+            v2d = v.reshape(-1, hkv * d).astype(sub.dtype)
+            sub = (sub.at[li, 0, slots].set(k2d, mode="drop")
+                      .at[li, 1, slots].set(v2d, mode="drop"))
+            k_cache, v_cache = sub[li, 0], sub[li, 1]
+            full_cache = sub
+        cache = {**cache, pool_key: sub} if pool_key else sub
 
         if self.use_ring_prefill and t > 1:
             # ring CP prefill: self-attention over this (whole, fresh)
@@ -530,7 +613,7 @@ class LlamaFamilyModel:
                 sliding = 0
         attn = paged_attention(
             q, k_cache, v_cache,
-            inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
+            tbl, inputs.kv_lens, inputs.q_offsets,
             self.sm_scale,
             block_size=self.block_size,
             sliding_window=sliding,
@@ -540,7 +623,7 @@ class LlamaFamilyModel:
             mesh=self.mesh,
             cur_k=cur_k, cur_v=cur_v,
             alibi_slopes=self.alibi_slopes,
-            full_cache=full_cache, layer=i,
+            full_cache=full_cache, layer=li,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)
         return self._post_attention(w, cache, i, x, res, aids, gating_out)
