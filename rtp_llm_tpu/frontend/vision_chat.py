@@ -34,6 +34,50 @@ class VisionChatHandler:
         self._improc = None
         self._tower = None
         self._mm = None
+        # MM embedding cache (reference: the MM embedding cache keyed by
+        # content hashes, cpp/multimodal_processor/ + MMProcessEngine):
+        # repeated images skip the vision tower entirely. Byte-capped LRU
+        # of per-image (embeds, grid); RTP_MM_CACHE_MB=0 disables.
+        import os
+
+        from collections import OrderedDict
+
+        self._embed_cache: OrderedDict = OrderedDict()
+        self._embed_cache_bytes = 0
+        self._embed_cache_cap = int(
+            os.environ.get("RTP_MM_CACHE_MB", "256")) << 20
+        self.mm_cache_hits = 0
+        self.mm_cache_misses = 0
+
+    def _cache_get(self, digest: str):
+        v = self._embed_cache.get(digest)
+        if v is not None:
+            self._embed_cache.move_to_end(digest)
+            self.mm_cache_hits += 1
+        else:
+            self.mm_cache_misses += 1
+        return v
+
+    def _cache_put(self, digest: str, embeds, grid) -> None:
+        if not self._embed_cache_cap or digest in self._embed_cache:
+            return
+        nb = embeds.nbytes
+        if nb > self._embed_cache_cap:
+            return
+        while (self._embed_cache_bytes + nb > self._embed_cache_cap
+               and self._embed_cache):
+            _, (old, _) = self._embed_cache.popitem(last=False)
+            self._embed_cache_bytes -= old.nbytes
+        self._embed_cache[digest] = (embeds, grid)
+        self._embed_cache_bytes += nb
+
+    @staticmethod
+    def _digest(im) -> str:
+        import hashlib
+
+        h = hashlib.sha1(im.tobytes())
+        h.update(str(im.size).encode())
+        return h.hexdigest()
 
     def _ensure(self):
         if self._improc is None:
@@ -114,9 +158,26 @@ class VisionChatHandler:
         pil = [self._decode_image(u) for u in image_urls]
         if self.cfg.model_type == "llava":
             return self._process_llava(pil, token_ids)
-        feats = self._improc(images=pil, return_tensors="np")
-        pixel_values = np.asarray(feats["pixel_values"], np.float32)
-        grid_thw = np.asarray(feats["image_grid_thw"])
+        # MM embedding cache: tower-encode only images not seen before
+        digests = [self._digest(im) for im in pil]
+        hit = {d: self._cache_get(d) for d in set(digests)}
+        miss_idx = [k for k, d in enumerate(digests) if hit[d] is None]
+        per_img: dict = {}
+        if miss_idx:
+            feats = self._improc(images=[pil[k] for k in miss_idx],
+                                 return_tensors="np")
+            pixel_values = np.asarray(feats["pixel_values"], np.float32)
+            grid_thw = np.asarray(feats["image_grid_thw"])
+            m_embeds, m_grids = self._tower.encode_images(
+                pixel_values, grid_thw)
+            for k, e, g in zip(miss_idx, m_embeds, m_grids):
+                per_img[k] = (np.asarray(e), g)
+                self._cache_put(digests[k], np.asarray(e), g)
+        for k, d in enumerate(digests):
+            if k not in per_img:
+                per_img[k] = hit[d]
+        embeds = [per_img[k][0] for k in range(len(pil))]
+        grids = [per_img[k][1] for k in range(len(pil))]
         m = getattr(self._improc, "merge_size", 2)
         img_tok = self.cfg.image_token_id
 
@@ -124,19 +185,18 @@ class VisionChatHandler:
         gi, i, n = 0, 0, len(token_ids)
         while i < n:
             t = token_ids[i]
-            if t == img_tok and gi < len(grid_thw):
+            if t == img_tok and gi < len(grids):
                 j = i
                 while j < n and token_ids[j] == img_tok:
                     j += 1
-                tt, h, w = grid_thw[gi]
-                out.extend([img_tok] * int(tt * (h // m) * (w // m)))
+                tt, h, w = grids[gi]  # merged (t, h, w)
+                out.extend([img_tok] * int(tt * h * w))
                 gi += 1
                 i = j
             else:
                 out.append(t)
                 i += 1
 
-        embeds, grids = self._tower.encode_images(pixel_values, grid_thw)
         mm = self._mm.prepare(out, embeds, grids)
         return out, mm
 
@@ -145,13 +205,26 @@ class VisionChatHandler:
         tokens_per_image run; flat positions (no MRoPE)."""
         import numpy as np
 
-        feats = self._improc(images=pil, return_tensors="np")
-        pixel_values = np.asarray(feats["pixel_values"], np.float32)
+        digests = [self._digest(im) for im in pil]
+        hit = {d: self._cache_get(d) for d in set(digests)}
+        miss_idx = [k for k, d in enumerate(digests) if hit[d] is None]
+        per_img: dict = {}
+        if miss_idx:
+            feats = self._improc(images=[pil[k] for k in miss_idx],
+                                 return_tensors="np")
+            pixel_values = np.asarray(feats["pixel_values"], np.float32)
+            m_embeds = self._tower.encode_images(pixel_values)  # [N, per, H]
+            for k, e in zip(miss_idx, m_embeds):
+                per_img[k] = (np.asarray(e), None)
+                self._cache_put(digests[k], np.asarray(e), None)
+        for k, d in enumerate(digests):
+            if k not in per_img:
+                per_img[k] = hit[d]
         per = self._tower.tokens_per_image
         img_tok = self.cfg.image_token_id
         out = []
         for t in token_ids:
             out.extend([img_tok] * per if t == img_tok else [t])
-        embeds = self._tower.encode_images(pixel_values)  # [N, per, H]
-        mm = self._mm.prepare_flat(out, list(embeds))
+        mm = self._mm.prepare_flat(
+            out, [per_img[k][0] for k in range(len(pil))])
         return out, mm

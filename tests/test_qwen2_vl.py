@@ -247,3 +247,59 @@ def test_vit_worker_remote_matches_local(ckpt):
     r_embeds, r_grids = asyncio.run(run())
     assert r_grids == l_grids
     np.testing.assert_allclose(r_embeds[0], l_embeds[0], rtol=1e-6)
+
+
+def test_mm_embedding_cache(ckpt):
+    """MM embedding cache (reference: MM embedding cache keyed by content
+    hashes): a repeated image skips the vision tower and yields identical
+    MMInputs; distinct images miss."""
+    import base64
+    import io
+    import json as _json
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from rtp_llm_tpu.frontend.vision_chat import VisionChatHandler
+
+    with open(os.path.join(ckpt, "preprocessor_config.json"), "w") as f:
+        _json.dump({
+            "image_processor_type": "Qwen2VLImageProcessor",
+            "patch_size": 4, "temporal_patch_size": 2, "merge_size": 2,
+            "min_pixels": 4 * 4 * 4, "max_pixels": 16 * 16 * 4,
+            "do_normalize": True,
+            "image_mean": [0.5, 0.5, 0.5], "image_std": [0.5, 0.5, 0.5],
+        }, f)
+
+    def uri(color):
+        img = Image.new("RGB", (16, 16), color)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return ("data:image/png;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+
+    mc = ModelConfig.from_pretrained(ckpt)
+    mc.dtype = "float32"
+    handler = VisionChatHandler(ckpt, mc, None)
+    prompt = [1, 5, VSTART, IMG, VEND, 9]
+    u1 = uri((120, 30, 200))
+
+    ids1, mm1 = handler.process(prompt, [u1])
+    assert handler.mm_cache_misses == 1 and handler.mm_cache_hits == 0
+
+    calls = []
+    real = handler._tower.encode_images
+    handler._tower.encode_images = lambda *a, **k: (
+        calls.append(1) or real(*a, **k))
+
+    ids2, mm2 = handler.process(prompt, [u1])  # same image: pure cache hit
+    assert not calls, "tower must not run on a cache hit"
+    assert handler.mm_cache_hits == 1
+    assert ids2 == ids1
+    np.testing.assert_array_equal(np.asarray(mm2.embeds),
+                                  np.asarray(mm1.embeds))
+
+    ids3, _ = handler.process(prompt, [uri((10, 250, 60))])  # distinct: miss
+    assert calls and handler.mm_cache_misses == 2
+    assert len(ids3) == len(ids1)
