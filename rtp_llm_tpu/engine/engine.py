@@ -1911,6 +1911,54 @@ class LlmEngine:
 
     # ---- warmup ----
 
+    def _warmup_parallel_compile(self):
+        """Lower + AOT-compile the serving programs in a thread pool. The
+        compiled executables are discarded — the value is filling the
+        persistent compile cache in parallel so the sequential warmup pass
+        hits it. Failures are non-fatal (that program just compiles
+        sequentially)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        mb = self.max_blocks_per_seq
+        thunks = []
+        for bucket in self.config.scheduler.prefill_buckets:
+            fn = self._get_prefill_fn(bucket)
+            for rows in (1, self.PREFILL_PACK):
+                thunks.append((fn, (
+                    self.weights, self.kv,
+                    jnp.zeros((rows, bucket), jnp.int32),
+                    jnp.zeros((rows, bucket), jnp.int32),
+                    jnp.zeros((rows, mb), jnp.int32),
+                    jnp.zeros((rows,), jnp.int32),
+                    jnp.zeros((rows,), jnp.int32),
+                ), {}))
+        n_multi = self.config.scheduler.decode_steps
+        for need_sampling in (False, True):
+            for kvb in self._kv_buckets:
+                thunks.append((self._decode_jit,
+                               (self.weights, self.kv, self.state,
+                                need_sampling),
+                               dict(kv_blocks=kvb)))
+                if n_multi > 1:
+                    thunks.append((self._decode_multi_jit,
+                                   (self.weights, self.kv, self.state,
+                                    need_sampling),
+                                   dict(n_steps=n_multi, kv_blocks=kvb)))
+
+        def compile_one(job):
+            fn, args, kw = job
+            try:
+                fn.lower(*args, **kw).compile()
+            except Exception as e:  # noqa: BLE001 — fall back to sequential
+                logger.debug("parallel warmup compile skipped: %s", e)
+
+        workers = int(os.environ.get("RTP_PARALLEL_WARMUP", "8") or 8)
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=max(2, workers)) as ex:
+            list(ex.map(compile_one, thunks))
+        logger.info("parallel warmup: %d programs compiled in %.1fs",
+                    len(thunks), time.time() - t0)
+
     def warmup(self):
         """Compile every device program ahead of serving (reference:
         NormalEngine::warmUp, NormalEngine.cc:208): all prefill buckets, the
@@ -1920,6 +1968,14 @@ class LlmEngine:
         t0 = time.time()
         b = self.config.scheduler.max_batch_size
         mb = self.max_blocks_per_seq
+        if os.environ.get("RTP_PARALLEL_WARMUP"):
+            # phase 1: AOT-compile every program CONCURRENTLY (the XLA /
+            # remote-compile layer releases the GIL and the terminal compiles
+            # requests in parallel), populating the persistent compile cache;
+            # the sequential execution pass below then deserializes instead
+            # of compiling. Opt-in until the wall-clock win is measured on
+            # hardware (tracing happens twice).
+            self._warmup_parallel_compile()
         with self.device_lock:
             for bucket in self.config.scheduler.prefill_buckets:
                 fn = self._get_prefill_fn(bucket)
