@@ -146,8 +146,9 @@ def main():
         "Absolute ppl on synthetic weights is not meaningful; the DELTA",
         "isolates quantization error on identical weights (north-star",
         "metric, BASELINE.json). Rerun with --model-path for a real ckpt.",
-        "NOTE: random weights have no redundancy, so low-bit rows (int4)",
-        "overstate the delta a trained checkpoint would show.",
+        "NOTE: random weights have no redundancy, so low-bit rows (int4,",
+        "and especially fp4's 8-level e2m1 codebook) overstate the delta a",
+        "trained checkpoint would show.",
         "",
         "| config | ppl | delta | delta % |",
         "|---|---|---|---|",
