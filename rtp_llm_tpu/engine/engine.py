@@ -432,7 +432,11 @@ class LlmEngine:
                 "bytes_in_use", 0
             ) - cc.reserve_runtime_mem_mb * (1 << 20)
         else:
-            free = 2 << 30  # CPU backend / unknown: 2 GiB worth of blocks
+            # CPU backend / unknown: keep the pool SMALL — XLA:CPU does not
+            # reliably alias huge donated buffers across scan steps, so an
+            # oversized pool turns every decode step into whole-pool memcpys
+            # (measured: 14 s/step on a tiny model with a 2 GiB pool)
+            free = 256 << 20
         kv_dtype_bytes = 1 if self.config.quant.kv_cache_dtype in ("int8", "fp8") else 2
         n_pool_layers = mc.num_layers
         if getattr(self.model, "swa_split", False):
