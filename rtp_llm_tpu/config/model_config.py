@@ -416,7 +416,16 @@ class ModelConfig:
             cfg.linear_key_head_dim = hf.get("linear_key_head_dim", 128)
             cfg.linear_value_head_dim = hf.get("linear_value_head_dim", 128)
             cfg.linear_conv_kernel_dim = hf.get("linear_conv_kernel_dim", 4)
-        if arch == "qwen":  # qwen v1 (reference: rtp_llm/models/qwen.py)
+        if arch == "qwen_vl":
+            # qwen v1 trunk + OpenCLIP ViT-bigG tower with resampler
+            # (reference: rtp_llm/models/qwen_vl.py:38-56 — image tokens
+            # splice between image_start_id/end_id, pad id = start+2)
+            vis = hf.get("visual", {})
+            cfg.vision_config = vis
+            start = int(vis.get("image_start_id", 151857))
+            cfg.vision_start_token_id = start
+            cfg.image_token_id = start + 2
+        if arch in ("qwen", "qwen_vl"):  # qwen v1 (reference: models/qwen.py)
             cfg.attention_bias = True  # fused c_attn carries the only bias
             cfg.rms_norm_eps = hf.get("layer_norm_epsilon", 1e-6)
             # HF QWenMLP splits intermediate_size across w1/w2

@@ -80,7 +80,9 @@ class VisionChatHandler:
         return h.hexdigest()
 
     def _ensure(self):
-        if self._improc is None:
+        if self._improc is None and self.cfg.model_type != "qwen_vl":
+            # qwen_vl (v1) ships no HF processor: the tower owns its
+            # fixed 448px bicubic + CLIP-normalize transform
             from transformers import AutoImageProcessor
 
             self._improc = AutoImageProcessor.from_pretrained(self.model_path)
@@ -90,6 +92,12 @@ class VisionChatHandler:
 
                 self._tower = RemoteTower(self.vit_endpoint,
                                           self.cfg.model_type)
+            elif self.cfg.model_type == "qwen_vl":
+                from rtp_llm_tpu.multimodal.qwen_vl_jax import (
+                    QwenVLVisionTower,
+                )
+
+                self._tower = QwenVLVisionTower(self.model_path)
             elif self.cfg.model_type == "llava":
                 from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
@@ -156,7 +164,8 @@ class VisionChatHandler:
         tower, and build the engine MMInputs. Returns (token_ids, mm)."""
         self._ensure()
         pil = [self._decode_image(u) for u in image_urls]
-        if self.cfg.model_type == "llava":
+        if self.cfg.model_type in ("llava", "qwen_vl"):
+            # fixed tokens-per-image towers, flat positions (no MRoPE)
             return self._process_llava(pil, token_ids)
         # MM embedding cache: tower-encode only images not seen before
         digests = [self._digest(im) for im in pil]
@@ -210,10 +219,14 @@ class VisionChatHandler:
         miss_idx = [k for k, d in enumerate(digests) if hit[d] is None]
         per_img: dict = {}
         if miss_idx:
-            feats = self._improc(images=[pil[k] for k in miss_idx],
-                                 return_tensors="np")
-            pixel_values = np.asarray(feats["pixel_values"], np.float32)
-            m_embeds = self._tower.encode_images(pixel_values)  # [N, per, H]
+            if self._improc is None:  # qwen_vl: tower-owned transform
+                m_embeds = self._tower.encode_images(
+                    [pil[k] for k in miss_idx])
+            else:
+                feats = self._improc(images=[pil[k] for k in miss_idx],
+                                     return_tensors="np")
+                pixel_values = np.asarray(feats["pixel_values"], np.float32)
+                m_embeds = self._tower.encode_images(pixel_values)  # [N,per,H]
             for k, e in zip(miss_idx, m_embeds):
                 per_img[k] = (np.asarray(e), None)
                 self._cache_put(digests[k], np.asarray(e), None)

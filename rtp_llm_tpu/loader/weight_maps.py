@@ -1245,6 +1245,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "bloom": _bloom_specs,
     "falcon": _falcon_specs,
     "qwen": _qwen_specs,
+    "qwen_vl": _qwen_specs,  # LLM trunk; the visual tower loads separately
     "qwen_7b": _qwen_specs,
     "qwen_13b": _qwen_specs,
     "qwen_1b8": _qwen_specs,
