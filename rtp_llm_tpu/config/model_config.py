@@ -482,7 +482,15 @@ class ModelConfig:
             cfg.mlp_bias = True
             cfg.lm_head_bias = True
             cfg.hidden_act = "gelu_tanh"  # gelu_new
-        if arch == "chatglm":  # chatglm2 / chatglm3
+        if arch == "chatglm4v":
+            # GLM-4V: chatglm trunk + EVA2-CLIP tower (reference:
+            # models/chat_glm_v4_vision.py + chatglm4v mixin). The image
+            # placeholder (boi token) expands to the tower's full
+            # [boi | patches | eoi] embedding run.
+            cfg.vision_config = hf.get("vision_config")
+            cfg.vision_start_token_id = hf.get("boi_token_id", 0)
+            cfg.image_token_id = hf.get("boi_token_id", 0)
+        if arch in ("chatglm", "chatglm4v"):  # chatglm2/3 + glm-4v trunk
             cfg.rms_norm_eps = hf.get("layernorm_epsilon", 1e-5)
             if hf.get("multi_query_attention", True):
                 cfg.num_kv_heads = hf.get("multi_query_group_num", 2)

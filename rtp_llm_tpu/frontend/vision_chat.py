@@ -80,9 +80,10 @@ class VisionChatHandler:
         return h.hexdigest()
 
     def _ensure(self):
-        if self._improc is None and self.cfg.model_type != "qwen_vl":
-            # qwen_vl (v1) ships no HF processor: the tower owns its
-            # fixed 448px bicubic + CLIP-normalize transform
+        if (self._improc is None
+                and self.cfg.model_type not in ("qwen_vl", "chatglm4v")):
+            # qwen_vl / glm-4v ship no HF processor: the tower owns its
+            # fixed-size bicubic + CLIP-normalize transform
             from transformers import AutoImageProcessor
 
             self._improc = AutoImageProcessor.from_pretrained(self.model_path)
@@ -98,6 +99,10 @@ class VisionChatHandler:
                 )
 
                 self._tower = QwenVLVisionTower(self.model_path)
+            elif self.cfg.model_type == "chatglm4v":
+                from rtp_llm_tpu.multimodal.glm4v_jax import Glm4vVisionTower
+
+                self._tower = Glm4vVisionTower(self.model_path)
             elif self.cfg.model_type == "llava":
                 from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
@@ -164,7 +169,7 @@ class VisionChatHandler:
         tower, and build the engine MMInputs. Returns (token_ids, mm)."""
         self._ensure()
         pil = [self._decode_image(u) for u in image_urls]
-        if self.cfg.model_type in ("llava", "qwen_vl"):
+        if self.cfg.model_type in ("llava", "qwen_vl", "chatglm4v"):
             # fixed tokens-per-image towers, flat positions (no MRoPE)
             return self._process_llava(pil, token_ids)
         # MM embedding cache: tower-encode only images not seen before

@@ -1256,6 +1256,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "mpt": _mpt_specs,
     "phi": _phi_specs,
     "chatglm": _chatglm_specs,
+    "chatglm4v": _chatglm_specs,  # LLM trunk; EVA2-CLIP tower loads separately
     "chat_glm_2": _chatglm_specs,
     "chat_glm_3": _chatglm_specs,
     "chatglm2": _chatglm_specs,

@@ -26,7 +26,7 @@ for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
             # round 2 additions (reference model_factory_register.py types)
             "qwen", "qwen_7b", "qwen_13b", "qwen_1b8", "qwen_vl",
             "gpt_neox", "gpt_bigcode", "starcoder", "wizardcoder",
-            "mpt", "phi", "chatglm", "chat_glm_2", "chat_glm_3",
+            "mpt", "phi", "chatglm", "chat_glm_2", "chat_glm_3", "chatglm4v",
             "chatglm2", "chatglm3", "glm4_moe", "aquila", "xverse",
             "qwen3_coder_moe", "qwen35_dense", "qwen35_moe"):
     register_model(_mt, LlamaFamilyModel)
