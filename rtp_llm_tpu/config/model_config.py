@@ -390,6 +390,38 @@ class ModelConfig:
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
             cfg.moe_router_bias = arch == "deepseek_v3"
+        if arch == "deepseek_vl_v2":
+            # DeepSeek-VL2 (reference: models/deepseek_vl2/deepseek_vl2.py):
+            # deepseek-MoE trunk WITHOUT MLA under "language_config", SigLIP
+            # tower + tile processing under vision/projector configs
+            lc = hf.get("language_config", hf)
+            cfg.vocab_size = lc.get("vocab_size", cfg.vocab_size)
+            cfg.hidden_size = lc.get("hidden_size", cfg.hidden_size)
+            cfg.intermediate_size = lc.get("intermediate_size",
+                                           cfg.intermediate_size)
+            cfg.num_layers = lc.get("num_hidden_layers", cfg.num_layers)
+            cfg.num_attention_heads = lc.get("num_attention_heads",
+                                             cfg.num_attention_heads)
+            cfg.num_kv_heads = lc.get("num_key_value_heads",
+                                      cfg.num_attention_heads)
+            cfg.head_dim = cfg.hidden_size // cfg.num_attention_heads
+            cfg.rms_norm_eps = lc.get("rms_norm_eps", 1e-6)
+            cfg.rope_theta = lc.get("rope_theta", 10000.0)
+            cfg.tie_word_embeddings = lc.get("tie_word_embeddings", False)
+            cfg.num_experts = lc.get("n_routed_experts", 0) or 0
+            cfg.num_experts_per_tok = lc.get("num_experts_per_tok", 0) or 0
+            cfg.moe_intermediate_size = lc.get("moe_intermediate_size", 0)
+            cfg.num_shared_experts = lc.get("n_shared_experts", 0) or 0
+            cfg.first_moe_layer = lc.get("first_k_dense_replace", 0)
+            cfg.moe_norm_topk_prob = lc.get("norm_topk_prob", False)
+            cfg.moe_router_score_fn = lc.get("scoring_func", "softmax")
+            cfg.moe_n_group = lc.get("n_group", 0) or 0
+            cfg.moe_topk_group = lc.get("topk_group", 0) or 0
+            cfg.moe_routed_scaling_factor = lc.get("routed_scaling_factor",
+                                                   1.0)
+            cfg.eos_token_id = lc.get("eos_token_id", cfg.eos_token_id)
+            cfg.vision_config = hf.get("vision_config")
+            cfg.image_token_id = hf.get("image_token_id", 128815)  # <image>
         if arch == "qwen2_vl":
             cfg.attention_bias = True
             rs = hf.get("rope_scaling") or {}

@@ -81,7 +81,8 @@ class VisionChatHandler:
 
     def _ensure(self):
         if (self._improc is None
-                and self.cfg.model_type not in ("qwen_vl", "chatglm4v")):
+                and self.cfg.model_type not in ("qwen_vl", "chatglm4v",
+                                                "deepseek_vl_v2")):
             # qwen_vl / glm-4v ship no HF processor: the tower owns its
             # fixed-size bicubic + CLIP-normalize transform
             from transformers import AutoImageProcessor
@@ -103,6 +104,12 @@ class VisionChatHandler:
                 from rtp_llm_tpu.multimodal.glm4v_jax import Glm4vVisionTower
 
                 self._tower = Glm4vVisionTower(self.model_path)
+            elif self.cfg.model_type == "deepseek_vl_v2":
+                from rtp_llm_tpu.multimodal.deepseek_vl2_jax import (
+                    DeepseekVL2VisionTower,
+                )
+
+                self._tower = DeepseekVL2VisionTower(self.model_path)
             elif self.cfg.model_type == "llava":
                 from rtp_llm_tpu.multimodal.clip_jax import ClipVisionTower
 
@@ -169,6 +176,8 @@ class VisionChatHandler:
         tower, and build the engine MMInputs. Returns (token_ids, mm)."""
         self._ensure()
         pil = [self._decode_image(u) for u in image_urls]
+        if self.cfg.model_type == "deepseek_vl_v2":
+            return self._process_deepseek_vl2(pil, token_ids)
         if self.cfg.model_type in ("llava", "qwen_vl", "chatglm4v"):
             # fixed tokens-per-image towers, flat positions (no MRoPE)
             return self._process_llava(pil, token_ids)
@@ -212,6 +221,33 @@ class VisionChatHandler:
                 i += 1
 
         mm = self._mm.prepare(out, embeds, grids)
+        return out, mm
+
+    def _process_deepseek_vl2(self, pil, token_ids):
+        """deepseek-vl2: VARIABLE tokens per image (global view + best-fit
+        tile grid + newline/separator tokens); each <image> placeholder
+        expands to its own image's token count."""
+        digests = [self._digest(im) for im in pil]
+        hit = {d: self._cache_get(d) for d in set(digests)}
+        per_img: dict = {}
+        for k, d in enumerate(digests):
+            if hit[d] is not None:
+                per_img[k] = hit[d][0]
+            else:
+                e = np.asarray(self._tower.encode_image(pil[k]))
+                per_img[k] = e
+                self._cache_put(d, e, None)
+                hit[d] = (e, None)
+        img_tok = self.cfg.image_token_id
+        out: list = []
+        gi = 0
+        for t in token_ids:
+            if t == img_tok and gi < len(pil):
+                out.extend([img_tok] * per_img[gi].shape[0])
+                gi += 1
+            else:
+                out.append(t)
+        mm = self._mm.prepare_flat(out, [per_img[k] for k in range(len(pil))])
         return out, mm
 
     def _process_llava(self, pil, token_ids):

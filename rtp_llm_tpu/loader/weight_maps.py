@@ -156,7 +156,7 @@ def _llama_family_specs(cfg: ModelConfig) -> list[WeightSpec]:
         if cfg.num_shared_experts > 0:
             # qwen2-moe style shared expert (+ sigmoid shared-expert gate)
             sh = ("model.layers.{l}.mlp.shared_experts."
-                  if cfg.model_type == "glm4_moe"
+                  if cfg.model_type in ("glm4_moe", "deepseek_vl_v2")
                   else "model.layers.{l}.mlp.shared_expert.")
             specs += [
                 WeightSpec("shared_gate", sh + "gate_proj.weight",
@@ -1203,6 +1203,23 @@ def _chatglm_specs(cfg: ModelConfig) -> list[WeightSpec]:
     return specs
 
 
+def _deepseek_vl2_specs(cfg: ModelConfig) -> list[WeightSpec]:
+    """DeepSeek-VL2 language trunk (reference:
+    models/deepseek_vl2/deepseek_vl2_weight.py): llama-style attention +
+    deepseek-MoE under a ``language.`` checkpoint prefix (the vision tower
+    and projector load separately, multimodal/deepseek_vl2_jax.py)."""
+    import dataclasses as _dc
+
+    specs = [_dc.replace(sp, hf_pattern="language." + sp.hf_pattern)
+             for sp in _llama_family_specs(cfg)]
+    if cfg.num_experts > 0:
+        specs.append(WeightSpec(
+            "router_bias",
+            "language.model.layers.{l}.mlp.gate.e_score_correction_bias",
+            per_layer=True, layers_fn=_moe_layers, optional=True))
+    return specs
+
+
 def _glm4_moe_specs(cfg: ModelConfig) -> list[WeightSpec]:
     """glm4_moe / GLM-4.5 (reference: glm4_moe.py): llama-style attention
     names + deepseek-v3-style routed MoE with e_score_correction_bias."""
@@ -1232,6 +1249,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "qwen3_vl": _qwen3_vl_specs,
     "qwen3_vl_moe": _qwen3_vl_specs,
     "deepseek_v2": _deepseek_with_mtp_specs,
+    "deepseek_vl_v2": _deepseek_vl2_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
     "megatron_bert": _megatron_bert_specs,

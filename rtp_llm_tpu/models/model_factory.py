@@ -28,7 +28,8 @@ for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
             "gpt_neox", "gpt_bigcode", "starcoder", "wizardcoder",
             "mpt", "phi", "chatglm", "chat_glm_2", "chat_glm_3", "chatglm4v",
             "chatglm2", "chatglm3", "glm4_moe", "aquila", "xverse",
-            "qwen3_coder_moe", "qwen35_dense", "qwen35_moe"):
+            "qwen3_coder_moe", "qwen35_dense", "qwen35_moe",
+            "deepseek_vl_v2"):
     register_model(_mt, LlamaFamilyModel)
 
 
