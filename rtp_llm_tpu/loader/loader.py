@@ -167,6 +167,14 @@ class CheckpointLoader:
 
     def load(self, model_path: str) -> dict:
         t0 = time.time()
+        cache_dir = self._cache_dir(model_path)
+        if cache_dir is not None:
+            cached = self._load_cache(cache_dir)
+            if cached is not None:
+                logger.info(
+                    "loaded %d converted tensors from cache %s in %.1fs",
+                    len(cached), cache_dir, time.time() - t0)
+                return cached
         src = _TensorSource(model_path)
         try:
             weights = self._load_from_source(src)
@@ -174,7 +182,80 @@ class CheckpointLoader:
             src.close()
         logger.info("loaded %d tensors from %s in %.1fs",
                     len(weights), model_path, time.time() - t0)
+        if cache_dir is not None:
+            self._save_cache(cache_dir, weights)
         return weights
+
+    # ---- converted-weights cache (reference: the ft-style dump/reload
+    # cache, model_loader/loader.py:121,189 — name mapping, transposes and
+    # load-time quantization run once; restarts mmap the converted dump) ----
+
+    def _cache_dir(self, model_path: str):
+        root = os.environ.get("RTP_WEIGHTS_CACHE_DIR")
+        if not root or self.shard_fn is not None:
+            return None  # sharded loads are placement-specific
+        tkey = (getattr(self.transform, "cache_key", None)
+                if self.transform is not None else "none")
+        if tkey is None:
+            return None  # unkeyable custom transform: not safe to cache
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(repr(sorted(
+            (f, os.path.getsize(os.path.join(model_path, f)),
+             int(os.path.getmtime(os.path.join(model_path, f))))
+            for f in os.listdir(model_path)
+            if f.endswith((".safetensors", ".bin", ".pt", ".json"))
+        )).encode())
+        h.update(f"{self.cfg.model_type}-{self.cfg.num_layers}-"
+                 f"{self.cfg.hidden_size}-{self.cfg.dtype}-{tkey}".encode())
+        return os.path.join(root, h.hexdigest()[:20])
+
+    def _save_cache(self, cache_dir: str, weights: dict) -> None:
+        import tempfile
+
+        try:
+            os.makedirs(os.path.dirname(cache_dir) or ".", exist_ok=True)
+            tmp = tempfile.mkdtemp(dir=os.path.dirname(cache_dir) or ".")
+            manifest = {}
+            for i, (name, arr) in enumerate(weights.items()):
+                # raw bytes + manifest dtype/shape: np.save cannot represent
+                # the ml_dtypes (bf16/int4/fp8) descriptors
+                a = np.asarray(arr)
+                fn = f"t{i}.bin"
+                with open(os.path.join(tmp, fn), "wb") as bf:
+                    bf.write(a.tobytes())
+                manifest[name] = {"file": fn, "dtype": str(a.dtype),
+                                  "shape": list(a.shape)}
+            with open(os.path.join(tmp, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, cache_dir)  # atomic publish
+            logger.info("saved converted-weights cache at %s", cache_dir)
+        except Exception as e:  # noqa: BLE001 — caching is best-effort
+            logger.warning("weights cache save skipped: %s", e)
+
+    def _load_cache(self, cache_dir: str):
+        import jax.numpy as jnp
+        import ml_dtypes  # noqa: F401 — registers int4/fp8/fp4 numpy dtypes
+
+        mf = os.path.join(cache_dir, "manifest.json")
+        if not os.path.exists(mf):
+            return None
+        try:
+            with open(mf) as f:
+                manifest = json.load(f)
+            out = {}
+            for name, meta in manifest.items():
+                dt = jnp.dtype(meta["dtype"])
+                with open(os.path.join(cache_dir, meta["file"]), "rb") as bf:
+                    a = np.frombuffer(bf.read(), dtype=dt).reshape(
+                        meta["shape"])
+                out[name] = jnp.asarray(a)
+            return out
+        except (OSError, ValueError) as e:
+            logger.warning("weights cache at %s unreadable (%s); reloading",
+                           cache_dir, e)
+            return None
 
     def _load_from_source(self, src: _TensorSource) -> dict:
         cfg = self.cfg

@@ -254,6 +254,10 @@ def make_quant_transform(quant: QuantConfig):
             return {"": q, ".scale": s}
         return {"": arr.astype(jnp.bfloat16)}
 
+    # converted-weights cache key (loader ft-dump analog): the transform's
+    # output is fully determined by these knobs
+    transform.cache_key = (f"{quant.method.value}-g{quant.group_size}"
+                           f"-b{quant.fp8_block_size}")
     return transform
 
 
