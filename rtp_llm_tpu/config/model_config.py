@@ -53,8 +53,8 @@ ARCH_ALIASES = {
     "kimi_k2": "deepseek_v3",   # MLA + sigmoid-routed MoE, deepseek-v3 layout
     "kimi_k25": "deepseek_v3",
     "deepseek_v31": "deepseek_v3",
-    "deepseek_v32": "deepseek_v3",  # DSA sparse indexer not implemented;
-                                    # serves on dense MLA attention
+    "deepseek_v32": "deepseek_v3",  # + DSA sparse indexer when the config
+                                    # carries index_topk (models/deepseek.py)
     "qwen3_coder_moe": "qwen3_moe",
     "qwen35_dense": "qwen3",
     "qwen35_moe": "qwen3_moe",
@@ -156,6 +156,10 @@ class ModelConfig:
     v_head_dim: int = 0
     rope_interleave: bool = False
     num_nextn_predict_layers: int = 0  # deepseek MTP module depth
+    # DeepSeek-V3.2 DSA sparse attention indexer (0 topk = dense MLA)
+    indexer_topk: int = 0
+    indexer_head_dim: int = 0
+    indexer_n_heads: int = 0
     # multimodal (qwen2-vl): MRoPE sections + vision token ids + raw vision
     # tower config (consumed by multimodal/vit.py)
     mrope_section: Optional[tuple] = None
@@ -390,6 +394,11 @@ class ModelConfig:
             cfg.moe_topk_group = hf.get("topk_group", 0) or 0
             cfg.moe_routed_scaling_factor = hf.get("routed_scaling_factor", 1.0)
             cfg.moe_router_bias = arch == "deepseek_v3"
+            if hf.get("index_topk") is not None:
+                # DeepSeek-V3.2 DSA (reference: deepseek_v2.py:710-714)
+                cfg.indexer_topk = hf.get("index_topk", 2048)
+                cfg.indexer_head_dim = hf.get("index_head_dim", 128)
+                cfg.indexer_n_heads = hf.get("index_n_heads", 64)
         if arch == "deepseek_vl_v2":
             # DeepSeek-VL2 (reference: models/deepseek_vl2/deepseek_vl2.py):
             # deepseek-MoE trunk WITHOUT MLA under "language_config", SigLIP

@@ -227,6 +227,15 @@ def _hf_shape(spec_name: str, cfg: ModelConfig) -> tuple:
             "mtp_enorm": (h,), "mtp_hnorm": (h,), "mtp_eh_proj": (h, 2 * h),
             "mtp_head_norm": (h,), "mtp_head": (v, h),
         })
+        if cfg.indexer_topk > 0:
+            di, hi = cfg.indexer_head_dim, cfg.indexer_n_heads
+            shapes.update({
+                "idx_wq_b": (hi * di, ql if ql > 0 else h),
+                "idx_wk": (di, h),
+                "idx_k_norm": (di,),
+                "idx_k_norm.bias": (di,),
+                "idx_weights_proj": (hi, h),
+            })
         if cfg.model_type == "kimi_linear":
             hk_, dk_ = cfg.linear_num_key_heads, cfg.linear_key_head_dim
             hv_, dv2 = cfg.linear_num_value_heads, cfg.linear_value_head_dim

@@ -345,6 +345,22 @@ def _deepseek_specs(cfg: ModelConfig) -> list[WeightSpec]:
             WeightSpec("q_proj", L + "self_attn.q_proj.weight",
                        per_layer=True, transpose=True, shard_axis="out")
         )
+    if cfg.indexer_topk > 0:
+        # DeepSeek-V3.2 DSA indexer (reference: deepseek_v2.py:185-239
+        # mla_indexer_* names; modules/hybrid/indexer.py)
+        specs += [
+            WeightSpec("idx_wq_b", L + "self_attn.indexer.wq_b.weight",
+                       per_layer=True, transpose=True),
+            WeightSpec("idx_wk", L + "self_attn.indexer.wk.weight",
+                       per_layer=True, transpose=True),
+            WeightSpec("idx_k_norm", L + "self_attn.indexer.k_norm.weight",
+                       per_layer=True),
+            WeightSpec("idx_k_norm.bias", L + "self_attn.indexer.k_norm.bias",
+                       per_layer=True),
+            WeightSpec("idx_weights_proj",
+                       L + "self_attn.indexer.weights_proj.weight",
+                       per_layer=True, transpose=True),
+        ]
     # dense MLP on non-MoE layers
     specs += [
         WeightSpec("gate_proj", L + "mlp.gate_proj.weight", per_layer=True,

@@ -34,7 +34,7 @@ from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.models.batch import ModelInputs, ModelOutputs
 from rtp_llm_tpu.ops.attention import paged_attention
 from rtp_llm_tpu.ops.kv_cache import token_slots
-from rtp_llm_tpu.ops.norms import rms_norm
+from rtp_llm_tpu.ops.norms import layer_norm, rms_norm
 from rtp_llm_tpu.ops.rope import apply_rope, apply_rope_interleave, compute_rope_freqs
 from rtp_llm_tpu.quant.weight_only import quantized_matmul
 
@@ -63,8 +63,16 @@ class DeepseekModel:
         self.lanes = _round_up(cfg.kv_lora_rank + cfg.qk_rope_head_dim, 128)
         self.block_size = 16
         self.attn_backend = "auto"
+        # DeepSeek-V3.2 DSA (sparse attention indexer, reference:
+        # models_py/modules/hybrid/indexer.py + fast_topk): a 64-head scorer
+        # picks the top-k latent rows each DECODE query attends to. The
+        # Hadamard "activation rotation" of the reference is an orthogonal
+        # transform applied identically to q and k purely to condition fp8
+        # quantization — dot products (and therefore scores) are invariant,
+        # so the bf16 TPU scorer omits it.
+        self.use_dsa = cfg.indexer_topk > 0 and cfg.indexer_head_dim > 0
 
-    # ---- cache: latent rows ----
+    # ---- cache: latent rows (+ DSA indexer keys) ----
 
     def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
         return (self.cfg.num_layers, 1, num_blocks * block_size, self.lanes)
@@ -76,7 +84,14 @@ class DeepseekModel:
                 "int8 KV cache is not supported for MLA latent caches"
             )
         self.block_size = block_size
-        return jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
+        latent = jnp.zeros(self.cache_shape(num_blocks, block_size), dtype)
+        if self.use_dsa:
+            # per-token 128-dim indexer keys live beside the latent pool
+            idx = jnp.zeros((self.cfg.num_layers,
+                             num_blocks * block_size,
+                             self.cfg.indexer_head_dim), dtype)
+            return {"latent": latent, "idx_k": idx}
+        return latent
 
     # ---- layer index mapping (dense-first-K / MoE-rest stacks) ----
 
@@ -131,8 +146,15 @@ class DeepseekModel:
 
         res = x
         x = rms_norm(x, w["input_norm"][i], cfg.rms_norm_eps)
-        x, latent = self._mla_attn(w, i, x, inputs, slots, cache[i, 0])
-        cache = cache.at[i, 0].set(latent)
+        if self.use_dsa and isinstance(cache, dict):
+            x, latent, idxk = self._mla_attn(
+                w, i, x, inputs, slots, cache["latent"][i, 0],
+                idx_plane=cache["idx_k"][i])
+            cache = {"latent": cache["latent"].at[i, 0].set(latent),
+                     "idx_k": cache["idx_k"].at[i].set(idxk)}
+        else:
+            x, latent = self._mla_attn(w, i, x, inputs, slots, cache[i, 0])
+            cache = cache.at[i, 0].set(latent)
         x = res + x
 
         res = x
@@ -148,10 +170,20 @@ class DeepseekModel:
             x = self._dense_mlp(w, p, x)
         return res + x, cache
 
-    def _mla_attn(self, w, i, x, inputs: ModelInputs, slots, latent):
+    def _mla_attn(self, w, i, x, inputs: ModelInputs, slots, latent,
+                  idx_plane=None):
         """MLA attention in absorbed (latent) form over one layer's latent
         plane; returns (o_proj output, updated latent plane). Shared by the
-        dense stack and hybrid models (kimi_linear)."""
+        dense stack and hybrid models (kimi_linear).
+
+        idx_plane (DSA, DeepSeek-V3.2): this layer's [NS, idx_dim] indexer-
+        key pool. Indexer keys for the current tokens are written alongside
+        the latent rows, and DECODE queries attend only to the
+        ``indexer_topk`` highest-scoring cached rows (score = sum over
+        indexer heads of head_gate * relu(q_h . k), reference:
+        indexer_ref.py fp8_index). Prefill stays dense — exact whenever the
+        context fits in topk, a superset-attention approximation beyond it
+        (the reference runs its ragged sparse kernels there)."""
         cfg = self.cfg
         b, t, h = x.shape
         hq = cfg.num_attention_heads
@@ -164,6 +196,7 @@ class DeepseekModel:
             qa = rms_norm(qa, w["q_a_norm"][i], cfg.rms_norm_eps)
             q = self._linear(w, "q_b_proj", i, qa)
         else:
+            qa = None  # indexer (DSA) reads x directly in this case
             q = self._linear(w, "q_proj", i, x)
         q = q.reshape(b, t, hq, dn + dr)
         q_nope, q_rope = q[..., :dn], q[..., dn:]
@@ -206,16 +239,83 @@ class DeepseekModel:
             axis=-1,
         )  # [B,T,Hq,lanes]
 
-        ctx = paged_attention(
-            q_cat.astype(latent.dtype), latent, latent,
-            inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
-            self.sm_scale, block_size=self.block_size,
-            backend=self.attn_backend,
-        )[..., :kvl]  # [B,T,Hq,kvl]
+        if idx_plane is not None:
+            # ---- DSA indexer keys/queries (reference: indexer.py) ----
+            di = cfg.indexer_head_dim
+            hi = cfg.indexer_n_heads
+            qa_src = qa if cfg.q_lora_rank > 0 else x
+            qi = self._linear(w, "idx_wq_b", i, qa_src).reshape(b, t, hi, di)
+            ki = self._linear(w, "idx_wk", i, x)  # [B,T,di]
+            ki = layer_norm(ki, w["idx_k_norm"][i], w["idx_k_norm.bias"][i],
+                            cfg.rms_norm_eps)
+            # rope over the leading (di - dr) dims (indexer_op.py:126-139);
+            # same tables/interleave as the MLA rope
+            nr = di - cfg.qk_rope_head_dim
+            qi = jnp.concatenate([
+                rope_fn(qi[..., :nr], inputs.positions, self.cos, self.sin),
+                qi[..., nr:]], axis=-1)
+            ki = jnp.concatenate([
+                rope_fn(ki[:, :, None, :nr], inputs.positions,
+                        self.cos, self.sin)[:, :, 0],
+                ki[..., nr:]], axis=-1)
+            idx_plane = idx_plane.at[slots].set(
+                ki.reshape(-1, di).astype(idx_plane.dtype), mode="drop")
+            # per-(token, head) gate (indexer.py _get_logits_head_gate)
+            gate = self._linear(w, "idx_weights_proj", i, x).astype(
+                jnp.float32) * (di ** -0.5) * (hi ** -0.5)  # [B,T,Hi]
+
+        mb = inputs.block_tables.shape[1]
+        use_sparse = (idx_plane is not None and t == 1
+                      and mb * self.block_size > cfg.indexer_topk)
+        if use_sparse:
+            ctx = self._dsa_decode(cfg, inputs, latent, idx_plane, q_cat,
+                                   qi, gate, kvl)
+        else:
+            ctx = paged_attention(
+                q_cat.astype(latent.dtype), latent, latent,
+                inputs.block_tables, inputs.kv_lens, inputs.q_offsets,
+                self.sm_scale, block_size=self.block_size,
+                backend=self.attn_backend,
+            )[..., :kvl]  # [B,T,Hq,kvl]
 
         # expand context per head with W_uv, then o_proj
         attn = jnp.einsum("bthk,khd->bthd", ctx, w_uv)  # [B,T,Hq,dv]
-        return self._linear(w, "o_proj", i, attn.reshape(b, t, hq * dv)), latent
+        out = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * dv))
+        if idx_plane is not None:
+            return out, latent, idx_plane
+        return out, latent
+
+    def _dsa_decode(self, cfg, inputs, latent, idx_plane, q_cat, qi, gate,
+                    kvl):
+        """Sparse decode (T=1): score every cached row with the indexer,
+        keep the top-k, and run dense attention over the gathered latent
+        subset (reference: fast_topk + flashmla sparse decode)."""
+        b = q_cat.shape[0]
+        bs = self.block_size
+        bt = inputs.block_tables  # [B, MB]
+        j = bt.shape[1] * bs
+        slots_all = (bt[:, :, None] * bs
+                     + jnp.arange(bs, dtype=bt.dtype)[None, None, :]
+                     ).reshape(b, j)  # [B, J] pool rows in position order
+        keys = jnp.take(idx_plane, slots_all, axis=0)  # [B, J, di]
+        s = jnp.einsum("bhd,bjd->bhj",
+                       qi[:, 0].astype(jnp.float32),
+                       keys.astype(jnp.float32))
+        s = jnp.maximum(s, 0.0)
+        score = jnp.einsum("bh,bhj->bj", gate[:, 0], s)  # [B, J]
+        pos = jnp.arange(j, dtype=jnp.int32)[None, :]
+        score = jnp.where(pos < inputs.kv_lens[:, None], score, -jnp.inf)
+        k = min(cfg.indexer_topk, j)
+        top_score, top_idx = jax.lax.top_k(score, k)  # [B, k]
+        sel = jnp.take_along_axis(slots_all, top_idx, axis=1)  # [B, k]
+        lat = jnp.take(latent, sel, axis=0)  # [B, k, lanes]
+        qs = q_cat[:, 0].astype(jnp.float32) * self.sm_scale  # [B,Hq,lanes]
+        att = jnp.einsum("bhl,bkl->bhk", qs, lat.astype(jnp.float32))
+        att = jnp.where(jnp.isfinite(top_score)[:, None, :], att, -jnp.inf)
+        p = jax.nn.softmax(att, axis=-1)
+        p = jnp.where(jnp.isfinite(top_score)[:, None, :], p, 0.0)
+        ctx = jnp.einsum("bhk,bkl->bhl", p, lat.astype(jnp.float32))
+        return ctx[:, None, :, :kvl].astype(q_cat.dtype)  # [B,1,Hq,kvl]
 
     def _dense_mlp(self, w, p, x):
         gate = self._linear(w, "gate_proj", p, x)

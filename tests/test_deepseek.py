@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.loader import CheckpointLoader
 from rtp_llm_tpu.loader.fake_checkpoint import tiny_config, write_fake_checkpoint
+from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.models import ModelInputs, create_model
 
 
@@ -121,3 +122,111 @@ def test_engine_e2e_deepseek(tmp_path):
     s2 = eng2.generate([1, 5, 9], GenerateConfig(
         max_new_tokens=6, do_sample=False, ignore_eos=True))
     assert s.output_token_ids == s2.output_token_ids
+
+
+class TestDSA:
+    """DeepSeek-V3.2 DSA sparse attention (reference:
+    models_py/modules/hybrid/indexer.py + fast_topk; config keys
+    index_topk/index_head_dim/index_n_heads, deepseek_v2.py:710-714)."""
+
+    def _cfg(self, topk):
+        cfg = tiny_config("deepseek_v3")
+        cfg.dtype = "float32"
+        cfg.indexer_topk = topk
+        cfg.indexer_head_dim = 16  # rope slice = 16 - dr(8) = 8 = dr
+        cfg.indexer_n_heads = 4
+        return cfg
+
+    def _engine(self, ckpt, topk, blocks=64, max_seq=96):
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+
+        cfg = self._cfg(topk)
+        weights = CheckpointLoader(cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=blocks),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=max_seq,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(cfg), weights, econf)
+
+    def test_sparse_matches_dense_when_topk_covers_context(self, tmp_path):
+        """With kv_len <= topk the indexer selects every live row, so the
+        sparse decode path must reproduce dense decoding EXACTLY (the
+        sparse program is engaged: bucket 96 tokens > topk 16)."""
+        cfg = self._cfg(16)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        dense_cfg = tiny_config("deepseek_v3")
+        dense_cfg.dtype = "float32"
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+
+        dweights = CheckpointLoader(dense_cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        dense = LlmEngine(create_model(dense_cfg), dweights, econf)
+
+        sparse = self._engine(ckpt, topk=16)
+        assert sparse.model.use_dsa and isinstance(sparse.kv, dict)
+
+        gc = GenerateConfig(max_new_tokens=8, do_sample=False,
+                            ignore_eos=True)
+        prompt = [1, 5, 9, 42, 7, 3]  # total 14 <= topk 16 throughout
+        want = dense.generate(prompt, gc).output_token_ids
+        got = sparse.generate(prompt, gc).output_token_ids
+        assert got == want
+
+    def test_sparse_restricts_beyond_topk(self, tmp_path):
+        """With kv_len > topk the sparse path attends to a strict subset:
+        it must stay finite/deterministic and (generically) diverge from
+        dense attention."""
+        cfg = self._cfg(8)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+        sparse = self._engine(ckpt, topk=8)
+        gc = GenerateConfig(max_new_tokens=16, do_sample=False,
+                            ignore_eos=True)
+        prompt = [1, 5, 9, 42, 7, 3, 11, 2, 8, 4, 6, 10]
+        out = sparse.generate(prompt, gc).output_token_ids
+        assert len(out) == 16
+
+        dense_cfg = tiny_config("deepseek_v3")
+        dense_cfg.dtype = "float32"
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+
+        dweights = CheckpointLoader(dense_cfg).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        dense = LlmEngine(create_model(dense_cfg), dweights, econf)
+        dense_out = dense.generate(prompt, gc).output_token_ids
+        assert out != dense_out, "topk restriction should alter generations"
+
+    def test_config_parses_index_fields(self):
+        from rtp_llm_tpu.config.model_config import ModelConfig
+
+        cfg = ModelConfig.from_hf_config({
+            "model_type": "deepseek_v32", "vocab_size": 64,
+            "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "kv_lora_rank": 32, "q_lora_rank": 24,
+            "qk_nope_head_dim": 16, "qk_rope_head_dim": 8, "v_head_dim": 16,
+            "index_topk": 2048, "index_head_dim": 128, "index_n_heads": 64,
+        }, None)
+        assert cfg.indexer_topk == 2048 and cfg.indexer_n_heads == 64
+        assert cfg.indexer_head_dim == 128
