@@ -78,6 +78,7 @@ def register_renderer(model_type: str, factory):
 def _load_builtin_renderers():
     """Import renderer modules for their registration side effects
     (reference: renderer_factory imports every renderers/ module)."""
+    import rtp_llm_tpu.frontend.deepseek_renderer  # noqa: F401
     import rtp_llm_tpu.frontend.glm4_renderer  # noqa: F401
     import rtp_llm_tpu.frontend.qwen_agent_renderer  # noqa: F401
 

@@ -132,3 +132,37 @@ class TestGlm4Renderer:
         r = create_renderer(qwen_tok, "glm4")
         out = r.render([{"role": "user", "content": "w1"}])
         assert out.token_ids, "template fallback must render"
+
+
+class TestDeepseekV31Renderer:
+    """thinking-mode plumbing (reference: deepseekv31_renderer.py:116-159):
+    enable_thinking maps to the template's `thinking` var; tools force it
+    off."""
+
+    class _Tok:
+        def __init__(self):
+            self.calls = []
+
+        def apply_chat_template(self, messages, add_generation_prompt=True,
+                                tokenize=True, **kw):
+            self.calls.append(kw)
+            return [1, 2, 3]
+
+        def convert_tokens_to_ids(self, t):
+            return -1
+
+    def test_enable_thinking_maps(self):
+        tok = self._Tok()
+        r = create_renderer(tok, "deepseek_v31")
+        r.render([{"role": "user", "content": "hi"}],
+                 chat_template_kwargs={"enable_thinking": True})
+        assert tok.calls[-1].get("thinking") is True
+        assert "enable_thinking" not in tok.calls[-1]
+
+    def test_tools_disable_thinking(self):
+        tok = self._Tok()
+        r = create_renderer(tok, "deepseek_v32")
+        r.render([{"role": "user", "content": "hi"}], tools=TOOLS,
+                 chat_template_kwargs={"enable_thinking": True})
+        assert tok.calls[-1].get("thinking") is False
+        assert "tools" in tok.calls[-1]
