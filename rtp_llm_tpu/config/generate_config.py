@@ -41,6 +41,10 @@ class GenerateConfig:
     return_logprobs: bool = False
     top_logprobs: int = 0
     return_hidden_states: bool = False
+    # teacher-forced prompt loss return (reference: GenerateConfig
+    # calculate_loss, GenerateConfig.h:56): 1 = mean NLL over the prompt,
+    # 2 = per-token NLL list
+    calculate_loss: int = 0
     # think-mode budget (reference: ThinkModeLogitsProcessor,
     # cpp/models/logits_processor/): once the model has emitted
     # think_start_token_id, after max_thinking_tokens the end token is forced

@@ -794,6 +794,70 @@ class LlmEngine:
         return stream, np.stack(hiddens) if hiddens else np.zeros(
             (0, self.model.cfg.hidden_size), np.float32)
 
+    def _prefill_loss_impl(self, weights, kv, tokens, positions, block_tables,
+                           kv_lens, q_offsets, next_tokens):
+        """Chunked teacher-forced NLL: loss[t] = -log p(next_tokens[t] |
+        prefix) from the full-position logits — model-agnostic (works for
+        post-norm and MLA hidden conventions alike)."""
+        inputs = ModelInputs(
+            tokens=tokens, positions=positions, block_tables=block_tables,
+            kv_lens=kv_lens, q_offsets=q_offsets,
+        )
+        out, kv = self.model.forward(weights, kv, inputs,
+                                     need_all_logits=True)
+        lg = out.all_logits  # [1, T, V] f32
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        lp = jnp.take_along_axis(lg, next_tokens[..., None], axis=-1)[..., 0]
+        return kv, lse - lp  # [1, T] NLL
+
+    def compute_prompt_loss(self, prompt_token_ids) -> np.ndarray:
+        """Per-token negative log-likelihood of the prompt, teacher-forced
+        (reference: GenerateConfig.calculate_loss, GenerateConfig.h:56 —
+        the RL/scoring clients' loss return). Returns [len(prompt)-1]
+        float32: loss[i] = -log p(t_{i+1} | t_{<=i})."""
+        prompt = list(prompt_token_ids)
+        if len(prompt) < 2:
+            return np.zeros((0,), np.float32)
+        with self.device_lock:
+            alloc = self.cache_mgr.allocate(prompt, allow_reuse=False)
+            if alloc is None:
+                raise RuntimeError("KV pool exhausted")
+            try:
+                block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+                block_row[: len(alloc.blocks)] = alloc.blocks
+                losses = []
+                pos = 0
+                fn_cache = {}
+                while pos < len(prompt):
+                    t_real = min(len(prompt) - pos,
+                                 self.config.scheduler.prefill_buckets[-1])
+                    bucket = self._pick_bucket(t_real)
+                    tk = np.zeros((1, bucket), np.int32)
+                    tk[0, :t_real] = prompt[pos: pos + t_real]
+                    ps = np.zeros((1, bucket), np.int32)
+                    ps[0, :t_real] = np.arange(pos, pos + t_real)
+                    nxt = np.zeros((1, bucket), np.int32)
+                    n_next = min(t_real, len(prompt) - pos - 1)
+                    if n_next > 0:
+                        nxt[0, :n_next] = prompt[pos + 1: pos + 1 + n_next]
+                    fn = fn_cache.get(bucket)
+                    if fn is None:
+                        fn = fn_cache[bucket] = jax.jit(
+                            self._prefill_loss_impl, donate_argnums=(1,))
+                    self.kv, nll = fn(
+                        self.weights, self.kv, jnp.asarray(tk),
+                        jnp.asarray(ps), jnp.asarray(block_row)[None, :],
+                        jnp.asarray([pos + t_real], np.int32),
+                        jnp.asarray([pos], np.int32),
+                        jnp.asarray(nxt),
+                    )
+                    losses.append(np.asarray(nll[0, :n_next], np.float32))
+                    pos += t_real
+            finally:
+                self.cache_mgr.free(alloc)
+        return (np.concatenate(losses) if losses
+                else np.zeros((0,), np.float32))
+
     def _get_prefill_fn(self, bucket: int):
         fn = self._prefill_jits.get(bucket)
         if fn is None:

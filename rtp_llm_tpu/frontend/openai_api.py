@@ -296,6 +296,19 @@ class OpenAIApp:
                 created, chat, route, t_start,
             )
 
+        if cfg.calculate_loss and not stream_mode:
+            # reference: GenerateConfig.calculate_loss (GenerateConfig.h:56)
+            # — teacher-forced prompt NLL for RL/scoring clients; attached
+            # to the non-streaming response alongside normal generation
+            loop = asyncio.get_running_loop()
+            async with self.sem:
+                nll = await loop.run_in_executor(
+                    None, self.runner.engine.compute_prompt_loss, token_ids)
+            body_loss = (float(nll.mean()) if cfg.calculate_loss == 1
+                         else nll.tolist())
+        else:
+            body_loss = None
+
         # num_return_sequences fan-out (reference: beam/num-return fanout in
         # GenerateStream; independent sampled streams, one choice each)
         if cfg.return_hidden_states and not stream_mode:
@@ -447,6 +460,8 @@ class OpenAIApp:
                         }],
                         "usage": usage,
                     }
+                if body_loss is not None:
+                    payload["loss"] = body_loss
                 return web.json_response(payload)
 
             # SSE streaming

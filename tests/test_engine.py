@@ -465,3 +465,50 @@ def test_generate_with_hidden(tmp_path):
     assert np.isfinite(hid).all() and np.abs(hid).max() > 0
     # pool must be clean afterwards
     assert eng.cache_mgr.pool.free_blocks > 0
+
+
+def test_compute_prompt_loss_matches_hf(tmp_path):
+    """calculate_loss (reference: GenerateConfig.h:56): teacher-forced
+    per-token NLL of the prompt must match HF's cross-entropy exactly."""
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+
+    cfg = tiny_config("qwen2")
+    ckpt = write_fake_checkpoint(
+        str(tmp_path / "m"), cfg,
+        extra_config={"architectures": ["Qwen2ForCausalLM"]})
+    cfg.dtype = "float32"
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.models import create_model
+
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                  prefill_buckets=(8, 16)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+
+    # long enough to span multiple prefill chunks (buckets max 16)
+    prompt = [1, 5, 9, 42, 7, 3, 11, 2, 8, 4, 6, 10, 12, 14, 16, 18, 20, 22]
+    nll = eng.compute_prompt_loss(prompt)
+    assert nll.shape == (len(prompt) - 1,)
+
+    m = AutoModelForCausalLM.from_pretrained(ckpt, torch_dtype=torch.float32)
+    m.eval()
+    with torch.no_grad():
+        logits = m(torch.tensor([prompt])).logits[0]
+    want = torch.nn.functional.cross_entropy(
+        logits[:-1], torch.tensor(prompt[1:]), reduction="none").numpy()
+    import numpy as np
+
+    np.testing.assert_allclose(nll, want, rtol=2e-4, atol=2e-4)

@@ -485,3 +485,40 @@ async def _streaming_fanout(fake_dir):
             await client.close()
     finally:
         runner.stop()
+
+
+def test_calculate_loss_route(fake_dir):
+    asyncio.run(_loss_roundtrip(fake_dir))
+
+
+async def _loss_roundtrip(fake_dir):
+    """completions with calculate_loss (reference: GenerateConfig.h:56):
+    the non-streaming response carries the prompt NLL (1 = mean scalar,
+    2 = per-token list)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    api, runner = _build_app(fake_dir)
+    try:
+        client = TestClient(TestServer(api.build_app()))
+        await client.start_server()
+        try:
+            r = await client.post("/v1/completions", json={
+                "prompt": [1, 5, 9, 42, 7], "max_tokens": 2,
+                "calculate_loss": 1, "ignore_eos": True,
+            })
+            assert r.status == 200
+            body = await r.json()
+            assert isinstance(body["loss"], float)
+            r2 = await client.post("/v1/completions", json={
+                "prompt": [1, 5, 9, 42, 7], "max_tokens": 2,
+                "calculate_loss": 2, "ignore_eos": True,
+            })
+            body2 = await r2.json()
+            assert isinstance(body2["loss"], list) and len(body2["loss"]) == 4
+            import numpy as np
+
+            assert abs(float(np.mean(body2["loss"])) - body["loss"]) < 1e-4
+        finally:
+            await client.close()
+    finally:
+        runner.stop()
