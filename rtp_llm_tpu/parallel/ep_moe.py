@@ -209,3 +209,114 @@ def ep_moe(
         tuple((scales or {})[nm] for nm in sc_names),
         tuple((zeros or {})[nm] for nm in zr_names),
     )
+
+
+def ep_moe_a2a(
+    x: jnp.ndarray,  # [N, H] tokens, SHARDED over ``axis``
+    top_idx: jnp.ndarray,  # [N, K]
+    top_weights: jnp.ndarray,  # [N, K]
+    w_gate, w_up, w_down,  # [E, H, I] etc — expert dim sharded over ``axis``
+    mesh,
+    axis: str = "dp",
+    scales: Optional[dict] = None,
+    zeros: Optional[dict] = None,
+    capacity_factor: float = 2.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Ragged all-to-all expert parallelism — the DeepEP dispatch/combine
+    analog (reference: models_py/distributed/deepep_wrapper.py:90-236) for
+    the DP=EP deployment: tokens AND experts shard over the same mesh axis.
+
+    Per shard (inside shard_map):
+      1. pack each local assignment into a per-DESTINATION-shard capacity
+         buffer ([S, C, H] activations + [S, C] local-expert ids) — the
+         ragged "dispatch" with a static capacity bound;
+      2. ``jax.lax.all_to_all`` swaps buffers so each shard holds exactly
+         the tokens routed to ITS experts (comm = 2*C*H per peer instead of
+         a full activation all-gather + psum);
+      3. run the local expert FFNs via the capacity path (k=1, unit
+         weights -> per-assignment outputs);
+      4. all_to_all back; the source shard combines outputs into its own
+         token rows with the routing weights.
+
+    Returns ([N, H] f32 sharded like x, [E] i32 global gating counts).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    n, k = top_idx.shape
+    e = w_gate.shape[0]
+    s_shards = mesh.shape[axis]
+    if s_shards == 1 or e % s_shards:
+        return ep_moe(x, top_idx, top_weights, w_gate, w_up, w_down,
+                      mesh=None, scales=scales, zeros=zeros,
+                      capacity_factor=capacity_factor)
+    e_local = e // s_shards
+    n_local = n // s_shards
+    # per-(source, destination) capacity: local assignments spread over
+    # destinations; factor covers routing skew
+    cap = expert_capacity(n_local * k, s_shards, capacity_factor)
+
+    sc_names = tuple((scales or {}).keys())
+    zr_names = tuple((zeros or {}).keys())
+
+    def local_fn(x, top_idx, top_weights, wg, wu, wd, sc_vals, zr_vals):
+        nl = x.shape[0]
+        # ---- 1. pack per-destination buffers ----
+        dest = top_idx // e_local  # [nl, K] destination shard
+        slot, _, keep = build_dispatch(dest, capacity=cap, expert_offset=0,
+                                       num_local=s_shards)
+        d_idx = jnp.where(keep, dest, s_shards)  # OOB -> dropped
+        tok = jnp.broadcast_to(jnp.arange(nl)[:, None], (nl, k))
+        buf_x = jnp.zeros((s_shards, cap, x.shape[1]), x.dtype)
+        buf_x = buf_x.at[d_idx, slot].set(x[tok], mode="drop")
+        buf_eid = jnp.full((s_shards, cap), -1, jnp.int32)
+        buf_eid = buf_eid.at[d_idx, slot].set(
+            (top_idx % e_local).astype(jnp.int32), mode="drop")
+
+        # ---- 2. dispatch a2a ----
+        recv_x = jax.lax.all_to_all(buf_x, axis, 0, 0, tiled=False)
+        recv_eid = jax.lax.all_to_all(buf_eid, axis, 0, 0, tiled=False)
+
+        # ---- 3. local expert FFNs (per-assignment outputs) ----
+        rx = recv_x.reshape(s_shards * cap, -1)
+        rid = recv_eid.reshape(-1, 1)  # [-1 = dropped -> OOB in dispatch]
+        rid = jnp.where(rid < 0, e_local + 1, rid)
+        sc = dict(zip(sc_names, sc_vals)) if sc_names else None
+        zr = dict(zip(zr_names, zr_vals)) if zr_names else None
+        y, counts = capacity_moe_local(
+            rx, rid, jnp.ones_like(rid, jnp.float32),
+            wg, wu, wd, scales=sc, zeros=zr,
+            capacity=expert_capacity(s_shards * cap, e_local,
+                                     capacity_factor),
+        )
+        y = y.reshape(s_shards, cap, -1)
+
+        # ---- 4. combine a2a + weighted scatter back to token rows ----
+        back = jax.lax.all_to_all(y.astype(x.dtype), axis, 0, 0, tiled=False)
+        got = back[d_idx, slot]  # [nl, K, H] (dropped -> garbage)
+        got = jnp.where(keep[..., None], got, 0).astype(jnp.float32)
+        out = jnp.sum(got * top_weights[..., None].astype(jnp.float32),
+                      axis=1)
+        counts = jax.lax.all_gather(counts, axis, tiled=True)  # [E]
+        return out, counts
+
+    rep = P()
+    tspec = P(axis)
+    espec = P(axis)
+    fn = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(tspec, tspec, tspec, espec, espec, espec,
+                  tuple(espec for _ in sc_names),
+                  tuple(espec for _ in zr_names)),
+        out_specs=(tspec, rep),
+        check_vma=False,
+    )
+    return fn(
+        x, top_idx, top_weights, w_gate, w_up, w_down,
+        tuple((scales or {})[nm] for nm in sc_names),
+        tuple((zeros or {})[nm] for nm in zr_names),
+    )

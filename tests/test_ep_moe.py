@@ -164,3 +164,56 @@ def test_moe_model_quantized_no_dense_fallback(tmp_path):
     # int8 quantization of tiny random weights may flip a late token; the
     # first tokens must agree if the capacity path computes correctly
     assert got[:2] == base[:2]
+
+
+def test_ep_moe_a2a_matches_local():
+    """Ragged all-to-all EP (DeepEP dispatch/combine analog): tokens and
+    experts sharded over the same 8-way axis must exactly reproduce the
+    single-shard capacity MoE (generous capacity => no drops)."""
+    from rtp_llm_tpu.config.engine_config import ParallelConfig
+    from rtp_llm_tpu.parallel import make_mesh
+    from rtp_llm_tpu.parallel.ep_moe import ep_moe_a2a
+
+    rng = np.random.default_rng(3)
+    x, wg, wu, wd, idx, wts, comb = _mk(rng, n=32, h=16, i=24, e=16, k=2)
+    want, want_counts = capacity_moe_local(x, idx, wts, wg, wu, wd,
+                                           capacity=x.shape[0] * 2)
+
+    mesh = make_mesh(ParallelConfig(dp_size=8, tp_size=1))
+    got, counts = ep_moe_a2a(x, idx, wts, wg, wu, wd, mesh=mesh, axis="dp",
+                             capacity_factor=16.0)  # generous: no drops
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts),
+                                  np.asarray(want_counts))
+
+
+def test_ep_moe_a2a_quantized():
+    """a2a EP with int8 experts: matches the dequantized dense reference."""
+    from rtp_llm_tpu.config.engine_config import ParallelConfig
+    from rtp_llm_tpu.parallel import make_mesh
+    from rtp_llm_tpu.parallel.ep_moe import ep_moe_a2a
+    from rtp_llm_tpu.quant.weight_only import int8_quantize
+
+    rng = np.random.default_rng(4)
+    x, wg, wu, wd, idx, wts, comb = _mk(rng, n=16, h=16, i=24, e=8, k=2)
+
+    def q(w):
+        qs = [int8_quantize(np.asarray(w[i])) for i in range(w.shape[0])]
+        return (jnp.asarray(np.stack([a for a, _ in qs])),
+                jnp.asarray(np.stack([b for _, b in qs])))
+
+    qg, sg = q(wg)
+    qu, su = q(wu)
+    qd, sd = q(wd)
+    deq = lambda qw, s: jnp.asarray(qw, jnp.float32) * s[:, None, :]
+    want, _ = capacity_moe_local(
+        x, idx, wts, deq(qg, sg), deq(qu, su), deq(qd, sd),
+        capacity=x.shape[0] * 2)
+
+    mesh = make_mesh(ParallelConfig(dp_size=8, tp_size=1))
+    got, _ = ep_moe_a2a(x, idx, wts, qg, qu, qd, mesh=mesh, axis="dp",
+                        scales={"gate": sg, "up": su, "down": sd},
+                        capacity_factor=16.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
