@@ -119,13 +119,53 @@ def int4_unpack(p: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(*lead, 2 * k2, n)
 
 
+# ---- W4A8: int4 weights x per-token int8 activations ------------------------
+# Reference analog: QuantMethod W4A8INT4PTPC (QuantInfo.h:6-19) — per-token
+# activation quantization over per-channel/groupwise int4 weights. On TPU the
+# MXU consumes s8 x s8 (and s8 x s4) operands with int32 accumulation at
+# higher throughput than bf16, so COMPUTE-bound phases (prefill, large-batch
+# decode) gain on top of int4's HBM savings. The per-token activation scale
+# and the per-(group, out) weight scale factor out of the contraction.
+
+
+def quantize_activations_per_token(x: jnp.ndarray):
+    """bf16/f32 activations [..., K] -> (s8 values, f32 per-token scale)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                 ).astype(jnp.int8)
+    return q, scale
+
+
+def w4a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                scale: jnp.ndarray) -> jnp.ndarray:
+    """y = x @ dequant(w) with the contraction in INTEGERS.
+
+    x  [..., K] bf16/f32 (quantized per token here),
+    w  [K, N] int4 (or int8) symmetric-groupwise, scale [K/G, N] f32.
+    Per k-group the int32 partial sums scale by (x_scale * w_scale)."""
+    xq, xs = quantize_activations_per_token(x)
+    k = w.shape[-2]
+    g = scale.shape[-2]
+    group = k // g
+    xg = xq.reshape(*xq.shape[:-1], g, group)
+    wg = w.reshape(*w.shape[:-2], g, group, w.shape[-1])
+    part = jnp.einsum("...gk,gkn->...gn",
+                      xg.astype(jnp.int8), wg.astype(jnp.int8),
+                      preferred_element_type=jnp.int32)  # [..., g, N]
+    y = jnp.einsum("...gn,gn->...n", part.astype(jnp.float32),
+                   scale.astype(jnp.float32))
+    return (y * xs.astype(jnp.float32)).astype(x.dtype)
+
+
 # ---- FP4 (e2m1) groupwise --------------------------------------------------
 # Reference analogs: QuantMethod ModelOptFP4 (e2m1 + per-16-group fp8 scales)
 # and QuarkMXFP4 (e2m1 + per-32-group e8m0 scales), QuantInfo.h:6-19.
 # TPU storage: the tunneled platform cannot pass float4_e2m1fn arrays across
-# the jit boundary, so codes are packed two-per-uint8 along the *in* dim
-# (same 0.5 B/elem HBM bytes as a native f4 buffer) and decoded
-# arithmetically inside the matmul (VPU ops fused into the GEMM prologue).
+# the jit boundary, so codes are packed two-per-uint8 along adjacent OUT
+# columns (same 0.5 B/elem HBM bytes as a native f4 buffer) and bitcast to
+# float4_e2m1fn IN-GRAPH, where XLA fuses the native f4->bf16 convert into
+# the matmul operand like the s8 path.
 
 E2M1_VALUES = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
 FP4_GROUP = 32  # MXFP4 group size
@@ -227,7 +267,7 @@ def make_quant_transform(quant: QuantConfig):
         if quant.method == QuantMethod.WEIGHT_ONLY_INT8:
             q, s = int8_quantize(np.asarray(arr, np.float32))
             return {"": q, ".scale": s}
-        if quant.method == QuantMethod.WEIGHT_ONLY_INT4:
+        if quant.method in (QuantMethod.WEIGHT_ONLY_INT4, QuantMethod.W4A8):
             k = arr.shape[-2]
             if k % quant.group_size != 0:
                 q, s = int8_quantize(np.asarray(arr, np.float32))
@@ -235,7 +275,11 @@ def make_quant_transform(quant: QuantConfig):
             q, s = int4_quantize_groupwise(
                 np.asarray(arr, np.float32), quant.group_size
             )
-            return {"": to_int4(q) if INT4_PACKED else q, ".scale": s}
+            out = {"": to_int4(q) if INT4_PACKED else q, ".scale": s}
+            if quant.method == QuantMethod.W4A8:
+                # runtime per-token activation quant (integer contraction)
+                out[".w4a8"] = np.ones((), np.bool_)
+            return out
         if quant.method == QuantMethod.FP4:
             k = arr.shape[-2]
             # routed-expert stacks run the batched _expert_linear path,

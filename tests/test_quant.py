@@ -267,3 +267,65 @@ class TestFP4:
         base = eng(None).generate([1, 5, 9], gc).output_token_ids
         got = e.generate([1, 5, 9], gc).output_token_ids
         assert len(got) == 5 and got[:2] == base[:2]
+
+
+class TestW4A8:
+    """W4A8 (reference: QuantMethod W4A8INT4PTPC): int4 groupwise weights x
+    per-token int8 activations with an INTEGER contraction."""
+
+    def test_matmul_matches_dequant(self):
+        from rtp_llm_tpu.quant.weight_only import (
+            int4_quantize_groupwise, quantize_activations_per_token,
+            w4a8_matmul,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((64, 48)).astype(np.float32)
+        q, s = int4_quantize_groupwise(w, 32)
+        x = rng.standard_normal((5, 64)).astype(np.float32)
+        got = np.asarray(w4a8_matmul(jnp.asarray(x), jnp.asarray(q),
+                                     jnp.asarray(s)))
+        # reference: quantize activations the same way, float contraction
+        xq, xs = quantize_activations_per_token(jnp.asarray(x))
+        wq = np.asarray(q, np.float32) * np.repeat(s, 32, axis=0)
+        want = (np.asarray(xq, np.float32) @ wq) * np.asarray(xs)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        # activation quant error is bounded: close to the fp product
+        full = x @ wq
+        assert np.abs(got - full).max() < np.abs(full).max() * 0.05
+
+    def test_w4a8_model_generates(self, tmp_path):
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.engine import LlmEngine
+
+        cfg = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        def eng(method):
+            c = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+            c.dtype = "float32"
+            transform = (make_quant_transform(
+                QuantConfig(method=method, group_size=32)) if method else None)
+            weights = CheckpointLoader(c, transform=transform).load(ckpt)
+            if method == "w4a8":
+                assert "q_proj.w4a8" in weights
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(c), weights, econf)
+
+        gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+        e = eng("w4a8")
+        assert "qkv_proj.w4a8" in e.weights  # fusion carries the marker
+        base = eng(None).generate([1, 5, 9], gc).output_token_ids
+        got = e.generate([1, 5, 9], gc).output_token_ids
+        # activation quantization adds noise on TOP of int4 weights; tiny
+        # random weights flip later tokens easily — require first-token
+        # agreement (the matmul itself is verified exactly above)
+        assert len(got) == 5 and got[:1] == base[:1]
