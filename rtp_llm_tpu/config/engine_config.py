@@ -96,7 +96,9 @@ class CacheConfig:
     """Paged KV cache sizing. Analog of reference KVCacheConfig
     (ConfigModules.h:146-208) + CacheConfigCreator."""
 
-    block_size: int = 32  # tokens per KV block
+    block_size: int = 64  # tokens per KV block: the fullrow decode kernel
+    # is DMA-issue-rate bound, and 64-token blocks halve the issues/row
+    # (measured 3.60 -> 2.89 ms/step attention at b=64, PERF_NOTES)
     num_blocks: int = 0  # 0 = auto-size from free HBM after weights
     reserve_runtime_mem_mb: int = 1024  # HBM headroom for activations
     memory_utilization: float = 0.9
