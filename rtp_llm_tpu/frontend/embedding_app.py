@@ -58,8 +58,64 @@ class EncoderEmbedder:
         return out
 
 
+class _Batcher:
+    """Cross-request micro-batching (reference: EmbeddingScheduler,
+    cpp/embedding_engine/EmbeddingScheduler.h — concurrent requests
+    coalesce into one encoder forward). Requests queue per pooling mode; a
+    drainer gathers up to max_batch prompts (waiting window_ms for
+    stragglers) and runs ONE embed call."""
+
+    def __init__(self, embedder: EncoderEmbedder, window_ms: float = 2.0):
+        self.embedder = embedder
+        self.window = window_ms / 1e3
+        self._queues: dict = {}
+        self._tasks: dict = {}
+        self.batches = 0
+        self.coalesced_requests = 0
+
+    async def embed(self, prompts, pooling: str):
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        q = self._queues.setdefault(pooling, [])
+        q.append((prompts, fut))
+        if pooling not in self._tasks or self._tasks[pooling].done():
+            self._tasks[pooling] = asyncio.ensure_future(
+                self._drain(pooling))
+        return await fut
+
+    async def _drain(self, pooling: str):
+        await asyncio.sleep(self.window)  # gather stragglers
+        loop = asyncio.get_running_loop()
+        q = self._queues.get(pooling) or []
+        while q:
+            take, total = [], 0
+            while q and total + len(q[0][0]) <= max(
+                    self.embedder.max_batch, len(q[0][0])):
+                prompts, fut = q.pop(0)
+                take.append((prompts, fut))
+                total += len(prompts)
+            flat = [p for prompts, _ in take for p in prompts]
+            self.batches += 1
+            self.coalesced_requests += len(take)
+            try:
+                vecs = await loop.run_in_executor(
+                    None, self.embedder.embed, flat, pooling)
+            except Exception as e:  # noqa: BLE001
+                for _, fut in take:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            off = 0
+            for prompts, fut in take:
+                if not fut.done():
+                    fut.set_result(vecs[off: off + len(prompts)])
+                off += len(prompts)
+
+
 def build_embedding_app(embedder: EncoderEmbedder, tokenizer,
                         model_name: str) -> web.Application:
+    batcher = _Batcher(embedder)
+
     async def embeddings(request: web.Request):
         body = await request.json()
         inputs = body.get("input")
@@ -71,10 +127,7 @@ def build_embedding_app(embedder: EncoderEmbedder, tokenizer,
             inputs = [inputs]
         prompts = [i if isinstance(i, list) else tokenizer.encode(i)
                    for i in inputs]
-        loop = asyncio.get_running_loop()
-        vecs = await loop.run_in_executor(
-            None, embedder.embed, prompts, body.get("pooling", "cls")
-        )
+        vecs = await batcher.embed(prompts, body.get("pooling", "cls"))
         return web.json_response({
             "object": "list", "model": model_name,
             "data": [{"object": "embedding", "index": i,
@@ -84,7 +137,9 @@ def build_embedding_app(embedder: EncoderEmbedder, tokenizer,
         })
 
     async def health(request):
-        return web.json_response({"status": "ok"})
+        return web.json_response({"status": "ok",
+                                  "batches": batcher.batches,
+                                  "coalesced": batcher.coalesced_requests})
 
     async def models(request):
         return web.json_response({

@@ -205,3 +205,59 @@ async def _http(bert_ckpt):
         np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-5)
     finally:
         await client.close()
+
+
+def test_embedding_app_cross_request_batching(bert_ckpt):
+    """Concurrent /v1/embeddings requests coalesce into ONE encoder call
+    (reference: EmbeddingScheduler batching) and results stay identical to
+    a solo request."""
+    import asyncio
+
+    import numpy as np
+
+    path, _ = bert_ckpt
+    cfg = ModelConfig.from_pretrained(path)
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(path)
+    model = create_model(cfg)
+
+    from rtp_llm_tpu.frontend.embedding_app import (
+        EncoderEmbedder, build_embedding_app,
+    )
+    from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+
+    tok = TokenizerFactory.create(path)
+
+    async def run():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        app = build_embedding_app(EncoderEmbedder(model, weights), tok,
+                                  "tiny-bert")
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # solo request first (also warms the jit)
+            solo = await (await client.post(
+                "/v1/embeddings",
+                json={"input": [[2, 5, 9, 3]]})).json()
+
+            async def one(ids):
+                r = await client.post("/v1/embeddings",
+                                      json={"input": [ids]})
+                return await r.json()
+
+            h0 = await (await client.get("/health")).json()
+            results = await asyncio.gather(
+                one([2, 5, 9, 3]), one([4, 7, 3]), one([5, 6, 7, 8, 3]))
+            h1 = await (await client.get("/health")).json()
+            # 3 concurrent requests, fewer batches than requests
+            assert h1["coalesced"] - h0["coalesced"] == 3
+            assert h1["batches"] - h0["batches"] < 3
+            np.testing.assert_allclose(
+                np.asarray(results[0]["data"][0]["embedding"]),
+                np.asarray(solo["data"][0]["embedding"]), rtol=1e-5,
+                atol=1e-5)
+        finally:
+            await client.close()
+
+    asyncio.run(run())
