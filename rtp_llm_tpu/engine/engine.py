@@ -145,6 +145,16 @@ class LlmEngine:
                     "speculative decoding is not wired for mixed global/SWA "
                     "pool models yet (draft prefill bypasses the per-slot "
                     "ring assignment)")
+            if config.server.role not in ("", "fusion"):
+                raise ValueError(
+                    "PD disaggregation is not wired for mixed global/SWA "
+                    "pool models yet (KV row transfer assumes one paged "
+                    "pool)")
+        if (getattr(model, "use_dsa", False)
+                and config.server.role not in ("", "fusion")):
+            raise ValueError(
+                "PD disaggregation is not wired for DSA (V3.2) caches yet "
+                "(KV row transfer assumes one latent pool)")
         self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype,
                                    max_slots=sc.max_batch_size)
         # EPLB closed loop (reference: ExpertBalancer::stepForward,
