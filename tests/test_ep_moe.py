@@ -217,3 +217,30 @@ def test_ep_moe_a2a_quantized():
                         capacity_factor=16.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ep_moe_a2a_skewed_routing_drops_gracefully():
+    """All tokens routed to ONE expert with a tight capacity: overflow
+    assignments drop (partial output, zeros) without crashing, and the
+    surviving assignments still match the local capacity path."""
+    from rtp_llm_tpu.config.engine_config import ParallelConfig
+    from rtp_llm_tpu.parallel import make_mesh
+    from rtp_llm_tpu.parallel.ep_moe import ep_moe_a2a
+
+    rng = np.random.default_rng(5)
+    x, wg, wu, wd, _, _, _ = _mk(rng, n=32, h=16, i=24, e=16, k=1)
+    idx = jnp.full((32, 1), 5, jnp.int32)  # everyone wants expert 5
+    wts = jnp.ones((32, 1), jnp.float32)
+
+    mesh = make_mesh(ParallelConfig(dp_size=8, tp_size=1))
+    got, counts = ep_moe_a2a(x, idx, wts, wg, wu, wd, mesh=mesh, axis="dp",
+                             capacity_factor=1.0)  # tight
+    g = np.asarray(got)
+    assert np.isfinite(g).all()
+    assert int(counts[5]) == 32  # counts reflect demand, not capacity
+    # generous capacity recovers the exact result
+    want, _ = capacity_moe_local(x, idx, wts, wg, wu, wd, capacity=64)
+    got2, _ = ep_moe_a2a(x, idx, wts, wg, wu, wd, mesh=mesh, axis="dp",
+                         capacity_factor=64.0)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
