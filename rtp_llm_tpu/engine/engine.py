@@ -837,7 +837,9 @@ class LlmEngine:
                 block_row[: len(alloc.blocks)] = alloc.blocks
                 losses = []
                 pos = 0
-                fn_cache = {}
+                if not hasattr(self, "_prefill_loss_jits"):
+                    self._prefill_loss_jits = {}
+                fn_cache = self._prefill_loss_jits  # per-bucket, engine-wide
                 while pos < len(prompt):
                     t_real = min(len(prompt) - pos,
                                  self.config.scheduler.prefill_buckets[-1])
