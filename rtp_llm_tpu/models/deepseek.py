@@ -265,7 +265,10 @@ class DeepseekModel:
                 jnp.float32) * (di ** -0.5) * (hi ** -0.5)  # [B,T,Hi]
 
         mb = inputs.block_tables.shape[1]
-        use_sparse = (idx_plane is not None and t == 1
+        # sparse for decode (T=1) and small teacher-forced windows (spec
+        # verify, T<=8); long prefill chunks stay dense (documented superset
+        # approximation — the [T, topk, lanes] gather would not fit)
+        use_sparse = (idx_plane is not None and t <= 8
                       and mb * self.block_size > cfg.indexer_topk)
         if use_sparse:
             ctx = self._dsa_decode(cfg, inputs, latent, idx_plane, q_cat,
@@ -287,10 +290,11 @@ class DeepseekModel:
 
     def _dsa_decode(self, cfg, inputs, latent, idx_plane, q_cat, qi, gate,
                     kvl):
-        """Sparse decode (T=1): score every cached row with the indexer,
-        keep the top-k, and run dense attention over the gathered latent
-        subset (reference: fast_topk + flashmla sparse decode)."""
-        b = q_cat.shape[0]
+        """Sparse attention for decode / small windows (T<=8): score every
+        cached row with the indexer PER QUERY, keep the top-k, and run
+        dense attention over each query's gathered latent subset
+        (reference: fast_topk + flashmla sparse decode)."""
+        b, t = q_cat.shape[:2]
         bs = self.block_size
         bt = inputs.block_tables  # [B, MB]
         j = bt.shape[1] * bs
@@ -298,24 +302,30 @@ class DeepseekModel:
                      + jnp.arange(bs, dtype=bt.dtype)[None, None, :]
                      ).reshape(b, j)  # [B, J] pool rows in position order
         keys = jnp.take(idx_plane, slots_all, axis=0)  # [B, J, di]
-        s = jnp.einsum("bhd,bjd->bhj",
-                       qi[:, 0].astype(jnp.float32),
-                       keys.astype(jnp.float32))
+        s = jnp.einsum("bthd,bjd->bthj",
+                       qi.astype(jnp.float32), keys.astype(jnp.float32))
         s = jnp.maximum(s, 0.0)
-        score = jnp.einsum("bh,bhj->bj", gate[:, 0], s)  # [B, J]
-        pos = jnp.arange(j, dtype=jnp.int32)[None, :]
-        score = jnp.where(pos < inputs.kv_lens[:, None], score, -jnp.inf)
+        score = jnp.einsum("bth,bthj->btj", gate, s)  # [B, T, J]
+        # causal/valid: query at position q_off+ti sees keys at pos <= it
+        pos = jnp.arange(j, dtype=jnp.int32)[None, None, :]
+        qpos = (inputs.q_offsets[:, None]
+                + jnp.arange(t, dtype=jnp.int32)[None, :])  # [B, T]
+        score = jnp.where(pos <= qpos[:, :, None], score, -jnp.inf)
         k = min(cfg.indexer_topk, j)
-        top_score, top_idx = jax.lax.top_k(score, k)  # [B, k]
-        sel = jnp.take_along_axis(slots_all, top_idx, axis=1)  # [B, k]
-        lat = jnp.take(latent, sel, axis=0)  # [B, k, lanes]
-        qs = q_cat[:, 0].astype(jnp.float32) * self.sm_scale  # [B,Hq,lanes]
-        att = jnp.einsum("bhl,bkl->bhk", qs, lat.astype(jnp.float32))
-        att = jnp.where(jnp.isfinite(top_score)[:, None, :], att, -jnp.inf)
+        top_score, top_idx = jax.lax.top_k(score, k)  # [B, T, k]
+        sel = jnp.take_along_axis(
+            jnp.broadcast_to(slots_all[:, None, :], (b, t, j)), top_idx,
+            axis=2)  # [B, T, k]
+        lat = jnp.take(latent, sel.reshape(b, t * k), axis=0
+                       ).reshape(b, t, k, -1)  # [B, T, k, lanes]
+        qs = q_cat.astype(jnp.float32) * self.sm_scale  # [B,T,Hq,lanes]
+        att = jnp.einsum("bthl,btkl->bthk", qs, lat.astype(jnp.float32))
+        live = jnp.isfinite(top_score)[:, :, None, :]
+        att = jnp.where(live, att, -jnp.inf)
         p = jax.nn.softmax(att, axis=-1)
-        p = jnp.where(jnp.isfinite(top_score)[:, None, :], p, 0.0)
-        ctx = jnp.einsum("bhk,bkl->bhl", p, lat.astype(jnp.float32))
-        return ctx[:, None, :, :kvl].astype(q_cat.dtype)  # [B,1,Hq,kvl]
+        p = jnp.where(live, p, 0.0)
+        ctx = jnp.einsum("bthk,btkl->bthl", p, lat.astype(jnp.float32))
+        return ctx[..., :kvl].astype(q_cat.dtype)  # [B,T,Hq,kvl]
 
     def _dense_mlp(self, w, p, x):
         gate = self._linear(w, "gate_proj", p, x)

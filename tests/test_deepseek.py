@@ -230,3 +230,37 @@ class TestDSA:
         }, None)
         assert cfg.indexer_topk == 2048 and cfg.indexer_n_heads == 64
         assert cfg.indexer_head_dim == 128
+
+    def test_sparse_verify_window_matches_dense(self, tmp_path):
+        """Speculative verify (T=K+1 window) runs the sparse path too: with
+        topk covering the context, prompt-lookup spec decoding on a DSA
+        engine must match the dense engine exactly."""
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig, SpeculativeConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+
+        cfg = self._cfg(24)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        def build(with_dsa, spec):
+            c = self._cfg(24) if with_dsa else tiny_config("deepseek_v3")
+            c.dtype = "float32"
+            weights = CheckpointLoader(c).load(ckpt)
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                          prefill_buckets=(16,)),
+                speculative=(SpeculativeConfig(method="prompt_lookup",
+                                               draft_tokens=3)
+                             if spec else SpeculativeConfig()),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(c), weights, econf)
+
+        gc = GenerateConfig(max_new_tokens=10, do_sample=False,
+                            ignore_eos=True)
+        prompt = [1, 5, 9, 2, 5, 9, 2]  # repetition feeds prompt-lookup
+        want = build(False, False).generate(prompt, gc).output_token_ids
+        got = build(True, True).generate(prompt, gc).output_token_ids
+        assert got == want
