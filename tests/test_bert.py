@@ -246,13 +246,19 @@ def test_embedding_app_cross_request_batching(bert_ckpt):
                                       json={"input": [ids]})
                 return await r.json()
 
-            h0 = await (await client.get("/health")).json()
-            results = await asyncio.gather(
-                one([2, 5, 9, 3]), one([4, 7, 3]), one([5, 6, 7, 8, 3]))
-            h1 = await (await client.get("/health")).json()
-            # 3 concurrent requests, fewer batches than requests
-            assert h1["coalesced"] - h0["coalesced"] == 3
-            assert h1["batches"] - h0["batches"] < 3
+            # retry loop: on a loaded CI host the 2ms gather window can
+            # miss stragglers — coalescing must be OBSERVED at least once
+            for attempt in range(5):
+                h0 = await (await client.get("/health")).json()
+                results = await asyncio.gather(
+                    one([2, 5, 9, 3]), one([4, 7, 3]),
+                    one([5, 6, 7, 8, 3]))
+                h1 = await (await client.get("/health")).json()
+                assert h1["coalesced"] - h0["coalesced"] == 3
+                if h1["batches"] - h0["batches"] < 3:
+                    break
+            else:
+                raise AssertionError("requests never coalesced")
             np.testing.assert_allclose(
                 np.asarray(results[0]["data"][0]["embedding"]),
                 np.asarray(solo["data"][0]["embedding"]), rtol=1e-5,
