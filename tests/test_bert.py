@@ -225,7 +225,9 @@ def test_embedding_app_cross_request_batching(bert_ckpt):
         EncoderEmbedder, build_embedding_app,
     )
     from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+    from rtp_llm_tpu.loader.fake_checkpoint import write_fake_tokenizer
 
+    write_fake_tokenizer(path, 128)  # fixture ships no tokenizer
     tok = TokenizerFactory.create(path)
 
     async def run():
