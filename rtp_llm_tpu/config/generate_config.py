@@ -95,6 +95,12 @@ class GenerateConfig:
     @classmethod
     def from_dict(cls, d: dict) -> "GenerateConfig":
         """Build from a request json, ignoring unknown keys (OpenAI extras)."""
+        # reference: ChatCompletionRequest.extra_configs nests a
+        # GenerateConfig (api_datatype.py:150) — nested keys merge under
+        # the top-level ones
+        if isinstance(d.get("extra_configs"), dict):
+            d = {**d["extra_configs"], **{k: v for k, v in d.items()
+                                          if k != "extra_configs"}}
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs: dict[str, Any] = {k: v for k, v in d.items() if k in fields and v is not None}
         # OpenAI aliases

@@ -429,6 +429,16 @@ class ModelConfig:
             cfg.moe_routed_scaling_factor = lc.get("routed_scaling_factor",
                                                    1.0)
             cfg.eos_token_id = lc.get("eos_token_id", cfg.eos_token_id)
+            if lc.get("kv_lora_rank"):
+                # deepseek-vl2 small/base trunks use MLA (tiny is MHA);
+                # the factory routes to the MLA model when these are set
+                cfg.q_lora_rank = lc.get("q_lora_rank") or 0
+                cfg.kv_lora_rank = lc.get("kv_lora_rank", 512)
+                cfg.qk_nope_head_dim = lc.get("qk_nope_head_dim", 128)
+                cfg.qk_rope_head_dim = lc.get("qk_rope_head_dim", 64)
+                cfg.v_head_dim = lc.get("v_head_dim", 128)
+                cfg.head_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+                cfg.rope_interleave = lc.get("rope_interleave", True)
             cfg.vision_config = hf.get("vision_config")
             cfg.image_token_id = hf.get("image_token_id", 128815)  # <image>
         if arch == "qwen2_vl":

@@ -211,7 +211,15 @@ class LlmEngine:
                 # linear state): XLA ref attention under GSPMD
                 model.attn_backend = "ref"
 
-            self.kv = jax.device_put(self.kv, cache_sharding(mesh, mc))
+            kv_shard = cache_sharding(mesh, mc)
+            self.kv = jax.tree.map(
+                # dict caches mix leaf ranks (DSA idx_k [L,NS,di], int8
+                # scales, split-SWA pools): the lane split only applies to
+                # rank-4 pool leaves; everything else replicates
+                lambda a: jax.device_put(
+                    a, kv_shard if a.ndim == 4 else replicated(mesh)),
+                self.kv,
+            )
             dp_b = state_sharding(mesh)
             rep = replicated(mesh)
 
@@ -828,34 +836,48 @@ class LlmEngine:
         prompt = list(prompt_token_ids)
         if len(prompt) < 2:
             return np.zeros((0,), np.float32)
-        with self.device_lock:
-            alloc = self.cache_mgr.allocate(prompt, allow_reuse=False)
-            if alloc is None:
-                raise RuntimeError("KV pool exhausted")
-            try:
-                block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
-                block_row[: len(alloc.blocks)] = alloc.blocks
-                losses = []
-                pos = 0
-                if not hasattr(self, "_prefill_loss_jits"):
-                    self._prefill_loss_jits = {}
-                fn_cache = self._prefill_loss_jits  # per-bucket, engine-wide
-                while pos < len(prompt):
-                    t_real = min(len(prompt) - pos,
-                                 self.config.scheduler.prefill_buckets[-1])
-                    bucket = self._pick_bucket(t_real)
-                    tk = np.zeros((1, bucket), np.int32)
-                    tk[0, :t_real] = prompt[pos: pos + t_real]
-                    ps = np.zeros((1, bucket), np.int32)
-                    ps[0, :t_real] = np.arange(pos, pos + t_real)
-                    nxt = np.zeros((1, bucket), np.int32)
-                    n_next = min(t_real, len(prompt) - pos - 1)
-                    if n_next > 0:
-                        nxt[0, :n_next] = prompt[pos + 1: pos + 1 + n_next]
-                    fn = fn_cache.get(bucket)
-                    if fn is None:
-                        fn = fn_cache[bucket] = jax.jit(
-                            self._prefill_loss_impl, donate_argnums=(1,))
+        if len(prompt) > self.config.scheduler.max_seq_len:
+            raise ValueError(
+                f"prompt length {len(prompt)} exceeds max_seq_len "
+                f"{self.config.scheduler.max_seq_len}")
+        # transient pool pressure waits (like scheduler admission) instead
+        # of failing the request
+        alloc = None
+        for _ in range(200):
+            with self.device_lock:
+                alloc = self.cache_mgr.allocate(prompt, allow_reuse=False)
+            if alloc is not None:
+                break
+            time.sleep(0.05)
+        if alloc is None:
+            raise RuntimeError("KV pool exhausted")
+        try:
+            block_row = np.zeros((self.max_blocks_per_seq,), np.int32)
+            block_row[: len(alloc.blocks)] = alloc.blocks
+            losses = []
+            pos = 0
+            if not hasattr(self, "_prefill_loss_jits"):
+                self._prefill_loss_jits = {}
+            fn_cache = self._prefill_loss_jits  # per-bucket, engine-wide
+            while pos < len(prompt):
+                t_real = min(len(prompt) - pos,
+                             self.config.scheduler.prefill_buckets[-1])
+                bucket = self._pick_bucket(t_real)
+                tk = np.zeros((1, bucket), np.int32)
+                tk[0, :t_real] = prompt[pos: pos + t_real]
+                ps = np.zeros((1, bucket), np.int32)
+                ps[0, :t_real] = np.arange(pos, pos + t_real)
+                nxt = np.zeros((1, bucket), np.int32)
+                n_next = min(t_real, len(prompt) - pos - 1)
+                if n_next > 0:
+                    nxt[0, :n_next] = prompt[pos + 1: pos + 1 + n_next]
+                fn = fn_cache.get(bucket)
+                if fn is None:
+                    fn = fn_cache[bucket] = jax.jit(
+                        self._prefill_loss_impl, donate_argnums=(1,))
+                # lock per chunk: concurrent decode steps interleave
+                # instead of stalling for the whole prompt
+                with self.device_lock:
                     self.kv, nll = fn(
                         self.weights, self.kv, jnp.asarray(tk),
                         jnp.asarray(ps), jnp.asarray(block_row)[None, :],
@@ -863,9 +885,10 @@ class LlmEngine:
                         jnp.asarray([pos], np.int32),
                         jnp.asarray(nxt),
                     )
-                    losses.append(np.asarray(nll[0, :n_next], np.float32))
-                    pos += t_real
-            finally:
+                losses.append(np.asarray(nll[0, :n_next], np.float32))
+                pos += t_real
+        finally:
+            with self.device_lock:
                 self.cache_mgr.free(alloc)
         return (np.concatenate(losses) if losses
                 else np.zeros((0,), np.float32))

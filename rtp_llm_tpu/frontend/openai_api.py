@@ -329,7 +329,7 @@ class OpenAIApp:
                       else {"index": 0, "text": text, "finish_reason": fin,
                             "logprobs": None})
             choice["hidden_states"] = hid.tolist()
-            return web.json_response({
+            payload_h = {
                 "id": rid,
                 "object": "chat.completion" if chat else "text_completion",
                 "created": created, "model": self.model_name,
@@ -340,7 +340,10 @@ class OpenAIApp:
                     "total_tokens": len(token_ids)
                     + len(stream.output_token_ids),
                 },
-            })
+            }
+            if body_loss is not None:
+                payload_h["loss"] = body_loss
+            return web.json_response(payload_h)
 
         n = max(1, cfg.num_return_sequences)
         if n > 1 and stream_mode:
@@ -389,6 +392,8 @@ class OpenAIApp:
                         "total_tokens": len(token_ids) + comp,
                     },
                 }
+                if body_loss is not None:
+                    payload["loss"] = body_loss
                 return web.json_response(payload)
 
         async with self.sem:

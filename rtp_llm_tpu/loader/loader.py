@@ -214,6 +214,7 @@ class CheckpointLoader:
     def _save_cache(self, cache_dir: str, weights: dict) -> None:
         import tempfile
 
+        tmp = None
         try:
             os.makedirs(os.path.dirname(cache_dir) or ".", exist_ok=True)
             tmp = tempfile.mkdtemp(dir=os.path.dirname(cache_dir) or ".")
@@ -233,6 +234,10 @@ class CheckpointLoader:
             logger.info("saved converted-weights cache at %s", cache_dir)
         except Exception as e:  # noqa: BLE001 — caching is best-effort
             logger.warning("weights cache save skipped: %s", e)
+            if tmp is not None and os.path.isdir(tmp):
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def _load_cache(self, cache_dir: str):
         import jax.numpy as jnp
@@ -252,7 +257,8 @@ class CheckpointLoader:
                         meta["shape"])
                 out[name] = jnp.asarray(a)
             return out
-        except (OSError, ValueError) as e:
+        except Exception as e:  # noqa: BLE001 — any corruption (bad JSON,
+            # truncated tensor, unknown dtype) must fall back to reconversion
             logger.warning("weights cache at %s unreadable (%s); reloading",
                            cache_dir, e)
             return None

@@ -1221,19 +1221,24 @@ def _chatglm_specs(cfg: ModelConfig) -> list[WeightSpec]:
 
 def _deepseek_vl2_specs(cfg: ModelConfig) -> list[WeightSpec]:
     """DeepSeek-VL2 language trunk (reference:
-    models/deepseek_vl2/deepseek_vl2_weight.py): llama-style attention +
-    deepseek-MoE under a ``language.`` checkpoint prefix (the vision tower
-    and projector load separately, multimodal/deepseek_vl2_jax.py)."""
+    models/deepseek_vl2/deepseek_vl2_weight.py): deepseek-MoE under a
+    ``language.`` checkpoint prefix — MLA attention for small/base
+    (kv_lora_rank set, deepseek_vl2_weight.py:38), llama-style MHA for
+    tiny. The vision tower and projector load separately
+    (multimodal/deepseek_vl2_jax.py)."""
     import dataclasses as _dc
 
-    specs = [_dc.replace(sp, hf_pattern="language." + sp.hf_pattern)
-             for sp in _llama_family_specs(cfg)]
-    if cfg.num_experts > 0:
-        specs.append(WeightSpec(
-            "router_bias",
-            "language.model.layers.{l}.mlp.gate.e_score_correction_bias",
-            per_layer=True, layers_fn=_moe_layers, optional=True))
-    return specs
+    if cfg.kv_lora_rank > 0:
+        base = _deepseek_specs(cfg)
+    else:
+        base = _llama_family_specs(cfg)
+        if cfg.num_experts > 0:
+            base = base + [WeightSpec(
+                "router_bias",
+                "model.layers.{l}.mlp.gate.e_score_correction_bias",
+                per_layer=True, layers_fn=_moe_layers, optional=True)]
+    return [_dc.replace(sp, hf_pattern="language." + sp.hf_pattern)
+            for sp in base]
 
 
 def _glm4_moe_specs(cfg: ModelConfig) -> list[WeightSpec]:

@@ -28,8 +28,7 @@ for _mt in ("llama", "mistral", "qwen2", "qwen3", "qwen2_moe", "qwen3_moe",
             "gpt_neox", "gpt_bigcode", "starcoder", "wizardcoder",
             "mpt", "phi", "chatglm", "chat_glm_2", "chat_glm_3", "chatglm4v",
             "chatglm2", "chatglm3", "glm4_moe", "aquila", "xverse",
-            "qwen3_coder_moe", "qwen35_dense", "qwen35_moe",
-            "deepseek_vl_v2"):
+            "qwen3_coder_moe", "qwen35_dense", "qwen35_moe"):
     register_model(_mt, LlamaFamilyModel)
 
 
@@ -54,6 +53,16 @@ register_model("kimi_linear", _make_kimi_linear)
 
 # llava / qwen2_audio: llama-family LM with modality embeddings spliced
 # at prefill (flat positions)
+def _make_deepseek_vl2(cfg):
+    # deepseek-vl2 tiny = MHA trunk (llama family); small/base = MLA
+    if cfg.kv_lora_rank > 0:
+        from rtp_llm_tpu.models.deepseek import DeepseekModel
+
+        return DeepseekModel(cfg)
+    return LlamaFamilyModel(cfg)
+
+
+register_model("deepseek_vl_v2", _make_deepseek_vl2)
 register_model("llava", LlamaFamilyModel)
 register_model("qwen2_audio", LlamaFamilyModel)
 

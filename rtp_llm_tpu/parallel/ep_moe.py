@@ -265,6 +265,14 @@ def ep_moe_a2a(
 
     def local_fn(x, top_idx, top_weights, wg, wu, wd, sc_vals, zr_vals):
         nl = x.shape[0]
+        # gating counts for EPLB = routing DEMAND, histogrammed from
+        # top_idx before the capacity dispatch (drops must still count —
+        # a hot expert whose overflow is dropped is exactly what the
+        # balancer needs to see); psum over the axis gives global [E]
+        demand = jnp.sum(
+            top_idx.reshape(-1)[:, None] == jnp.arange(e)[None, :], axis=0,
+        ).astype(jnp.int32)
+        demand = jax.lax.psum(demand, axis)
         # ---- 1. pack per-destination buffers ----
         dest = top_idx // e_local  # [nl, K] destination shard
         slot, _, keep = build_dispatch(dest, capacity=cap, expert_offset=0,
@@ -287,7 +295,7 @@ def ep_moe_a2a(
         rid = jnp.where(rid < 0, e_local + 1, rid)
         sc = dict(zip(sc_names, sc_vals)) if sc_names else None
         zr = dict(zip(zr_names, zr_vals)) if zr_names else None
-        y, counts = capacity_moe_local(
+        y, _ = capacity_moe_local(
             rx, rid, jnp.ones_like(rid, jnp.float32),
             wg, wu, wd, scales=sc, zeros=zr,
             capacity=expert_capacity(s_shards * cap, e_local,
@@ -301,8 +309,7 @@ def ep_moe_a2a(
         got = jnp.where(keep[..., None], got, 0).astype(jnp.float32)
         out = jnp.sum(got * top_weights[..., None].astype(jnp.float32),
                       axis=1)
-        counts = jax.lax.all_gather(counts, axis, tiled=True)  # [E]
-        return out, counts
+        return out, demand
 
     rep = P()
     tspec = P(axis)

@@ -264,3 +264,31 @@ class TestDSA:
         want = build(False, False).generate(prompt, gc).output_token_ids
         got = build(True, True).generate(prompt, gc).output_token_ids
         assert got == want
+
+    def test_dsa_engine_under_mesh(self, tmp_path):
+        """DSA's dict cache (rank-3 idx_k beside rank-4 latent) must place
+        under a tp mesh (rank-aware sharding) and still decode correctly."""
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+        from rtp_llm_tpu.parallel import make_mesh
+
+        cfg = self._cfg(16)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+        weights = CheckpointLoader(cfg).load(ckpt)
+        mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=1))
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        eng = LlmEngine(create_model(cfg), weights, econf, mesh=mesh)
+        gc = GenerateConfig(max_new_tokens=6, do_sample=False,
+                            ignore_eos=True)
+        out = eng.generate([1, 5, 9, 42], gc).output_token_ids
+        assert len(out) == 6
+
+        solo = self._engine(ckpt, topk=16)
+        assert out == solo.generate([1, 5, 9, 42], gc).output_token_ids

@@ -191,3 +191,33 @@ def test_serving_splice_through_engine(ckpt):
             break
         eng.step()
     assert len(s.output_token_ids) == 4
+
+
+def test_mla_trunk_route(tmp_path):
+    """deepseek-vl2 small/base carry MLA in language_config: the factory
+    must route to the MLA model and the weight map must emit language.-
+    prefixed MLA specs (deepseek_vl2_weight.py:38)."""
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.loader.weight_maps import get_weight_specs
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.models.deepseek import DeepseekModel
+
+    cfg = ModelConfig.from_hf_config({
+        "model_type": "deepseek_vl_v2",
+        "language_config": {
+            "vocab_size": 64, "hidden_size": 64, "num_hidden_layers": 2,
+            "num_attention_heads": 4, "intermediate_size": 128,
+            "kv_lora_rank": 32, "q_lora_rank": 24,
+            "qk_nope_head_dim": 16, "qk_rope_head_dim": 8, "v_head_dim": 16,
+        },
+        "vision_config": {"image_size": 32, "patch_size": 8, "width": 16,
+                          "layers": 1, "heads": 4},
+    }, None)
+    assert cfg.kv_lora_rank == 32 and cfg.head_dim == 24
+    model = create_model(cfg)
+    assert isinstance(model, DeepseekModel)
+    pats = {sp.name: sp.hf_pattern for sp in get_weight_specs(cfg)}
+    assert pats["kv_a_proj"].startswith(
+        "language.model.layers.{l}.self_attn.kv_a_proj_with_mqa")
+    assert pats["embed_tokens"] == "language.model.embed_tokens.weight"

@@ -159,10 +159,20 @@ class TestDeepseekV31Renderer:
         assert tok.calls[-1].get("thinking") is True
         assert "enable_thinking" not in tok.calls[-1]
 
-    def test_tools_disable_thinking(self):
+    def test_tools_disable_thinking_v31(self):
+        # V3.1 cannot think during tool calls (deepseekv31_renderer.py:116)
+        tok = self._Tok()
+        r = create_renderer(tok, "deepseek_v31")
+        r.render([{"role": "user", "content": "hi"}], tools=TOOLS,
+                 chat_template_kwargs={"enable_thinking": True})
+        assert tok.calls[-1].get("thinking") is False
+        assert "tools" in tok.calls[-1]
+
+    def test_tools_keep_thinking_v32(self):
+        # V3.2 interleaves thinking with tool calls — keep the caller's flag
         tok = self._Tok()
         r = create_renderer(tok, "deepseek_v32")
         r.render([{"role": "user", "content": "hi"}], tools=TOOLS,
                  chat_template_kwargs={"enable_thinking": True})
-        assert tok.calls[-1].get("thinking") is False
+        assert tok.calls[-1].get("thinking") is True
         assert "tools" in tok.calls[-1]
