@@ -37,17 +37,37 @@ class ChatRenderer:
         kwargs = dict(chat_template_kwargs or {})
         if tools:
             kwargs["tools"] = tools
-        ids = self.tok.apply_chat_template(
-            messages,
-            add_generation_prompt=add_generation_prompt,
-            tokenize=True,
-            **kwargs,
-        )
+        try:
+            ids = self.tok.apply_chat_template(
+                messages,
+                add_generation_prompt=add_generation_prompt,
+                tokenize=True,
+                **kwargs,
+            )
+        except (ValueError, AttributeError, TypeError):
+            # tokenizer ships no chat template (legacy checkpoints:
+            # llama-2, baichuan, internlm v1, falcon-instruct, ...) —
+            # fall back to the hand-specified conversation template
+            # (reference: LlamaTemplateRenderer, llama_template.py)
+            return self._render_legacy(messages)
         if hasattr(ids, "input_ids"):  # some tokenizers return BatchEncoding
             ids = ids.input_ids
         return RenderedPrompt(
             token_ids=list(ids),
             stop_words=self.extra_stop_words(),
+            stop_token_ids=self.extra_stop_token_ids(),
+        )
+
+    def _render_legacy(self, messages) -> RenderedPrompt:
+        from rtp_llm_tpu.frontend.legacy_templates import (
+            TEMPLATES, render_legacy, template_for,
+        )
+
+        tpl = template_for(self.model_type) or TEMPLATES["default"]
+        ids, stops = render_legacy(self.tok, tpl, messages)
+        return RenderedPrompt(
+            token_ids=ids,
+            stop_words=stops + self.extra_stop_words(),
             stop_token_ids=self.extra_stop_token_ids(),
         )
 
@@ -80,6 +100,7 @@ def _load_builtin_renderers():
     (reference: renderer_factory imports every renderers/ module)."""
     import rtp_llm_tpu.frontend.deepseek_renderer  # noqa: F401
     import rtp_llm_tpu.frontend.glm4_renderer  # noqa: F401
+    import rtp_llm_tpu.frontend.kimi_renderer  # noqa: F401
     import rtp_llm_tpu.frontend.qwen_agent_renderer  # noqa: F401
 
 

@@ -176,3 +176,116 @@ class TestDeepseekV31Renderer:
                  chat_template_kwargs={"enable_thinking": True})
         assert tok.calls[-1].get("thinking") is True
         assert "tools" in tok.calls[-1]
+
+
+class TestLegacyTemplates:
+    """Fallback conversation templates for no-chat-template checkpoints
+    (reference: llama_template.py + llama_template_renderer.py)."""
+
+    class _NoTemplateTok:
+        bos_token_id = 1
+
+        def apply_chat_template(self, *a, **k):
+            raise ValueError("Cannot use chat template functions because "
+                             "tokenizer.chat_template is not set")
+
+        def __call__(self, text, add_special_tokens=False):
+            self.last_text = text
+            return list(range(2, 2 + len(text.split())))
+
+        def convert_tokens_to_ids(self, t):
+            return -1
+
+    MSGS = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "hi there"}]
+
+    def test_llama2_nests_system_in_first_inst(self):
+        tok = self._NoTemplateTok()
+        r = create_renderer(tok, "llama")
+        out = r.render(self.MSGS)
+        assert out.token_ids[0] == 1  # BOS
+        assert tok.last_text.startswith("[INST] <<SYS>>\nbe brief\n<</SYS>>")
+        assert tok.last_text.endswith("[/INST]")
+
+    def test_baichuan_reserved_tokens(self):
+        tok = self._NoTemplateTok()
+        r = create_renderer(tok, "baichuan2")
+        r.render([{"role": "user", "content": "hello"}])
+        assert tok.last_text == "<reserved_106>hello<reserved_107>"
+
+    def test_internlm_stop_words(self):
+        tok = self._NoTemplateTok()
+        out = create_renderer(tok, "internlm").render(
+            [{"role": "user", "content": "hello"}])
+        assert "<eoa>" in out.stop_words
+        assert tok.last_text == "<|User|>:hello<eoh>\n<|Bot|>:"
+
+    def test_unknown_type_uses_default(self):
+        tok = self._NoTemplateTok()
+        create_renderer(tok, "mystery_model").render(
+            [{"role": "user", "content": "q"}])
+        assert "USER: q ASSISTANT:" in tok.last_text
+
+    def test_multiturn_vicuna(self):
+        tok = self._NoTemplateTok()
+        create_renderer(tok, "vicuna").render(
+            [{"role": "user", "content": "a"},
+             {"role": "assistant", "content": "b"},
+             {"role": "user", "content": "c"}])
+        assert "USER: a ASSISTANT: b</s>USER: c ASSISTANT:" in tok.last_text
+
+
+class TestKimiK2Renderer:
+    """Tool-call id wire format (reference: kimik2_renderer.py:60-145)."""
+
+    class _Tok:
+        def __init__(self):
+            self.calls = []
+
+        def apply_chat_template(self, messages, add_generation_prompt=True,
+                                tokenize=True, **kw):
+            self.calls.append(messages)
+            return [1, 2]
+
+        def convert_tokens_to_ids(self, t):
+            return -1
+
+    def test_bare_ids_get_prefixed(self):
+        tok = self._Tok()
+        r = create_renderer(tok, "kimi_k2")
+        out = r.render([
+            {"role": "user", "content": "weather?"},
+            {"role": "assistant", "tool_calls": [
+                {"id": "get_weather:0", "type": "function",
+                 "function": {"name": "get_weather", "arguments": "{}"}}]},
+            {"role": "tool", "tool_call_id": "get_weather:0",
+             "content": "sunny"},
+        ], tools=TOOLS)
+        sent = tok.calls[-1]
+        assert sent[1]["tool_calls"][0]["id"] == "functions.get_weather:0"
+        assert sent[2]["tool_call_id"] == "functions.get_weather:0"
+        assert "<|im_end|>" in out.stop_words
+
+    def test_missing_tool_response_raises(self):
+        tok = self._Tok()
+        r = create_renderer(tok, "kimi_k2")
+        with pytest.raises(ValueError, match="missing tool responses"):
+            r.render([
+                {"role": "user", "content": "weather?"},
+                {"role": "assistant", "tool_calls": [
+                    {"id": "get_weather:0", "type": "function",
+                     "function": {"name": "get_weather",
+                                  "arguments": "{}"}}]},
+            ], tools=TOOLS)
+
+    def test_bad_id_format_raises(self):
+        tok = self._Tok()
+        r = create_renderer(tok, "kimi_k2")
+        with pytest.raises(ValueError, match="invalid kimi tool_call id"):
+            r.render([
+                {"role": "assistant", "tool_calls": [
+                    {"id": "no-index-here", "type": "function",
+                     "function": {"name": "f", "arguments": "{}"}}]},
+                {"role": "tool", "tool_call_id": "no-index-here",
+                 "content": "x"},
+            ])
