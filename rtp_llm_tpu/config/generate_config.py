@@ -99,8 +99,11 @@ class GenerateConfig:
         # GenerateConfig (api_datatype.py:150) — nested keys merge under
         # the top-level ones
         if isinstance(d.get("extra_configs"), dict):
-            d = {**d["extra_configs"], **{k: v for k, v in d.items()
-                                          if k != "extra_configs"}}
+            # explicit nulls at the top level (clients serializing unset
+            # fields) must not clobber nested values
+            d = {**d["extra_configs"],
+                 **{k: v for k, v in d.items()
+                    if k != "extra_configs" and v is not None}}
         fields = {f.name for f in dataclasses.fields(cls)}
         kwargs: dict[str, Any] = {k: v for k, v in d.items() if k in fields and v is not None}
         # OpenAI aliases

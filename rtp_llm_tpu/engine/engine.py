@@ -212,14 +212,19 @@ class LlmEngine:
                 model.attn_backend = "ref"
 
             kv_shard = cache_sharding(mesh, mc)
-            self.kv = jax.tree.map(
-                # dict caches mix leaf ranks (DSA idx_k [L,NS,di], int8
-                # scales, split-SWA pools): the lane split only applies to
-                # rank-4 pool leaves; everything else replicates
-                lambda a: jax.device_put(
-                    a, kv_shard if a.ndim == 4 else replicated(mesh)),
-                self.kv,
-            )
+            tp_n = mesh.shape["tp"]
+
+            def _place_kv(a):
+                # dict caches mix leaf ranks: rank>=4 leaves (pools,
+                # split-SWA, int8 scales [L,2,NS,Hkv], rank-5 linear "rec"
+                # state) take the dim-3 lane split when divisible (for rec
+                # that's the key head dim — trailing dims replicate); only
+                # sub-rank leaves (DSA idx_k [L,NS,di]) replicate
+                if a.ndim >= 4 and a.shape[3] % tp_n == 0:
+                    return jax.device_put(a, kv_shard)
+                return jax.device_put(a, replicated(mesh))
+
+            self.kv = jax.tree.map(_place_kv, self.kv)
             dp_b = state_sharding(mesh)
             rep = replicated(mesh)
 

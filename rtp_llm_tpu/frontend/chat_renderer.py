@@ -37,19 +37,29 @@ class ChatRenderer:
         kwargs = dict(chat_template_kwargs or {})
         if tools:
             kwargs["tools"] = tools
-        try:
+        # tokenizers shipping no chat template (legacy checkpoints:
+        # llama-2, baichuan, internlm v1, falcon-instruct, ...) fall back
+        # to the hand-specified conversation templates (reference:
+        # LlamaTemplateRenderer, llama_template.py). Real template errors
+        # on tokenizers that DO have one must surface, not degrade.
+        if not getattr(self.tok, "chat_template", None) and not hasattr(
+                self.tok, "default_chat_template"):
+            try:
+                ids = self.tok.apply_chat_template(
+                    messages,
+                    add_generation_prompt=add_generation_prompt,
+                    tokenize=True,
+                    **kwargs,
+                )
+            except (ValueError, AttributeError, TypeError):
+                return self._render_legacy(messages)
+        else:
             ids = self.tok.apply_chat_template(
                 messages,
                 add_generation_prompt=add_generation_prompt,
                 tokenize=True,
                 **kwargs,
             )
-        except (ValueError, AttributeError, TypeError):
-            # tokenizer ships no chat template (legacy checkpoints:
-            # llama-2, baichuan, internlm v1, falcon-instruct, ...) —
-            # fall back to the hand-specified conversation template
-            # (reference: LlamaTemplateRenderer, llama_template.py)
-            return self._render_legacy(messages)
         if hasattr(ids, "input_ids"):  # some tokenizers return BatchEncoding
             ids = ids.input_ids
         return RenderedPrompt(

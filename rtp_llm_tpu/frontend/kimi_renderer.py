@@ -22,16 +22,6 @@ from rtp_llm_tpu.frontend.chat_renderer import (
 _ID_PATTERN = re.compile(r"^functions\.[\w.-]+:\d+$")
 
 
-def _normalize_id(tool_call_id: str) -> str:
-    if not tool_call_id.startswith("functions."):
-        tool_call_id = f"functions.{tool_call_id}"
-    if not _ID_PATTERN.match(tool_call_id):
-        raise ValueError(
-            f"invalid kimi tool_call id {tool_call_id!r}; expected "
-            "'functions.{name}:{index}'")
-    return tool_call_id
-
-
 class KimiK2Renderer(ChatRenderer):
     def render(
         self,
@@ -40,7 +30,15 @@ class KimiK2Renderer(ChatRenderer):
         add_generation_prompt: bool = True,
         chat_template_kwargs: Optional[dict] = None,
     ) -> RenderedPrompt:
+        # Ids the model emitted are already functions.{name}:{idx}; ids a
+        # client invented (e.g. OpenAI-style "call_<uuid>") are rebuilt
+        # deterministically from the function name + a running call index,
+        # with tool responses remapped through the same table — raising on
+        # foreign ids would break every round-trip the server itself
+        # started before this normalization existed.
+        remap: Dict[str, str] = {}
         used, returned = set(), set()
+        call_index = 0
         fixed = []
         for m in messages:
             m = dict(m)
@@ -48,13 +46,20 @@ class KimiK2Renderer(ChatRenderer):
                 calls = []
                 for tc in m["tool_calls"]:
                     tc = dict(tc)
-                    if "id" in tc:
-                        tc["id"] = _normalize_id(tc["id"])
-                        used.add(tc["id"])
+                    fname = (tc.get("function") or {}).get("name", "tool")
+                    old = tc.get("id")
+                    wire = old if old and _ID_PATTERN.match(old) \
+                        else f"functions.{fname}:{call_index}"
+                    if old is not None and old != wire:
+                        remap[old] = wire
+                    tc["id"] = wire
+                    used.add(wire)
+                    call_index += 1
                     calls.append(tc)
                 m["tool_calls"] = calls
-            if "tool_call_id" in m and m["tool_call_id"] is not None:
-                m["tool_call_id"] = _normalize_id(m["tool_call_id"])
+            if m.get("tool_call_id") is not None:
+                tid = m["tool_call_id"]
+                m["tool_call_id"] = remap.get(tid, tid)
                 returned.add(m["tool_call_id"])
             fixed.append(m)
         missing = used - returned

@@ -192,10 +192,13 @@ def template_for(model_type: str) -> Optional[ConversationTemplate]:
     """Best template for a model type (exact name, then prefix match)."""
     if model_type in TEMPLATES:
         return TEMPLATES[model_type]
+    # longest name wins so "internlm2_chat" matches internlm2, not internlm
+    best = None
     for name, t in TEMPLATES.items():
-        if model_type.startswith(name):
-            return t
-    return None
+        if model_type.startswith(name) and (
+                best is None or len(name) > len(best[0])):
+            best = (name, t)
+    return best[1] if best else None
 
 
 def render_legacy(tokenizer, template: ConversationTemplate,

@@ -168,7 +168,13 @@ class KimiK2Detector(ToolDetector):
             fname = fid.split(":")[0]
             if fname.startswith("functions."):
                 fname = fname[len("functions."):]
-            calls.append(_mk_call(fname, m.group("args").strip()))
+            call = _mk_call(fname, m.group("args").strip())
+            # keep kimi's wire id (functions.{name}:{idx}): the chat
+            # template expects the SAME id echoed back in the tool
+            # round-trip (kimi_renderer validates the format)
+            call["id"] = fid if fid.startswith("functions.") \
+                else "functions." + fid
+            calls.append(call)
         rest = self._REGION.sub("", text).strip()
         return (calls or None), rest
 

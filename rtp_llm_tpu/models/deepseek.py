@@ -117,6 +117,13 @@ class DeepseekModel:
         cfg = self.cfg
         b, t = inputs.tokens.shape
         x = jnp.take(weights["embed_tokens"], inputs.tokens, axis=0)
+        if inputs.mm_embeds is not None:
+            # deepseek-vl2 small/base: MLA trunk with vision embeddings
+            # spliced over placeholder tokens (same contract as
+            # LlamaFamilyModel; reference: cpp/multimodal_processor/)
+            x = jnp.where(inputs.mm_mask[..., None],
+                          inputs.mm_embeds[..., : x.shape[-1]].astype(x.dtype),
+                          x)
 
         valid = (inputs.q_offsets[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
                  ) < inputs.kv_lens[:, None]

@@ -114,3 +114,22 @@ def test_reference_type_aliases_resolve():
             assert alias in _FAMILY_BUILDERS, alias
         if target in _REGISTRY:
             assert alias in _REGISTRY, alias
+
+
+def test_extra_configs_merge():
+    """extra_configs nests generate-config fields (reference:
+    ChatCompletionRequest.extra_configs, api_datatype.py:150); explicit
+    top-level nulls must not clobber nested values."""
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+
+    g = GenerateConfig.from_dict({
+        "temperature": None, "top_p": None, "max_tokens": 7,
+        "extra_configs": {"temperature": 0.2, "top_p": 0.5,
+                          "calculate_loss": 1},
+    })
+    assert g.temperature == 0.2 and g.top_p == 0.5
+    assert g.calculate_loss == 1 and g.max_new_tokens == 7
+    # top-level non-null wins over nested
+    g2 = GenerateConfig.from_dict(
+        {"top_k": 3, "extra_configs": {"top_k": 9}})
+    assert g2.top_k == 3

@@ -221,3 +221,43 @@ def test_mla_trunk_route(tmp_path):
     assert pats["kv_a_proj"].startswith(
         "language.model.layers.{l}.self_attn.kv_a_proj_with_mqa")
     assert pats["embed_tokens"] == "language.model.embed_tokens.weight"
+
+
+def test_mla_trunk_splices_mm_embeds(tmp_path):
+    """The MLA trunk must honor ModelInputs.mm_embeds like the MHA trunk —
+    vision features spliced over placeholder tokens must change the
+    logits there (regression: DeepseekModel ignored mm_embeds)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.models.batch import ModelInputs
+
+    cfg = tiny_config("deepseek_v2")
+    ckpt2 = write_fake_checkpoint(str(tmp_path / "mla"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt2)
+    model = create_model(cfg)
+    cache = model.init_cache(16, 4)
+    t = 4
+    base = ModelInputs(
+        tokens=jnp.asarray([[1, 2, 3, 4]], jnp.int32),
+        positions=jnp.arange(t, dtype=jnp.int32)[None, :],
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        kv_lens=jnp.asarray([t], jnp.int32),
+        q_offsets=jnp.asarray([0], jnp.int32),
+    )
+    o_plain, _ = model.forward(weights, cache, base, need_all_logits=True)
+    cache = model.init_cache(16, 4)
+    mm = base._replace(
+        mm_embeds=jnp.ones((1, t, cfg.hidden_size), jnp.float32),
+        mm_mask=jnp.asarray([[False, True, True, False]]),
+    )
+    o_mm, _ = model.forward(weights, cache, mm, need_all_logits=True)
+    a = np.asarray(o_plain.all_logits[0])
+    b = np.asarray(o_mm.all_logits[0])
+    assert not np.allclose(a[1], b[1]), "mm splice must affect logits"
+    assert np.allclose(a[0], b[0], atol=1e-5), "unmasked prefix unchanged"

@@ -121,3 +121,38 @@ def test_chunked_prefill_state_carry(tmp_path):
     chunked = _engine(ckpt, prefill_buckets=(16,)).generate(
         [int(x) for x in prompt], gc()).output_token_ids
     assert one == chunked
+
+
+def test_hybrid_cache_sharded_under_mesh(tmp_path):
+    """Under a tp mesh the rank-5 KDA recurrent state must keep its lane
+    split (dim 3, the key head dim) — replicating it multiplies hybrid-model
+    state memory by tp (regression from the rank-aware device_put)."""
+    from rtp_llm_tpu.config.engine_config import ParallelConfig
+    from rtp_llm_tpu.parallel import make_mesh
+
+    cfg = tiny_config("kimi_linear")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "klm"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=1))
+    eng = LlmEngine(create_model(cfg), weights, econf, mesh=mesh)
+
+    def _dim3_spec(a):
+        spec = a.sharding.spec
+        return spec[3] if len(spec) > 3 else None
+
+    assert _dim3_spec(eng.kv["kv"]) == "tp"
+    assert _dim3_spec(eng.kv["rec"]) == "tp", "rec state must stay sharded"
+    assert _dim3_spec(eng.kv["conv"]) == "tp"
+
+    prompt = [1, 5, 9, 42, 7]
+    gc = GenerateConfig(max_new_tokens=6, do_sample=False, ignore_eos=True)
+    got = eng.generate(prompt, gc).output_token_ids
+    ckpt2 = write_fake_checkpoint(str(tmp_path / "kls"), cfg)
+    assert got == _engine(ckpt2).generate(prompt, gc).output_token_ids

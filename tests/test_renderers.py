@@ -226,6 +226,28 @@ class TestLegacyTemplates:
             [{"role": "user", "content": "q"}])
         assert "USER: q ASSISTANT:" in tok.last_text
 
+    def test_longest_prefix_wins(self):
+        from rtp_llm_tpu.frontend.legacy_templates import template_for
+
+        assert template_for("internlm2_chat").name == "internlm2"
+        assert template_for("internlm").name == "internlm"
+
+    def test_template_errors_surface_when_template_exists(self):
+        # a tokenizer WITH a chat template must not silently degrade to
+        # the legacy fallback when rendering raises
+        class _Tok:
+            chat_template = "{{ bad"
+
+            def apply_chat_template(self, *a, **k):
+                raise ValueError("template parse error")
+
+            def convert_tokens_to_ids(self, t):
+                return -1
+
+        with pytest.raises(ValueError, match="template parse error"):
+            create_renderer(_Tok(), "llama").render(
+                [{"role": "user", "content": "q"}])
+
     def test_multiturn_vicuna(self):
         tok = self._NoTemplateTok()
         create_renderer(tok, "vicuna").render(
@@ -278,14 +300,29 @@ class TestKimiK2Renderer:
                                   "arguments": "{}"}}]},
             ], tools=TOOLS)
 
-    def test_bad_id_format_raises(self):
+    def test_openai_style_ids_rebuilt(self):
+        # the server's own hermes-style "call_<uuid>" ids (and anything
+        # else foreign) rebuild deterministically and remap the responses
         tok = self._Tok()
         r = create_renderer(tok, "kimi_k2")
-        with pytest.raises(ValueError, match="invalid kimi tool_call id"):
-            r.render([
-                {"role": "assistant", "tool_calls": [
-                    {"id": "no-index-here", "type": "function",
-                     "function": {"name": "f", "arguments": "{}"}}]},
-                {"role": "tool", "tool_call_id": "no-index-here",
-                 "content": "x"},
-            ])
+        r.render([
+            {"role": "assistant", "tool_calls": [
+                {"id": "call_abc123", "type": "function",
+                 "function": {"name": "f", "arguments": "{}"}}]},
+            {"role": "tool", "tool_call_id": "call_abc123",
+             "content": "x"},
+        ])
+        sent = tok.calls[-1]
+        assert sent[0]["tool_calls"][0]["id"] == "functions.f:0"
+        assert sent[1]["tool_call_id"] == "functions.f:0"
+
+    def test_detector_keeps_wire_id(self):
+        from rtp_llm_tpu.frontend.tool_detectors import get_tool_detector
+
+        det = get_tool_detector("kimi_k2")
+        calls, _ = det.parse(
+            "<|tool_calls_section_begin|><|tool_call_begin|>"
+            "functions.get_weather:0<|tool_call_argument_begin|>"
+            '{"city": "sf"}<|tool_call_end|><|tool_calls_section_end|>')
+        assert calls[0]["id"] == "functions.get_weather:0"
+        assert calls[0]["function"]["name"] == "get_weather"
