@@ -272,10 +272,12 @@ class DeepseekModel:
                 jnp.float32) * (di ** -0.5) * (hi ** -0.5)  # [B,T,Hi]
 
         mb = inputs.block_tables.shape[1]
-        # sparse for decode (T=1) and small teacher-forced windows (spec
-        # verify, T<=8); long prefill chunks stay dense (documented superset
-        # approximation — the [T, topk, lanes] gather would not fit)
-        use_sparse = (idx_plane is not None and t <= 8
+        # sparse everywhere the context can exceed topk — decode (T=1),
+        # spec-verify windows, AND long prefill chunks (queries processed
+        # in chunks of 8 under lax.scan so the [chunk, topk, lanes] gather
+        # stays small); V3.2 is trained with sparse attention at all
+        # phases, so dense prefill would deviate semantically
+        use_sparse = (idx_plane is not None
                       and mb * self.block_size > cfg.indexer_topk)
         if use_sparse:
             ctx = self._dsa_decode(cfg, inputs, latent, idx_plane, q_cat,
@@ -295,12 +297,16 @@ class DeepseekModel:
             return out, latent, idx_plane
         return out, latent
 
+    _DSA_CHUNK = 8  # queries per sparse chunk (bounds the latent gather)
+
     def _dsa_decode(self, cfg, inputs, latent, idx_plane, q_cat, qi, gate,
                     kvl):
-        """Sparse attention for decode / small windows (T<=8): score every
-        cached row with the indexer PER QUERY, keep the top-k, and run
-        dense attention over each query's gathered latent subset
-        (reference: fast_topk + flashmla sparse decode)."""
+        """Sparse attention (reference: fast_topk + flashmla sparse
+        decode): score every cached row with the indexer PER QUERY, keep
+        the top-k, and run dense attention over each query's gathered
+        latent subset. Long windows (prefill chunks) process queries in
+        chunks of ``_DSA_CHUNK`` under ``lax.scan`` so the
+        [chunk, topk, lanes] gather stays VMEM-sized regardless of T."""
         b, t = q_cat.shape[:2]
         bs = self.block_size
         bt = inputs.block_tables  # [B, MB]
@@ -309,29 +315,63 @@ class DeepseekModel:
                      + jnp.arange(bs, dtype=bt.dtype)[None, None, :]
                      ).reshape(b, j)  # [B, J] pool rows in position order
         keys = jnp.take(idx_plane, slots_all, axis=0)  # [B, J, di]
-        s = jnp.einsum("bthd,bjd->bthj",
-                       qi.astype(jnp.float32), keys.astype(jnp.float32))
-        s = jnp.maximum(s, 0.0)
-        score = jnp.einsum("bth,bthj->btj", gate, s)  # [B, T, J]
-        # causal/valid: query at position q_off+ti sees keys at pos <= it
-        pos = jnp.arange(j, dtype=jnp.int32)[None, None, :]
         qpos = (inputs.q_offsets[:, None]
                 + jnp.arange(t, dtype=jnp.int32)[None, :])  # [B, T]
-        score = jnp.where(pos <= qpos[:, :, None], score, -jnp.inf)
         k = min(cfg.indexer_topk, j)
-        top_score, top_idx = jax.lax.top_k(score, k)  # [B, T, k]
-        sel = jnp.take_along_axis(
-            jnp.broadcast_to(slots_all[:, None, :], (b, t, j)), top_idx,
-            axis=2)  # [B, T, k]
-        lat = jnp.take(latent, sel.reshape(b, t * k), axis=0
-                       ).reshape(b, t, k, -1)  # [B, T, k, lanes]
-        qs = q_cat.astype(jnp.float32) * self.sm_scale  # [B,T,Hq,lanes]
-        att = jnp.einsum("bthl,btkl->bthk", qs, lat.astype(jnp.float32))
-        live = jnp.isfinite(top_score)[:, :, None, :]
-        att = jnp.where(live, att, -jnp.inf)
-        p = jax.nn.softmax(att, axis=-1)
-        p = jnp.where(live, p, 0.0)
-        ctx = jnp.einsum("bthk,btkl->bthl", p, lat.astype(jnp.float32))
+
+        def chunk_ctx(q_c, qi_c, gate_c, qpos_c):
+            # q_c [B,C,Hq,lanes], qi_c [B,C,Hi,di], gate_c [B,C,Hi],
+            # qpos_c [B,C] -> ctx [B,C,Hq,lanes]
+            c = q_c.shape[1]
+            s = jnp.einsum("bthd,bjd->bthj",
+                           qi_c.astype(jnp.float32),
+                           keys.astype(jnp.float32))
+            s = jnp.maximum(s, 0.0)
+            score = jnp.einsum("bth,bthj->btj", gate_c, s)  # [B, C, J]
+            # causal/valid: query at position qpos sees keys at pos <= it
+            pos = jnp.arange(j, dtype=jnp.int32)[None, None, :]
+            score = jnp.where(pos <= qpos_c[:, :, None], score, -jnp.inf)
+            top_score, top_idx = jax.lax.top_k(score, k)  # [B, C, k]
+            sel = jnp.take_along_axis(
+                jnp.broadcast_to(slots_all[:, None, :], (b, c, j)), top_idx,
+                axis=2)  # [B, C, k]
+            lat = jnp.take(latent, sel.reshape(b, c * k), axis=0
+                           ).reshape(b, c, k, -1)  # [B, C, k, lanes]
+            qs = q_c.astype(jnp.float32) * self.sm_scale
+            att = jnp.einsum("bthl,btkl->bthk", qs, lat.astype(jnp.float32))
+            live = jnp.isfinite(top_score)[:, :, None, :]
+            att = jnp.where(live, att, -jnp.inf)
+            p = jax.nn.softmax(att, axis=-1)
+            p = jnp.where(live, p, 0.0)
+            return jnp.einsum("bthk,btkl->bthl", p, lat.astype(jnp.float32))
+
+        ch = self._DSA_CHUNK
+        if t <= ch:
+            ctx = chunk_ctx(q_cat, qi, gate, qpos)
+            return ctx[..., :kvl].astype(q_cat.dtype)
+
+        pad = (-t) % ch
+        n = (t + pad) // ch
+
+        def to_chunks(a, fill=0):
+            if pad:
+                widths = [(0, 0), (0, pad)] + [(0, 0)] * (a.ndim - 2)
+                a = jnp.pad(a, widths, constant_values=fill)
+            # [B, n*ch, ...] -> [n, B, ch, ...] for scan
+            a = a.reshape((b, n, ch) + a.shape[2:])
+            return jnp.moveaxis(a, 1, 0)
+
+        # padded queries get qpos -1: every key masks out, live=False
+        # everywhere, ctx rows come back 0 and are sliced off below
+        xs = (to_chunks(q_cat), to_chunks(qi), to_chunks(gate),
+              to_chunks(qpos, fill=-1))
+
+        def body(_, x):
+            return None, chunk_ctx(*x)
+
+        _, ctx = jax.lax.scan(body, None, xs)  # [n, B, ch, Hq, lanes]
+        ctx = jnp.moveaxis(ctx, 0, 1).reshape(
+            (b, n * ch) + ctx.shape[3:])[:, :t]
         return ctx[..., :kvl].astype(q_cat.dtype)  # [B,T,Hq,kvl]
 
     def _dense_mlp(self, w, p, x):

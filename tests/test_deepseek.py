@@ -292,3 +292,46 @@ class TestDSA:
 
         solo = self._engine(ckpt, topk=16)
         assert out == solo.generate([1, 5, 9, 42], gc).output_token_ids
+
+    def test_chunked_sparse_prefill_matches_dense(self, tmp_path):
+        """Prefill windows longer than _DSA_CHUNK run the scanned sparse
+        path; with topk covering the whole context it must match dense
+        EXACTLY (prompt 20 tokens > chunk 8 engages the scan; topk 32 >=
+        every kv_len reached)."""
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.engine import LlmEngine
+        from rtp_llm_tpu.models.deepseek import DeepseekModel
+
+        assert DeepseekModel._DSA_CHUNK < 20
+        cfg = self._cfg(32)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+        prompt = list(range(1, 21))  # 20-token prompt
+        gc = GenerateConfig(max_new_tokens=6, do_sample=False,
+                            ignore_eos=True)
+        # prefill bucket 32 so the whole prompt is one >chunk window
+        cfgs = self._cfg(32)
+        weights = CheckpointLoader(cfgs).load(ckpt)
+        econf = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                      prefill_buckets=(32,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        sparse = LlmEngine(create_model(cfgs), weights, econf)
+        assert sparse.model.use_dsa
+        got = sparse.generate(prompt, gc).output_token_ids
+
+        dense_cfg = tiny_config("deepseek_v3")
+        dense_cfg.dtype = "float32"
+        dweights = CheckpointLoader(dense_cfg).load(ckpt)
+        econf2 = EngineConfig(
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=96,
+                                      prefill_buckets=(32,)),
+        )
+        econf2.quant.kv_cache_dtype = "float32"
+        dense = LlmEngine(create_model(dense_cfg), dweights, econf2)
+        want = dense.generate(prompt, gc).output_token_ids
+        assert got == want
