@@ -46,12 +46,20 @@ class WorkerState:
 class Router:
     def __init__(self, workers: List[str], poll_interval: float = 1.0,
                  tokenizer_path: str = "", cache_weight: float = 4.0,
-                 self_address: str = "", peers: Optional[List[str]] = None):
+                 self_address: str = "", peers: Optional[List[str]] = None,
+                 max_queue: int = 256, queue_timeout: float = 120.0):
         self.workers: Dict[str, WorkerState] = {
             w: WorkerState(w) for w in workers
         }
         self.poll_interval = poll_interval
         self.cache_weight = cache_weight  # score per matched prefix block
+        # request queue (reference: FlexLB QueueManager — requests wait at
+        # the LB while every worker is saturated, instead of piling onto
+        # worker-side semaphores). 0 disables queueing (route regardless).
+        self.max_queue = max_queue
+        self.queue_timeout = queue_timeout
+        self.queued = 0
+        self._capacity = asyncio.Condition()
         self._session: Optional[aiohttp.ClientSession] = None
         # ---- master election (reference: FlexLB master election; the Java
         # LB elects one scheduler owner so load accounting has one brain).
@@ -94,6 +102,9 @@ class Router:
                 *(self._poll(w) for w in self.workers.values()),
                 *(self._poll_peer(p) for p in self.peers),
             )
+            # worker capacity may have risen: wake queued requests
+            async with self._capacity:
+                self._capacity.notify_all()
             await asyncio.sleep(self.poll_interval)
 
     async def _poll_peer(self, addr: str):
@@ -180,10 +191,16 @@ class Router:
                 break
         return n
 
-    def pick(self, prompt_hashes: Optional[list] = None) -> Optional[WorkerState]:
+    def pick(self, prompt_hashes: Optional[list] = None,
+             require_capacity: bool = False) -> Optional[WorkerState]:
         """Cache-aware least-loaded pick (reference: FlexLB RequestScheduler:
-        prefix-cache overlap weighted against load)."""
+        prefix-cache overlap weighted against load). With
+        ``require_capacity`` only workers with spare concurrency qualify
+        (None => queue the request)."""
         alive = [w for w in self.workers.values() if w.alive]
+        if require_capacity:
+            alive = [w for w in alive
+                     if w.available_concurrency - w.inflight > 0]
         if not alive:
             return None
         hashes = prompt_hashes or []
@@ -195,6 +212,41 @@ class Router:
                 - w.waiting,
             ),
         )
+
+    async def _acquire_worker(self, hashes: list) -> Optional[WorkerState]:
+        """Pick a worker, waiting in the LB queue while all are saturated
+        (reference: FlexLB QueueManager). Returns None when no worker is
+        alive; raises 503 when the queue is full or the wait times out."""
+        if self.max_queue <= 0:
+            return self.pick(hashes)
+        w = self.pick(hashes, require_capacity=True)
+        if w is not None:
+            return w
+        if not any(x.alive for x in self.workers.values()):
+            return None
+        if self.queued >= self.max_queue:
+            raise web.HTTPServiceUnavailable(text="router queue full")
+        deadline = asyncio.get_event_loop().time() + self.queue_timeout
+        self.queued += 1
+        try:
+            async with self._capacity:
+                while True:
+                    w = self.pick(hashes, require_capacity=True)
+                    if w is not None:
+                        return w
+                    if not any(x.alive for x in self.workers.values()):
+                        return None
+                    left = deadline - asyncio.get_event_loop().time()
+                    if left <= 0:
+                        raise web.HTTPServiceUnavailable(
+                            text="queued request timed out")
+                    try:
+                        await asyncio.wait_for(self._capacity.wait(), left)
+                    except asyncio.TimeoutError:
+                        raise web.HTTPServiceUnavailable(
+                            text="queued request timed out") from None
+        finally:
+            self.queued -= 1
 
     async def proxy(self, request: web.Request) -> web.StreamResponse:
         body = await request.read()
@@ -211,7 +263,7 @@ class Router:
             self._prompt_hashes(body, request.path)
             if request.path.endswith("completions") else []
         )
-        w = self.pick(hashes)
+        w = await self._acquire_worker(hashes)
         if w is None:
             raise web.HTTPServiceUnavailable(text="no alive workers")
         w.inflight += 1
@@ -233,6 +285,8 @@ class Router:
                 return resp
         finally:
             w.inflight -= 1
+            async with self._capacity:
+                self._capacity.notify(1)  # a slot freed: admit one queued
 
     async def _forward_to_master(self, request: web.Request,
                                  body: bytes) -> web.StreamResponse:
@@ -258,6 +312,7 @@ class Router:
             "self": self.self_address,
             "master": self.master_address or self.self_address,
             "is_master": self.is_master,
+            "queued": self.queued,
             "peers": dict(self.peers),
             "workers": {
                 a: {
@@ -294,12 +349,18 @@ def main():
                    help="this router's host:port (enables master election)")
     p.add_argument("--peers", default="",
                    help="comma-separated peer router host:port list")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="LB-side queued requests while workers saturated "
+                        "(0 disables queueing)")
+    p.add_argument("--queue-timeout", type=float, default=120.0)
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     router = Router(args.workers.split(","), tokenizer_path=args.tokenizer_path,
                     cache_weight=args.cache_weight,
                     self_address=args.self_address,
-                    peers=[p for p in args.peers.split(",") if p])
+                    peers=[p for p in args.peers.split(",") if p],
+                    max_queue=args.max_queue,
+                    queue_timeout=args.queue_timeout)
     web.run_app(router.build_app(), host=args.host, port=args.port, print=None)
 
 

@@ -245,3 +245,101 @@ async def _run_election():
         await c1.close()
         await c2.close()
         await backend.close()
+
+
+def test_queue_manager_holds_until_capacity():
+    """FlexLB QueueManager analog: while every worker is saturated, the
+    request waits at the router and is released when a slot frees; the
+    queue bounds to max_queue (503 beyond)."""
+    asyncio.run(_run_queue())
+
+
+async def _run_queue():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.router import Router
+
+    gate = asyncio.Event()
+
+    async def worker_status(request):
+        return web.json_response({
+            "alive": True, "available_concurrency": 1,
+            "running_query_len": 0, "waiting_query_len": 0,
+        })
+
+    async def slow_echo(request):
+        await gate.wait()
+        return web.json_response({"ok": True})
+
+    app = web.Application()
+    app.router.add_get("/worker_status", worker_status)
+    app.router.add_post("/v1/completions", slow_echo)
+    backend = TestServer(app)
+    await backend.start_server()
+    addr = f"127.0.0.1:{backend.port}"
+
+    router = Router([addr], poll_interval=0.1, max_queue=1,
+                    queue_timeout=5.0)
+    rt = TestServer(web.Application())
+    rapp = router.build_app()
+    rt = TestServer(rapp)
+    client = TestClient(rt)
+    await client.start_server()
+    await asyncio.sleep(0.3)  # first poll marks the worker alive
+
+    async def post():
+        return await client.post("/v1/completions", json={"prompt": "x"})
+
+    t1 = asyncio.create_task(post())   # takes the only slot
+    await asyncio.sleep(0.2)
+    t2 = asyncio.create_task(post())   # queued (capacity exhausted)
+    await asyncio.sleep(0.2)
+    assert router.queued == 1
+    # queue full: third request rejected immediately
+    r3 = await post()
+    assert r3.status == 503
+    assert "queue full" in await r3.text()
+
+    gate.set()  # finish the in-flight request -> queued one admitted
+    r1 = await t1
+    r2 = await t2
+    assert r1.status == 200 and r2.status == 200
+    assert router.queued == 0
+
+    await client.close()
+    await backend.close()
+
+
+def test_queue_timeout_503():
+    asyncio.run(_run_queue_timeout())
+
+
+async def _run_queue_timeout():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.router import Router
+
+    async def worker_status(request):
+        return web.json_response({
+            "alive": True, "available_concurrency": 0,
+            "running_query_len": 4, "waiting_query_len": 2,
+        })
+
+    app = web.Application()
+    app.router.add_get("/worker_status", worker_status)
+    backend = TestServer(app)
+    await backend.start_server()
+    addr = f"127.0.0.1:{backend.port}"
+
+    router = Router([addr], poll_interval=0.1, max_queue=4,
+                    queue_timeout=0.5)
+    client = TestClient(TestServer(router.build_app()))
+    await client.start_server()
+    await asyncio.sleep(0.3)
+
+    r = await client.post("/v1/completions", json={"prompt": "x"})
+    assert r.status == 503
+    assert "timed out" in await r.text()
+
+    await client.close()
+    await backend.close()
