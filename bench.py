@@ -59,7 +59,7 @@ def build_device_weights(cfg, quant, mesh=None):
     from rtp_llm_tpu.loader.fake_checkpoint import _hf_shape
     from rtp_llm_tpu.loader.weight_maps import get_weight_specs
 
-    quantize_int8 = quant in ("int8", "int4", "fp4")
+    quantize_int8 = quant in ("int8", "int4", "fp4", "w8a8", "w4a8")
     group = 128  # int4 groupwise scale granularity
     fp4_group = 32  # e2m1 group granularity (quant/weight_only.FP4_GROUP)
     plan = []  # (name, full_shape, kind)
@@ -79,13 +79,13 @@ def build_device_weights(cfg, quant, mesh=None):
             and spec.name != "lm_head"
         )
         kind = "int8" if is_mm else ("ones" if spec.name.endswith("_norm") else "bf16")
-        plan.append((spec.name, full, kind))
+        plan.append((spec.name, full, kind, spec.shard_axis))
 
     @jax.jit
     def mk_all():
         key = jax.random.PRNGKey(0)
         out = {}
-        for name, full, kind in plan:
+        for name, full, kind, axis in plan:
             key, sub = jax.random.split(key)
             if kind == "int8" and quant == "fp4":
                 # packed e2m1 codes (2 adjacent out cols/byte) + group scales
@@ -96,7 +96,7 @@ def build_device_weights(cfg, quant, mesh=None):
                     full[:-2] + (full[-2] // fp4_group, full[-1]), 4e-3,
                     jnp.float32)
                 out[name + ".fp4"] = jnp.ones((), jnp.bool_)
-            elif kind == "int8" and quant == "int4":
+            elif kind == "int8" and quant in ("int4", "w4a8"):
                 # packed s4 groupwise weights: native int4 dtype halves the
                 # HBM bytes of int8 (quant/weight_only.py packed path)
                 out[name] = jax.random.randint(
@@ -104,11 +104,15 @@ def build_device_weights(cfg, quant, mesh=None):
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-2] // group, full[-1]), 4e-4,
                     jnp.float32)
+                if quant == "w4a8" and axis != "expert":
+                    out[name + ".w4a8"] = jnp.ones((), jnp.bool_)
             elif kind == "int8":
                 out[name] = jax.random.randint(sub, full, -127, 128, jnp.int8)
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-1],), 2e-4, jnp.float32
                 )
+                if quant == "w8a8" and axis != "expert":
+                    out[name + ".w8a8"] = jnp.ones((), jnp.bool_)
             elif kind == "ones":
                 out[name] = jnp.ones(full, jnp.bfloat16)
             else:
@@ -122,7 +126,7 @@ def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8",
-                   choices=["int8", "int4", "fp4", "bf16"])
+                   choices=["int8", "int4", "fp4", "bf16", "w8a8", "w4a8"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
@@ -230,7 +234,8 @@ def main():
     decode_tps = args.batch * n_tok_steps / decode_time
 
     # roofline for vs_baseline
-    bpe = {"int8": 1.0, "int4": 0.5, "fp4": 0.5, "bf16": 2.0}[args.quant]
+    bpe = {"int8": 1.0, "int4": 0.5, "fp4": 0.5, "bf16": 2.0,
+           "w8a8": 1.0, "w4a8": 0.5}[args.quant]
     h, inter, L = mc.hidden_size, mc.intermediate_size, mc.num_layers
     attn_bytes = (h * (mc.num_attention_heads + 2 * mc.num_kv_heads)
                   * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe

@@ -24,6 +24,9 @@ class QuantMethod(str, enum.Enum):
     FP8 = "fp8"  # fp8 (e4m3) weights, per-tensor or per-block scales
     FP4 = "fp4"  # e2m1 groupwise weights, packed 2/byte (ModelOptFP4 /
     #              QuarkMXFP4 analogs, QuantInfo.h:6-19)
+    W8A8 = "w8a8"  # int8 weights x per-token int8 activations (SmoothQuant/
+    #                PerTensorQuant analog via dynamic per-token scales —
+    #                integer MXU contraction doubles compute-bound prefill)
     W4A8 = "w4a8"  # int4 weights x per-token int8 activations (integer MXU
     #                contraction; W4A8INT4PTPC analog)
 

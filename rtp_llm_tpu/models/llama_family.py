@@ -183,13 +183,17 @@ class LlamaFamilyModel:
                 return
             have_fp4 = [f"{n}.fp4" in w for n in names]
             have_w4a8 = [f"{n}.w4a8" in w for n in names]
-            if len(set(have_fp4)) != 1 or len(set(have_w4a8)) != 1:
+            have_w8a8 = [f"{n}.w8a8" in w for n in names]
+            if (len(set(have_fp4)) != 1 or len(set(have_w4a8)) != 1
+                    or len(set(have_w8a8)) != 1):
                 return
             w[out_name] = jnp.concatenate(parts, axis=-1)
             if have_fp4[0]:
                 w[f"{out_name}.fp4"] = w[f"{names[0]}.fp4"]
             if have_w4a8[0]:
                 w[f"{out_name}.w4a8"] = w[f"{names[0]}.w4a8"]
+            if have_w8a8[0]:
+                w[f"{out_name}.w8a8"] = w[f"{names[0]}.w8a8"]
             if have_scale[0]:
                 w[f"{out_name}.scale"] = jnp.concatenate(scales, axis=-1)
             if have_zero[0]:
@@ -204,7 +208,8 @@ class LlamaFamilyModel:
                 for b in bias_names:
                     del w[b]
             for n in names:
-                for suf in ("", ".scale", ".zero", ".bias", ".fp4", ".w4a8"):
+                for suf in ("", ".scale", ".zero", ".bias", ".fp4", ".w4a8",
+                            ".w8a8"):
                     w.pop(n + suf, None)
 
         fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj",
@@ -224,6 +229,9 @@ class LlamaFamilyModel:
             if "qkv_proj.w4a8" in w:
                 mark = w.pop("qkv_proj.w4a8")
                 w["q_proj.w4a8"] = w["k_proj.w4a8"] = w["v_proj.w4a8"] = mark
+            if "qkv_proj.w8a8" in w:
+                mark = w.pop("qkv_proj.w8a8")
+                w["q_proj.w8a8"] = w["k_proj.w8a8"] = w["v_proj.w8a8"] = mark
             fp4 = "qkv_proj.fp4" in w  # packed 2 out-cols/byte: half bounds
             for suf in ("", ".scale", ".zero", ".bias"):
                 if "qkv_proj" + suf in w:
@@ -253,6 +261,9 @@ class LlamaFamilyModel:
             if "gate_up_proj.w4a8" in w:
                 mark = w.pop("gate_up_proj.w4a8")
                 w["gate_proj.w4a8"] = w["up_proj.w4a8"] = mark
+            if "gate_up_proj.w8a8" in w:
+                mark = w.pop("gate_up_proj.w8a8")
+                w["gate_proj.w8a8"] = w["up_proj.w8a8"] = mark
         return w
 
     # ---- cache ----
@@ -460,6 +471,10 @@ class LlamaFamilyModel:
             from rtp_llm_tpu.quant.weight_only import w4a8_matmul
 
             y = w4a8_matmul(xq, W, s[i])
+        elif name + ".w8a8" in w:  # integer-contraction W8A8 (SmoothQuant)
+            from rtp_llm_tpu.quant.weight_only import w8a8_matmul
+
+            y = w8a8_matmul(xq, W, s[i])
         else:
             y = quantized_matmul(
                 xq, W, None if s is None else s[i],

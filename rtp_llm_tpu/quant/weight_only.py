@@ -158,6 +158,20 @@ def w4a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
     return (y * xs.astype(jnp.float32)).astype(x.dtype)
 
 
+def w8a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
+                scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8: per-token int8 activations x per-out-channel int8 weights,
+    int32-accumulated (SmoothQuant / PerTensorQuant analog,
+    QuantInfo.h:6-19 — the calibrated smoother folds into the checkpoint;
+    runtime scales are dynamic per token). One ungrouped s8 x s8 einsum:
+    both scales factor out of the contraction."""
+    xq, xs = quantize_activations_per_token(x)
+    part = jnp.einsum("...k,kn->...n", xq, w.astype(jnp.int8),
+                      preferred_element_type=jnp.int32)
+    y = part.astype(jnp.float32) * scale.astype(jnp.float32)
+    return (y * xs.astype(jnp.float32)).astype(x.dtype)
+
+
 # ---- FP4 (e2m1) groupwise --------------------------------------------------
 # Reference analogs: QuantMethod ModelOptFP4 (e2m1 + per-16-group fp8 scales)
 # and QuarkMXFP4 (e2m1 + per-32-group e8m0 scales), QuantInfo.h:6-19.
@@ -264,9 +278,15 @@ def make_quant_transform(quant: QuantConfig):
         )
         if not quantize:
             return {"": arr.astype(jnp.bfloat16)}
-        if quant.method == QuantMethod.WEIGHT_ONLY_INT8:
+        if quant.method in (QuantMethod.WEIGHT_ONLY_INT8, QuantMethod.W8A8):
             q, s = int8_quantize(np.asarray(arr, np.float32))
-            return {"": q, ".scale": s}
+            out = {"": q, ".scale": s}
+            if (quant.method == QuantMethod.W8A8
+                    and spec.shard_axis != "expert"):
+                # routed experts run the batched capacity path (weight-only
+                # int8 there); everything else contracts in integers
+                out[".w8a8"] = np.ones((), np.bool_)
+            return out
         if quant.method in (QuantMethod.WEIGHT_ONLY_INT4, QuantMethod.W4A8):
             k = arr.shape[-2]
             if k % quant.group_size != 0:

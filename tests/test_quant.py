@@ -329,3 +329,60 @@ class TestW4A8:
         # random weights flip later tokens easily — require first-token
         # agreement (the matmul itself is verified exactly above)
         assert len(got) == 5 and got[:1] == base[:1]
+
+
+class TestW8A8:
+    """W8A8 (reference: SmoothQuant/PerTensorQuant, QuantInfo.h:6-19):
+    per-out-channel int8 weights x per-token int8 activations, integer
+    contraction with dynamic runtime scales."""
+
+    def test_matmul_matches_dequant(self):
+        from rtp_llm_tpu.quant.weight_only import (
+            int8_quantize, quantize_activations_per_token, w8a8_matmul,
+        )
+
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((64, 48)).astype(np.float32)
+        q, s = int8_quantize(w)
+        x = rng.standard_normal((5, 64)).astype(np.float32)
+        got = np.asarray(w8a8_matmul(jnp.asarray(x), jnp.asarray(q),
+                                     jnp.asarray(s)))
+        xq, xs = quantize_activations_per_token(jnp.asarray(x))
+        wq = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+        want = (np.asarray(xq, np.float32) @ wq) * np.asarray(xs)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        full = x @ wq
+        assert np.abs(got - full).max() < np.abs(full).max() * 0.05
+
+    def test_w8a8_model_generates(self, tmp_path):
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.engine import LlmEngine
+
+        cfg = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+        ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+        def eng(method):
+            c = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+            c.dtype = "float32"
+            transform = (make_quant_transform(
+                QuantConfig(method=method, group_size=32)) if method else None)
+            weights = CheckpointLoader(c, transform=transform).load(ckpt)
+            if method == "w8a8":
+                assert "q_proj.w8a8" in weights
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(c), weights, econf)
+
+        gc = GenerateConfig(max_new_tokens=5, do_sample=False, ignore_eos=True)
+        e = eng("w8a8")
+        assert "qkv_proj.w8a8" in e.weights  # fusion carries the marker
+        base = eng(None).generate([1, 5, 9], gc).output_token_ids
+        got = e.generate([1, 5, 9], gc).output_token_ids
+        assert got[0] == base[0]
