@@ -116,8 +116,10 @@ def main():
     configs = [
         ("bf16 (baseline)", "none", "bfloat16"),
         ("int8 weight-only", "int8", "bfloat16"),
+        ("w8a8 (per-token act s8)", "w8a8", "bfloat16"),
         ("int4 groupwise (g=64)", "int4", "bfloat16"),
         ("fp4 e2m1 (g=32)", "fp4", "bfloat16"),
+        ("w4a8 (int4 w x s8 act)", "w4a8", "bfloat16"),
         ("int8 + int8 KV", "int8", "int8"),
         ("int8 + fp8 KV", "int8", "fp8"),
     ]
