@@ -613,6 +613,11 @@ class ModelConfig:
                 "group_size": qc.get("group_size", 128),
                 "desc_act": qc.get("desc_act", False),
             }
+        elif qc and qc.get("quant_method") in (
+                "smooth_quant", "smoothquant", "omni_quant", "omniquant"):
+            # pre-quantized W8A8 checkpoints (reference:
+            # model_loader/smooth_quant_weight.py, omni_quant_weight.py)
+            cfg.quantization = {"method": qc.get("quant_method")}
         sw = hf.get("sliding_window")
         if sw and hf.get("use_sliding_window", False):
             cfg.sliding_window = int(sw)

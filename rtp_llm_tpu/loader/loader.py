@@ -273,6 +273,10 @@ class CheckpointLoader:
                 for suffix, arr in self._assemble_packed(spec, src, entries).items():
                     weights[spec.name + suffix] = self._place(spec, arr)
                 continue
+            if self._is_w8a8_ckpt(spec, available, entries):
+                for suffix, arr in self._assemble_w8a8(spec, src, entries).items():
+                    weights[spec.name + suffix] = self._place(spec, arr)
+                continue
             missing = [n for (_, _, n) in entries if n not in available]
             if missing:
                 if spec.optional:
@@ -346,6 +350,60 @@ class CheckpointLoader:
                 for i, p in enumerate(perms)
             ]
             out[".act_perm"] = stack(perms)
+        return out
+
+    # ---- pre-quantized SmoothQuant / OmniQuant checkpoints (reference:
+    # model_loader/smooth_quant_weight.py + omni_quant_weight.py — tensor
+    # suffixes .qweight/.scales/.smoother/.shift) ----
+
+    def _is_w8a8_ckpt(self, spec: WeightSpec, available, entries) -> bool:
+        q = self.cfg.quantization
+        if not q or q.get("method") not in (
+                "smooth_quant", "smoothquant", "omni_quant", "omniquant"):
+            return False
+        if spec.shard_axis not in ("out", "in", "expert"):
+            return False
+        first = entries[0][2]
+        return first.endswith(".weight") and (
+            first[: -len(".weight")] + ".qweight" in available
+        )
+
+    def _assemble_w8a8(self, spec: WeightSpec, src: _TensorSource,
+                       entries) -> dict:
+        """{base}.qweight i8 (same orientation as {base}.weight),
+        {base}.scales per-out f32, optional {base}.smoother / {base}.shift
+        per-in f32. The smoothing already multiplied into the weights at
+        calibration; runtime applies x' = (x - shift) / smoother before
+        the integer contraction (smooth_quant_weight.py:39, OmniQuant adds
+        the shift, omni_quant_weight.py:35)."""
+        avail = set(src.names())
+        vals, scales, smooths, shifts = [], [], [], []
+        for (_l, _e, name) in entries:
+            base = name[: -len(".weight")]
+            qw = np.asarray(src.get(base + ".qweight")).astype(np.int8)
+            if spec.transpose:
+                qw = np.swapaxes(qw, -1, -2)  # -> [in, out]
+            sc = np.asarray(src.get(base + ".scales"),
+                            np.float32).reshape(-1)
+            vals.append(qw)
+            scales.append(sc)
+            smooths.append(
+                np.asarray(src.get(base + ".smoother"), np.float32).reshape(-1)
+                if base + ".smoother" in avail else None)
+            shifts.append(
+                np.asarray(src.get(base + ".shift"), np.float32).reshape(-1)
+                if base + ".shift" in avail else None)
+        stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
+        out = {"": stack(vals), ".scale": stack(scales),
+               ".w8a8": np.ones((), np.bool_)}
+        if any(s is not None for s in smooths):
+            out[".smoother"] = stack([
+                s if s is not None else np.ones(vals[i].shape[-2], np.float32)
+                for i, s in enumerate(smooths)])
+        if any(s is not None for s in shifts):
+            out[".shift"] = stack([
+                s if s is not None else np.zeros(vals[i].shape[-2], np.float32)
+                for i, s in enumerate(shifts)])
         return out
 
     def _assemble(self, spec: WeightSpec, src: _TensorSource, entries) -> np.ndarray:

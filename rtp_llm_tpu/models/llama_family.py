@@ -187,6 +187,17 @@ class LlamaFamilyModel:
             if (len(set(have_fp4)) != 1 or len(set(have_w4a8)) != 1
                     or len(set(have_w8a8)) != 1):
                 return
+            for suf in (".smoother", ".shift"):
+                if len({f"{n}{suf}" in w for n in names}) != 1:
+                    return
+                if f"{names[0]}{suf}" in w:
+                    import numpy as _np
+
+                    first = _np.asarray(w[f"{names[0]}{suf}"])
+                    if any(not _np.array_equal(
+                            first, _np.asarray(w[f"{n}{suf}"]))
+                            for n in names[1:]):
+                        return  # differing per-input vectors: cannot fuse
             w[out_name] = jnp.concatenate(parts, axis=-1)
             if have_fp4[0]:
                 w[f"{out_name}.fp4"] = w[f"{names[0]}.fp4"]
@@ -194,6 +205,11 @@ class LlamaFamilyModel:
                 w[f"{out_name}.w4a8"] = w[f"{names[0]}.w4a8"]
             if have_w8a8[0]:
                 w[f"{out_name}.w8a8"] = w[f"{names[0]}.w8a8"]
+            # smoother/shift are per-IN-channel and the fused tensors share
+            # one input: q/k/v (and gate/up) carry identical vectors
+            for suf in (".smoother", ".shift"):
+                if f"{names[0]}{suf}" in w:
+                    w[f"{out_name}{suf}"] = w[f"{names[0]}{suf}"]
             if have_scale[0]:
                 w[f"{out_name}.scale"] = jnp.concatenate(scales, axis=-1)
             if have_zero[0]:
@@ -209,7 +225,7 @@ class LlamaFamilyModel:
                     del w[b]
             for n in names:
                 for suf in ("", ".scale", ".zero", ".bias", ".fp4", ".w4a8",
-                            ".w8a8"):
+                            ".w8a8", ".smoother", ".shift"):
                     w.pop(n + suf, None)
 
         fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj",
@@ -232,6 +248,11 @@ class LlamaFamilyModel:
             if "qkv_proj.w8a8" in w:
                 mark = w.pop("qkv_proj.w8a8")
                 w["q_proj.w8a8"] = w["k_proj.w8a8"] = w["v_proj.w8a8"] = mark
+            for suf in (".smoother", ".shift"):  # per-IN: duplicate
+                if "qkv_proj" + suf in w:
+                    v0 = w.pop("qkv_proj" + suf)
+                    w["q_proj" + suf] = w["k_proj" + suf] = \
+                        w["v_proj" + suf] = v0
             fp4 = "qkv_proj.fp4" in w  # packed 2 out-cols/byte: half bounds
             for suf in ("", ".scale", ".zero", ".bias"):
                 if "qkv_proj" + suf in w:
@@ -264,6 +285,10 @@ class LlamaFamilyModel:
             if "gate_up_proj.w8a8" in w:
                 mark = w.pop("gate_up_proj.w8a8")
                 w["gate_proj.w8a8"] = w["up_proj.w8a8"] = mark
+            for suf in (".smoother", ".shift"):
+                if "gate_up_proj" + suf in w:
+                    v0 = w.pop("gate_up_proj" + suf)
+                    w["gate_proj" + suf] = w["up_proj" + suf] = v0
         return w
 
     # ---- cache ----
@@ -463,6 +488,15 @@ class LlamaFamilyModel:
         P = w.get(name + ".act_perm")
         # GPTQ act-order: weight rows are group-sorted; gather x to match
         xq = x if P is None else jnp.take(x, P[i], axis=-1)
+        # SmoothQuant/OmniQuant: calibration multiplied the smoother into
+        # the weights; runtime divides it (and subtracts OmniQuant's shift)
+        # out of the activations (smooth_quant_weight.py:39)
+        sh = w.get(name + ".shift")
+        if sh is not None:
+            xq = xq - sh[i].astype(xq.dtype)
+        sm = w.get(name + ".smoother")
+        if sm is not None:
+            xq = xq / sm[i].astype(xq.dtype)
         if name + ".fp4" in w:  # packed e2m1 codes (quant/weight_only.py)
             from rtp_llm_tpu.quant.weight_only import fp4_matmul
 

@@ -386,3 +386,111 @@ class TestW8A8:
         base = eng(None).generate([1, 5, 9], gc).output_token_ids
         got = e.generate([1, 5, 9], gc).output_token_ids
         assert got[0] == base[0]
+
+
+class TestSmoothQuantCheckpoint:
+    """Pre-quantized SmoothQuant/OmniQuant checkpoints (reference:
+    model_loader/smooth_quant_weight.py .qweight/.scales/.smoother,
+    omni_quant_weight.py adds .shift): load to int8 + w8a8 marker +
+    runtime smoother division."""
+
+    def _make_sq_ckpt(self, tmp_path, with_shift=False):
+        import json
+
+        import safetensors.numpy as st
+
+        from rtp_llm_tpu.loader.fake_checkpoint import (
+            tiny_config, write_fake_checkpoint,
+        )
+
+        cfg = tiny_config("qwen2", hidden_size=64, intermediate_size=128)
+        base_dir = str(tmp_path / "base")
+        write_fake_checkpoint(base_dir, cfg)
+        tensors = st.load_file(f"{base_dir}/model.safetensors")
+
+        out = {}
+        rng = np.random.default_rng(7)
+        for name, arr in tensors.items():
+            is_linear = (name.endswith(".weight") and arr.ndim == 2
+                         and "norm" not in name and "embed" not in name
+                         and "lm_head" not in name)
+            if not is_linear:
+                out[name] = arr
+                continue
+            base = name[: -len(".weight")]
+            w = arr.astype(np.float32)  # [out, in]
+            # tensors sharing an input (q/k/v; gate/up) share one smoother
+            # — that is what activation smoothing means
+            group = (base.rsplit(".", 1)[0]
+                     + {"q_proj": "qkv", "k_proj": "qkv", "v_proj": "qkv",
+                        "gate_proj": "gu", "up_proj": "gu"}.get(
+                         base.rsplit(".", 1)[1], base))
+            if not hasattr(self, "_smoothers"):
+                self._smoothers = {}
+            key = (group, w.shape[1])
+            if key not in self._smoothers:
+                self._smoothers[key] = rng.uniform(
+                    0.5, 2.0, size=w.shape[1]).astype(np.float32)
+            smoother = self._smoothers[key]
+            shift = (rng.standard_normal(w.shape[1]).astype(np.float32) * 0.01
+                     if with_shift else None)
+            # calibration: W' = W * smoother[in]; (x - shift)/smoother @ W'
+            # == x @ W - shift @ W (shift folds into bias; tiny shift keeps
+            # the test's first-token tolerance)
+            ws = w * smoother[None, :]
+            amax = np.abs(ws).max(axis=1, keepdims=True)
+            scales = (np.maximum(amax, 1e-8) / 127.0).astype(np.float32)
+            out[base + ".qweight"] = np.clip(
+                np.round(ws / scales), -127, 127).astype(np.int8)
+            out[base + ".scales"] = scales.reshape(-1)
+            out[base + ".smoother"] = smoother
+            if shift is not None:
+                out[base + ".shift"] = shift
+        sq_dir = str(tmp_path / "sq")
+        import os
+
+        os.makedirs(sq_dir, exist_ok=True)
+        st.save_file(out, f"{sq_dir}/model.safetensors")
+        hf = json.load(open(f"{base_dir}/config.json"))
+        hf["quantization_config"] = {"quant_method": "smooth_quant"}
+        json.dump(hf, open(f"{sq_dir}/config.json", "w"))
+        for extra in ("tokenizer.json", "tokenizer_config.json"):
+            src = f"{base_dir}/{extra}"
+            if os.path.exists(src):
+                import shutil
+
+                shutil.copy(src, f"{sq_dir}/{extra}")
+        return base_dir, sq_dir
+
+    def test_load_and_generate(self, tmp_path):
+        from rtp_llm_tpu.config.engine_config import (
+            CacheConfig, EngineConfig, SchedulerConfig,
+        )
+        from rtp_llm_tpu.config.generate_config import GenerateConfig
+        from rtp_llm_tpu.config.model_config import ModelConfig
+        from rtp_llm_tpu.engine import LlmEngine
+
+        base_dir, sq_dir = self._make_sq_ckpt(tmp_path)
+
+        def eng(path):
+            c = ModelConfig.from_pretrained(path)
+            c.dtype = "float32"
+            weights = CheckpointLoader(c).load(path)
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)),
+            )
+            econf.quant.kv_cache_dtype = "float32"
+            return LlmEngine(create_model(c), weights, econf)
+
+        e = eng(sq_dir)
+        assert ("qkv_proj.w8a8" in e.weights
+                or "q_proj.w8a8" in e.weights)
+        assert ("qkv_proj.smoother" in e.weights
+                or "q_proj.smoother" in e.weights)
+        gc = GenerateConfig(max_new_tokens=5, do_sample=False,
+                            ignore_eos=True)
+        got = e.generate([1, 5, 9], gc).output_token_ids
+        want = eng(base_dir).generate([1, 5, 9], gc).output_token_ids
+        assert got[0] == want[0]
