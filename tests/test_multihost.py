@@ -133,6 +133,10 @@ def test_two_process_gang_and_lockstep(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_PLATFORMS", None)
+    # `python /tmp/.../worker.py` puts the script's dir (not cwd) on
+    # sys.path, so the repo package must come in via PYTHONPATH
+    env["PYTHONPATH"] = "/root/repo" + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(i), coord, ckpt],
