@@ -87,20 +87,30 @@ def build_device_weights(cfg, quant, mesh=None):
         out = {}
         for name, full, kind, axis in plan:
             key, sub = jax.random.split(key)
-            if kind == "int8" and quant == "fp4":
-                # packed e2m1 codes (2 adjacent out cols/byte) + group scales
+            if kind == "int8" and quant == "fp4" and axis != "expert":
+                # split-half packed e2m1 codes (ops/quant_gemm layout:
+                # u8 [in/2, out]) + per-32-group scales
                 out[name] = jax.random.randint(
-                    sub, full[:-1] + (full[-1] // 2,), 0, 256,
+                    sub, full[:-2] + (full[-2] // 2, full[-1]), 0, 256,
                     jnp.int32).astype(jnp.uint8)
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-2] // fp4_group, full[-1]), 4e-3,
                     jnp.float32)
                 out[name + ".fp4"] = jnp.ones((), jnp.bool_)
-            elif kind == "int8" and quant in ("int4", "w4a8"):
-                # packed s4 groupwise weights: native int4 dtype halves the
-                # HBM bytes of int8 (quant/weight_only.py packed path)
+            elif kind == "int8" and quant == "int4" and axis != "expert":
+                # split-half packed s4 groupwise weights (u8 [in/2, out],
+                # Pallas dequant-GEMM reads 0.5 B/elem)
                 out[name] = jax.random.randint(
-                    sub, full, -7, 8, jnp.int8).astype(jnp.int4)
+                    sub, full[:-2] + (full[-2] // 2, full[-1]), 0, 256,
+                    jnp.int32).astype(jnp.uint8)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-2] // group, full[-1]), 4e-4,
+                    jnp.float32)
+                out[name + ".int4p"] = jnp.ones((), jnp.bool_)
+            elif kind == "int8" and quant in ("int4", "fp4", "w4a8"):
+                # experts + w4a8 integer contraction: unpacked int8 values
+                # with groupwise scales
+                out[name] = jax.random.randint(sub, full, -7, 8, jnp.int8)
                 out[name + ".scale"] = jnp.full(
                     full[:-2] + (full[-2] // group, full[-1]), 4e-4,
                     jnp.float32)

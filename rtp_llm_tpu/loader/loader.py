@@ -332,16 +332,26 @@ class CheckpointLoader:
             zeros.append(z)
             perms.append(perm)
         stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
-        from rtp_llm_tpu.quant.weight_only import INT4_PACKED, to_int4
+        from rtp_llm_tpu.ops.quant_gemm import pack_split_half
+        from rtp_llm_tpu.quant.weight_only import INT4_PACKED
 
         v_all, z_all = stack(vals), stack(zeros)
-        if INT4_PACKED:
+        s_all = stack(scales)
+        k_rows = v_all.shape[-2]
+        g_rows = s_all.shape[-2]
+        packable = (INT4_PACKED and spec.shard_axis != "expert"
+                    and k_rows % 2 == 0 and g_rows % 2 == 0
+                    and k_rows % (2 * (k_rows // g_rows)) == 0)
+        if packable:
             # shift unsigned [0,15] values and zero points by -8 into the s4
             # range; (q - z) * s is shift-invariant so the dequant math is
-            # unchanged while HBM stores 2 values/byte
-            v_all = to_int4(v_all.astype(np.int16) - 8)
+            # unchanged while HBM stores 2 values/byte (split-half nibble
+            # packing consumed by the Pallas dequant-GEMM, ops/quant_gemm.py)
+            v_all = pack_split_half(v_all.astype(np.int16) - 8)
             z_all = (z_all.astype(np.float32) - 8.0)
-        out = {"": v_all, ".scale": stack(scales), ".zero": z_all}
+        out = {"": v_all, ".scale": s_all, ".zero": z_all}
+        if packable:
+            out[".int4p"] = np.ones((), np.bool_)
         if any(p is not None for p in perms):
             # act-order: identity perm for layers that happened to be monotonic
             perms = [

@@ -106,6 +106,13 @@ class DeepseekModel:
         W = w[name][i]
         s = w.get(name + ".scale")
         z = w.get(name + ".zero")
+        if name + ".int4p" in w or name + ".fp4" in w:
+            from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
+
+            return groupwise_matmul_packed(
+                x, W, s[i],
+                code="e2m1" if name + ".fp4" in w else "s4",
+                zero=None if z is None else z[i])
         return quantized_matmul(
             x, W, None if s is None else s[i], None if z is None else z[i]
         )

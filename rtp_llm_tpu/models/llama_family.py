@@ -182,10 +182,11 @@ class LlamaFamilyModel:
             if len(set(have_bias)) != 1:
                 return
             have_fp4 = [f"{n}.fp4" in w for n in names]
+            have_int4p = [f"{n}.int4p" in w for n in names]
             have_w4a8 = [f"{n}.w4a8" in w for n in names]
             have_w8a8 = [f"{n}.w8a8" in w for n in names]
-            if (len(set(have_fp4)) != 1 or len(set(have_w4a8)) != 1
-                    or len(set(have_w8a8)) != 1):
+            if (len(set(have_fp4)) != 1 or len(set(have_int4p)) != 1
+                    or len(set(have_w4a8)) != 1 or len(set(have_w8a8)) != 1):
                 return
             for suf in (".smoother", ".shift"):
                 if len({f"{n}{suf}" in w for n in names}) != 1:
@@ -201,6 +202,8 @@ class LlamaFamilyModel:
             w[out_name] = jnp.concatenate(parts, axis=-1)
             if have_fp4[0]:
                 w[f"{out_name}.fp4"] = w[f"{names[0]}.fp4"]
+            if have_int4p[0]:
+                w[f"{out_name}.int4p"] = w[f"{names[0]}.int4p"]
             if have_w4a8[0]:
                 w[f"{out_name}.w4a8"] = w[f"{names[0]}.w4a8"]
             if have_w8a8[0]:
@@ -224,8 +227,8 @@ class LlamaFamilyModel:
                 for b in bias_names:
                     del w[b]
             for n in names:
-                for suf in ("", ".scale", ".zero", ".bias", ".fp4", ".w4a8",
-                            ".w8a8", ".smoother", ".shift"):
+                for suf in ("", ".scale", ".zero", ".bias", ".fp4", ".int4p",
+                            ".w4a8", ".w8a8", ".smoother", ".shift"):
                     w.pop(n + suf, None)
 
         fuse(("q_proj", "k_proj", "v_proj"), "qkv_proj",
@@ -253,19 +256,21 @@ class LlamaFamilyModel:
                     v0 = w.pop("qkv_proj" + suf)
                     w["q_proj" + suf] = w["k_proj" + suf] = \
                         w["v_proj" + suf] = v0
-            fp4 = "qkv_proj.fp4" in w  # packed 2 out-cols/byte: half bounds
+            # split-half nibble packing keeps the out dim un-packed, so
+            # out-axis splits need no bound adjustment for fp4/int4p
             for suf in ("", ".scale", ".zero", ".bias"):
                 if "qkv_proj" + suf in w:
-                    div = 2 if (fp4 and suf == "") else 1
-                    bounds = (hq * d // div, (hq + hkv) * d // div)
+                    bounds = (hq * d, (hq + hkv) * d)
                     q, k, v = jnp.split(w.pop("qkv_proj" + suf), bounds,
                                         axis=-1)
                     w["q_proj" + suf] = q
                     w["k_proj" + suf] = k
                     w["v_proj" + suf] = v
-            if fp4:
-                mark = w.pop("qkv_proj.fp4")
-                w["q_proj.fp4"] = w["k_proj.fp4"] = w["v_proj.fp4"] = mark
+            for mk in (".fp4", ".int4p"):
+                if "qkv_proj" + mk in w:
+                    mark = w.pop("qkv_proj" + mk)
+                    w["q_proj" + mk] = w["k_proj" + mk] = \
+                        w["v_proj" + mk] = mark
         if "qkv_bias" in w:
             q, k, v = jnp.split(w.pop("qkv_bias"),
                                 (hq * d, (hq + hkv) * d), axis=-1)
@@ -501,6 +506,12 @@ class LlamaFamilyModel:
             from rtp_llm_tpu.quant.weight_only import fp4_matmul
 
             y = fp4_matmul(xq, W, s[i])
+        elif name + ".int4p" in w:  # split-half packed s4 (ops/quant_gemm)
+            from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
+
+            y = groupwise_matmul_packed(
+                xq, W, s[i], code="s4",
+                zero=None if z is None else z[i])
         elif name + ".w4a8" in w:  # integer-contraction W4A8
             from rtp_llm_tpu.quant.weight_only import w4a8_matmul
 

@@ -1,0 +1,238 @@
+"""Groupwise dequant-GEMM over nibble-packed weights (Pallas, TPU).
+
+Reference analogs: cutlass int4 groupwise GEMMs consumed via
+`model_loader/group_wise_quant_weight.py` (GPTQ/AWQ) and the ModelOptFP4 /
+QuarkMXFP4 e2m1 paths (`rtp_llm/cpp/model_utils/QuantInfo.h:6-19`).
+
+Why this kernel exists (measured on TPU v5e, 2026-08):
+  * Packed `s4` jax arrays cannot cross the jit boundary on the tunneled
+    platform (device_put of an S4 buffer fails), so "native int4 dtype"
+    storage is not serviceable on hardware.
+  * The XLA formulation `einsum("...gk,gkn,gn->...n", x, w.astype(bf16), s)`
+    materializes the dequantized bf16 weights, and inside the K-step decode
+    `lax.scan` XLA hoists them out of the loop as invariants: a Qwen2-7B
+    warmup compile allocates ~14 GB of bf16 weights and OOMs 16 GB HBM
+    (micro: 2.63 GB temp and 1321 ms vs 0.22 GB / 70 ms for 4 layers x 8
+    steps of [64,4096]x[4096,14336]).
+  * The 2-step split (partial sums per group, then scale) avoids the hoist
+    but writes [B, K/G, N] f32 partials — ~470 MB of HBM traffic per matmul
+    at decode geometry.
+  * This kernel reads ONLY the packed bytes (0.5 B/elem) from HBM, dequants
+    tiles in VMEM (VPU), and feeds the MXU — the int4/fp4 speed-of-light.
+
+Storage layout — SPLIT-HALF nibble packing along the *in* (contraction) dim:
+byte[i, n] holds code(w[i, n]) in the low nibble and code(w[i + K/2, n]) in
+the high nibble. Unlike adjacent-row packing this needs NO interleave to
+decode: each nibble plane is a contiguous [K/2, N] matrix that contracts
+against its half of x, so both the kernel and the XLA fallback are two clean
+GEMMs. The out dim stays un-packed, so out-axis splits (qkv unfuse, TP out
+sharding) need no bound adjustment, and in-axis (contraction) sharding of
+the packed rows still partitions the contraction exactly.
+
+Codes: "s4" = two's-complement int4 ((c ^ 8) - 8, values -8..7);
+"e2m1" = fp4 sign(1) exp(2) mant(1), decoded arithmetically.
+
+Group scales stay [K/G, N] f32 over the ORIGINAL k rows: the lo plane uses
+scale rows [0, K/2/G), the hi plane rows [K/2/G, K/G).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_split_half(q: np.ndarray) -> np.ndarray:
+    """int codes [..., K, N] (s4 two's-complement in [-8,7] or e2m1 u4
+    codes 0..15) -> u8 [..., K/2, N], low nibble = row k, high = row k+K/2."""
+    k = q.shape[-2]
+    assert k % 2 == 0, q.shape
+    u = (np.asarray(q).astype(np.int16) & 0xF).astype(np.uint8)
+    return (u[..., : k // 2, :] | (u[..., k // 2:, :] << 4)).astype(np.uint8)
+
+
+def _decode_nibble(c, code: str, dtype):
+    """u8 nibble values (0..15) -> weight values (jnp; kernel- and jit-safe)."""
+    c = c.astype(jnp.int32)
+    if code == "s4":
+        return ((c ^ 8) - 8).astype(dtype)
+    # e2m1: s=(c>>3)&1, e=(c>>1)&3, m=c&1
+    s = (c >> 3) & 1
+    e = (c >> 1) & 3
+    m = (c & 1).astype(jnp.float32)
+    mag = jnp.where(
+        e == 0, 0.5 * m,
+        jnp.exp2((e - 1).astype(jnp.float32)) * (1.0 + 0.5 * m))
+    return jnp.where(s == 1, -mag, mag).astype(dtype)
+
+
+def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
+               acc_ref, *, code: str, n_k: int, group: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[...]  # [KPt, Nt] u8
+    kpt, nt = p.shape
+    ng = kpt // group
+    xdt = x_lo_ref.dtype
+
+    def half(nib, s):
+        # s: [ng, Nt] f32 scale rows for this half's k range
+        w = _decode_nibble(nib, code, jnp.float32)  # [KPt, Nt]
+        w = (w.reshape(ng, group, nt) * s[:, None, :]).reshape(kpt, nt)
+        return w.astype(xdt)
+
+    # scale arrives pre-reshaped [n_k, 2, ng_pad, N] (ng rows valid; see
+    # _kernel_matmul); this step's lo/hi rows are one block. Nibble shifts
+    # run in i32 (Mosaic cannot legalize shrui on i8 vectors).
+    c = p.astype(jnp.int32)
+    w_lo = half(c & 0xF, s_ref[0, 0, :ng, :])
+    w_hi = half((c >> 4) & 0xF, s_ref[0, 1, :ng, :])
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += dot(x_lo_ref[...], w_lo) + dot(x_hi_ref[...], w_hi)
+
+    @pl.when(k == n_k - 1)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pick_tile(total: int, candidates) -> int:
+    for c in candidates:
+        if c <= total and total % c == 0:
+            return c
+    return 0
+
+
+def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+                   code: str, interpret: bool = False):
+    """x2 [M, K] x packed [K/2, N] (+ scale [K/G, N]) -> [M, N] or None
+    when the geometry doesn't tile (caller falls back to XLA)."""
+    m, k = x2.shape
+    k2, n = packed.shape
+    g = scale.shape[0]
+    if k != 2 * k2 or k % g:
+        return None
+    group_k = k // g  # group size over original k rows
+    if k2 % (g // 2 or 1) or g % 2:
+        return None
+    # per-half scale rows: kpt k-rows consume kpt/group_k scale rows
+    kpt = _pick_tile(k2, [c for c in (512, 256, 128, 64, 32)
+                          if c % group_k == 0])
+    if not kpt and group_k <= 512 and k2 % group_k == 0:
+        kpt = group_k
+    nt = _pick_tile(n, (512, 256, 128))
+    if not kpt or not nt:
+        return None
+    mt = m if m <= 256 else _pick_tile(m, (256, 128))
+    pad_m = 0
+    if not mt:
+        pad_m = (-m) % 128
+        x2 = jnp.pad(x2, ((0, pad_m), (0, 0)))
+        mt = 128
+    mm = x2.shape[0]
+    n_k = k2 // kpt
+    ng = kpt // group_k  # scale rows per (half, k-step)
+    ng_pad = -(-ng // 8) * 8
+    # [n_k, 2, ng_pad, N]: step kk's lo-half and hi-half scale rows side by
+    # side (rows kk*ng.. and (n_k+kk)*ng.. of the flat [K/G, N] array),
+    # padded to a sublane multiple — Mosaic cannot prove dynamic row-slices
+    # of the flat array are 8-aligned. Loop-invariant: XLA hoists this
+    # transform out of decode scans.
+    sr = scale.reshape(2, n_k, ng, n)
+    s3 = jnp.stack([sr[0], sr[1]], axis=1)  # [n_k, 2, ng, N]
+    if ng_pad != ng:
+        s3 = jnp.pad(s3, ((0, 0), (0, 0), (0, ng_pad - ng), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_gw_kernel, code=code, n_k=n_k, group=group_k),
+        grid=(mm // mt, n // nt, n_k),
+        in_specs=[
+            pl.BlockSpec((mt, kpt), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((mt, kpt), lambda i, j, kk, _o=n_k: (i, kk + _o)),
+            pl.BlockSpec((kpt, nt), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, 2, ng_pad, nt), lambda i, j, kk: (kk, 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((mt, nt), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mm, n), x2.dtype),
+        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(x2, x2, packed, s3)
+    return out[:m] if pad_m else out
+
+
+def _xla_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+                code: str) -> jnp.ndarray:
+    """Portable fallback: two grouped matmuls with f32 partial sums (the
+    2-step form — slower than the kernel but never materializes the full
+    dequantized weights as a scan invariant). Supports leading (expert)
+    dims on `packed`/`scale` and any x rank."""
+    *lead, k2, n = packed.shape
+    g = scale.shape[-2]
+    group = 2 * k2 // g
+    g2 = g // 2
+
+    def half(xh, nib, sh):
+        # accumulate in x.dtype (the CPU thunk backend cannot execute
+        # bf16 x bf16 -> f32 dots); scales apply in f32
+        w = _decode_nibble(nib, code, x.dtype)
+        xg = xh.reshape(*xh.shape[:-1], g2, group)
+        wg = w.reshape(*lead, g2, group, n)
+        part = jnp.einsum("...gk,...gkn->...gn", xg, wg)
+        return jnp.einsum("...gn,...gn->...n", part.astype(jnp.float32),
+                          sh.astype(jnp.float32))
+
+    y = (half(x[..., :k2], packed & 0xF, scale[..., :g2, :])
+         + half(x[..., k2:], packed >> 4, scale[..., g2:, :]))
+    return y.astype(x.dtype)
+
+
+def _use_kernel() -> bool:
+    try:
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    except Exception:
+        return False
+
+
+def groupwise_matmul_packed(
+    x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray, *,
+    code: str = "s4", zero: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = x @ dequant(packed) (+ GPTQ/AWQ asymmetric zero correction).
+
+    x [..., K] bf16/f32; packed u8 [..., K/2, N] split-half nibbles;
+    scale f32 [..., K/G, N]. The asymmetric zero term factors out of the
+    contraction exactly as in `quantized_matmul`:
+    y = (x @ q)*s - (sum_over_group x) @ (z*s).
+    """
+    *lead, k2, n = packed.shape
+    k = 2 * k2
+    y = None
+    if not lead and (interpret or _use_kernel()):
+        xf = x.reshape(-1, k)
+        y = _kernel_matmul(xf, packed, scale, code, interpret=interpret)
+        if y is not None:
+            y = y.reshape(*x.shape[:-1], n)
+    if y is None:
+        y = _xla_matmul(x, packed, scale, code)
+    if zero is not None:
+        g = scale.shape[-2]
+        xg = x.reshape(*x.shape[:-1], g, k // g)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=-1)  # [..., g]
+        y = y - jnp.einsum(
+            "...g,...gn->...n", xsum,
+            (zero * scale).astype(jnp.float32)).astype(y.dtype)
+    return y

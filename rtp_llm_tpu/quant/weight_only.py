@@ -176,10 +176,13 @@ def w8a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
 # Reference analogs: QuantMethod ModelOptFP4 (e2m1 + per-16-group fp8 scales)
 # and QuarkMXFP4 (e2m1 + per-32-group e8m0 scales), QuantInfo.h:6-19.
 # TPU storage: the tunneled platform cannot pass float4_e2m1fn arrays across
-# the jit boundary, so codes are packed two-per-uint8 along adjacent OUT
-# columns (same 0.5 B/elem HBM bytes as a native f4 buffer) and bitcast to
-# float4_e2m1fn IN-GRAPH, where XLA fuses the native f4->bf16 convert into
-# the matmul operand like the s8 path.
+# the jit boundary, so codes are packed two-per-uint8 with SPLIT-HALF rows
+# along the *in* dim (ops/quant_gemm.pack_split_half) and dequantized by the
+# Pallas groupwise dequant-GEMM kernel, which reads only the packed bytes
+# (0.5 B/elem HBM). The earlier bitcast_convert_type(float4_e2m1fn) in-graph
+# scheme measured 204 ms/step (VPU-bound, whole-weight materialization), and
+# the groupwise-scale einsum gets hoisted out of decode scans as ~14 GB of
+# bf16 weights — see ops/quant_gemm.py.
 
 E2M1_VALUES = np.array([0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0], np.float32)
 FP4_GROUP = 32  # MXFP4 group size
@@ -200,13 +203,11 @@ def fp4_quantize_groupwise(
     onto e2m1's max (6.0); e8m0_scales=True rounds scales to powers of two
     (MXFP4 semantics).
 
-    Packing pairs ADJACENT OUT COLUMNS into one byte (low nibble = even
-    column), because ``lax.bitcast_convert_type(u8, float4_e2m1fn)`` splits
-    each byte into a trailing length-2 axis: [in, out/2] u8 -> [in, out/2, 2]
-    f4 reshapes straight to [in, out] with no transpose, and XLA:TPU fuses
-    the native f4->bf16 convert into the matmul operand — HBM reads stay at
-    0.5 B/elem (the bit-math fallback decode measured 204 ms/step on
-    Qwen2-7B vs ~the int8 path's 15 ms: VPU-bound and materializing)."""
+    Packing: split-half along the *in* dim (quant_gemm.pack_split_half) —
+    byte[i, n] = code(w[i, n]) | code(w[i + K/2, n]) << 4 — consumed by the
+    Pallas groupwise dequant-GEMM. Returns u8 [..., in/2, out]."""
+    from rtp_llm_tpu.ops.quant_gemm import pack_split_half
+
     *lead, k, n = w.shape
     g = k // group_size
     wf = np.asarray(w, np.float32)
@@ -219,10 +220,7 @@ def fp4_quantize_groupwise(
     sign = (scaled < 0).astype(np.uint8)
     code = (_e2m1_encode(np.abs(scaled)) | (sign << 3)).astype(np.uint8)
     code = code.reshape(*lead, k, n)
-    lo = code[..., :, 0::2]  # even out columns -> low nibble
-    hi = code[..., :, 1::2]
-    packed = (lo | (hi << 4)).astype(np.uint8)
-    return packed, np.squeeze(scale, axis=-2).astype(np.float32)
+    return pack_split_half(code), np.squeeze(scale, axis=-2).astype(np.float32)
 
 
 def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -241,25 +239,12 @@ def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def fp4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
                scale: jnp.ndarray) -> jnp.ndarray:
-    """y = x @ dequant(packed e2m1). packed [in, out/2] u8 (adjacent out
-    columns per byte, low nibble first), scale [in/G, out].
+    """y = x @ dequant(packed e2m1). packed u8 [in/2, out] split-half rows
+    (quant_gemm.pack_split_half), scale [in/G, out]. Pallas dequant-GEMM on
+    single-device TPU; grouped-2-step XLA fallback elsewhere."""
+    from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
 
-    The byte bitcasts to native float4_e2m1fn in-graph (the tunneled
-    platform cannot pass f4 arrays across the jit boundary, but bitcast
-    INSIDE the program is fine), so XLA reads the 0.5 B/elem buffer and
-    fuses the f4->bf16 convert into the matmul operand like the s8 path."""
-    import jax
-
-    *lead, k, n2 = packed.shape
-    f4 = jax.lax.bitcast_convert_type(packed, jnp.float4_e2m1fn)
-    w = f4.reshape(*lead, k, 2 * n2)
-    n = 2 * n2
-    g = scale.shape[-2]
-    group = k // g
-    xg = x.reshape(*x.shape[:-1], g, group)
-    wg = w.reshape(*w.shape[:-2], g, group, n)
-    return jnp.einsum("...gk,gkn,gn->...n",
-                      xg, wg.astype(x.dtype), scale.astype(x.dtype))
+    return groupwise_matmul_packed(x, packed, scale, code="e2m1")
 
 
 def make_quant_transform(quant: QuantConfig):
@@ -289,17 +274,26 @@ def make_quant_transform(quant: QuantConfig):
             return out
         if quant.method in (QuantMethod.WEIGHT_ONLY_INT4, QuantMethod.W4A8):
             k = arr.shape[-2]
-            if k % quant.group_size != 0:
+            if k % (2 * quant.group_size) != 0:
                 q, s = int8_quantize(np.asarray(arr, np.float32))
                 return {"": q, ".scale": s}
             q, s = int4_quantize_groupwise(
                 np.asarray(arr, np.float32), quant.group_size
             )
-            out = {"": to_int4(q) if INT4_PACKED else q, ".scale": s}
             if quant.method == QuantMethod.W4A8:
-                # runtime per-token activation quant (integer contraction)
-                out[".w4a8"] = np.ones((), np.bool_)
-            return out
+                # runtime per-token activation quant (integer contraction):
+                # the s8 x s8 einsum consumes unpacked int8 values
+                return {"": q, ".scale": s, ".w4a8": np.ones((), np.bool_)}
+            if not INT4_PACKED or spec.shard_axis == "expert":
+                # routed-expert stacks run the batched _expert_linear /
+                # ep_moe vmap paths (XLA groupwise matmul on int8 values)
+                return {"": q, ".scale": s}
+            from rtp_llm_tpu.ops.quant_gemm import pack_split_half
+
+            # split-half nibble packing + Pallas dequant-GEMM (0.5 B/elem
+            # HBM reads; see ops/quant_gemm.py for why not native s4)
+            return {"": pack_split_half(q), ".scale": s,
+                    ".int4p": np.ones((), np.bool_)}
         if quant.method == QuantMethod.FP4:
             k = arr.shape[-2]
             # routed-expert stacks run the batched _expert_linear path,
@@ -320,8 +314,9 @@ def make_quant_transform(quant: QuantConfig):
 
     # converted-weights cache key (loader ft-dump analog): the transform's
     # output is fully determined by these knobs
+    # "-p2": split-half nibble packing (invalidates pre-kernel dumps)
     transform.cache_key = (f"{quant.method.value}-g{quant.group_size}"
-                           f"-b{quant.fp8_block_size}")
+                           f"-b{quant.fp8_block_size}-p2")
     return transform
 
 
@@ -346,19 +341,24 @@ def quantized_matmul(
     if scale.ndim == w.ndim - 1:  # per-out-channel int8
         y = jnp.matmul(x, w.astype(x.dtype))
         return y * scale.astype(x.dtype)
-    # groupwise: scale [in/G, out]
+    # groupwise: scale [in/G, out]. Two-step form (per-group partial sums,
+    # then scale): the one-einsum `x_gk, w_gkn, s_gn` materializes the
+    # dequantized bf16 weights, which XLA hoists out of the K-step decode
+    # scan as a loop invariant — ~14 GB for a 7B model, OOMs 16 GB HBM
+    # (measured; see ops/quant_gemm.py module docstring).
     k = w.shape[-2]
     g = scale.shape[-2]
     group = k // g
     xg = x.reshape(*x.shape[:-1], g, group)
     wg = w.reshape(*w.shape[:-2], g, group, w.shape[-1])
-    y = jnp.einsum(
-        "...gk,gkn,gn->...n",
-        xg, wg.astype(x.dtype), scale.astype(x.dtype),
-    )
+    # accumulate in x.dtype (the CPU thunk backend cannot execute
+    # bf16 x bf16 -> f32 dots); scales apply in f32
+    part = jnp.einsum("...gk,...gkn->...gn", xg, wg.astype(x.dtype))
+    y = jnp.einsum("...gn,...gn->...n", part.astype(jnp.float32),
+                   scale.astype(jnp.float32)).astype(x.dtype)
     if zero is not None:
         xsum = jnp.sum(xg, axis=-1)  # [..., g]
         y = y - jnp.einsum(
-            "...g,gn->...n", xsum, (zero * scale).astype(x.dtype)
+            "...g,...gn->...n", xsum, (zero * scale).astype(x.dtype)
         )
     return y

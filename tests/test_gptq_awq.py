@@ -190,7 +190,8 @@ def test_packed_checkpoint_forward(tmp_path, method):
     qcfg.dtype = "float32"
     assert qcfg.quantization and qcfg.quantization["method"] == method
     wq = CheckpointLoader(qcfg).load(ckpt)
-    assert wq["q_proj"].dtype == jnp.int4  # packed s4 storage (2 vals/byte)
+    # split-half packed nibble storage (u8, 2 vals/byte; ops/quant_gemm.py)
+    assert wq["q_proj"].dtype == jnp.uint8 and "q_proj.int4p" in wq
     assert "q_proj.zero" in wq and "q_proj.scale" in wq
 
     dcfg = ModelConfig.from_pretrained(dense_dir)

@@ -67,8 +67,13 @@ def test_quantized_model_close_to_bf16(tmp_path, method):
     w_full = CheckpointLoader(cfg).load(ckpt)
     qc = QuantConfig(method=method, group_size=32)
     w_q = CheckpointLoader(cfg, transform=make_quant_transform(qc)).load(ckpt)
+    # int4 stores split-half packed nibbles (u8, 2 vals/byte) consumed by
+    # the Pallas dequant-GEMM (ops/quant_gemm.py)
     assert w_q["q_proj"].dtype == (jnp.int8 if method == "int8"
-                                   else jnp.int4)
+                                   else jnp.uint8)
+    if method == "int4":
+        assert "q_proj.int4p" in w_q
+        assert w_q["q_proj"].shape[-2] == w_full["q_proj"].shape[-2] // 2
     assert "q_proj.scale" in w_q
     assert w_q["input_norm"].dtype == jnp.bfloat16  # not quantized
 
@@ -208,14 +213,15 @@ class TestFP4:
         rng = np.random.default_rng(0)
         w = rng.standard_normal((128, 48)).astype(np.float32)
         packed, scale = fp4_quantize_groupwise(w, 32)
-        assert packed.shape == (128, 24) and packed.dtype == np.uint8
+        # split-half packing along IN: u8 [in/2, out]
+        assert packed.shape == (64, 48) and packed.dtype == np.uint8
         assert scale.shape == (4, 48)
-        # reference dequant on host (low nibble = even out column)
+        # reference dequant on host (low nibble = row k, high = row k+64)
         lo, hi = packed & 0xF, packed >> 4
         def dec(c):
             mag = E2M1_VALUES[c & 7]
             return np.where(c >= 8, -mag, mag)
-        wq = np.stack([dec(lo), dec(hi)], axis=-1).reshape(128, 48)
+        wq = np.concatenate([dec(lo), dec(hi)], axis=0)
         wq = wq * np.repeat(scale, 32, axis=0)
         # quantization error bounded by half the coarsest e2m1 gap
         assert np.abs(wq - w).max() <= np.abs(w).max() / 6.0 + 1e-6
