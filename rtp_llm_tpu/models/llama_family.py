@@ -281,9 +281,10 @@ class LlamaFamilyModel:
                     g, u = jnp.split(w.pop("gate_up_proj" + suf), 2, axis=-1)
                     w["gate_proj" + suf] = g
                     w["up_proj" + suf] = u
-            if "gate_up_proj.fp4" in w:
-                mark = w.pop("gate_up_proj.fp4")
-                w["gate_proj.fp4"] = w["up_proj.fp4"] = mark
+            for mk in (".fp4", ".int4p"):
+                if "gate_up_proj" + mk in w:
+                    mark = w.pop("gate_up_proj" + mk)
+                    w["gate_proj" + mk] = w["up_proj" + mk] = mark
             if "gate_up_proj.w4a8" in w:
                 mark = w.pop("gate_up_proj.w4a8")
                 w["gate_proj.w4a8"] = w["up_proj.w4a8"] = mark

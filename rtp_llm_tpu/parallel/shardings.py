@@ -27,6 +27,10 @@ from rtp_llm_tpu.loader.weight_maps import WeightSpec
 
 def _spec_for(spec: WeightSpec, shape: tuple, afd: bool = False) -> P:
     nd = len(shape)
+    if nd < 2:
+        # 0-d quant markers (.int4p/.fp4/.w8a8) and 1-d per-in vectors
+        # (.smoother/.shift) replicate; GSPMD reshards where needed.
+        return P()
     if spec.shard_axis == "out":
         return P(*([None] * (nd - 1) + ["tp"]))
     if spec.shard_axis == "in":

@@ -135,13 +135,14 @@ def test_two_process_gang_and_lockstep(tmp_path):
     env.pop("JAX_PLATFORMS", None)
     # `python /tmp/.../worker.py` puts the script's dir (not cwd) on
     # sys.path, so the repo package must come in via PYTHONPATH
-    env["PYTHONPATH"] = "/root/repo" + (
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + (
         os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [
         subprocess.Popen(
             [sys.executable, script, str(i), coord, ckpt],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            text=True, cwd="/root/repo",
+            text=True, cwd=repo_root,
         )
         for i in range(2)
     ]

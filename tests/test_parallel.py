@@ -61,6 +61,24 @@ def test_tp_dp_engine_matches_unsharded(tmp_path, tp, dp):
         assert s.output_token_ids == exp
 
 
+def test_shard_fn_handles_scalar_markers_and_vectors():
+    """Regression (advisor r2, medium): 0-d quant markers (.int4p/.fp4) and
+    1-d per-in vectors (.smoother/.shift) flow through shard_fn; building
+    P('tp') for them crashed loading of GPTQ/AWQ checkpoints under a mesh."""
+    from rtp_llm_tpu.loader.weight_maps import WeightSpec
+
+    cfg = tiny_config("qwen2")
+    mesh = make_mesh(ParallelConfig(tp_size=4, dp_size=2))
+    shard_fn = make_weight_shard_fn(mesh, cfg)
+    for axis in ("out", "in", "expert"):
+        spec = WeightSpec(name="x", hf_pattern="x", shard_axis=axis)
+        for shape in ((), (7,), (6,)):
+            s = shard_fn(spec, shape)
+            assert s.is_fully_replicated, (axis, shape)
+            # device_put of a real marker must succeed
+            jax.device_put(np.ones(shape, np.bool_), s)
+
+
 def test_weight_shardings_are_applied(tmp_path):
     cfg = tiny_config("qwen2")
     ckpt = write_fake_checkpoint(str(tmp_path / "w"), cfg)

@@ -65,6 +65,38 @@ def test_unfuse_roundtrip(tmp_path):
                                       np.asarray(weights[k]))
 
 
+def test_unfuse_preserves_quant_markers():
+    """Regression: gate_up_proj.int4p must propagate to gate/up on unfuse —
+    without the marker the packed uint8 halves would route through
+    quantized_matmul and silently compute garbage (advisor r2, high)."""
+    cfg = tiny_config("qwen2")
+    model = create_model(cfg)
+    L = cfg.num_layers
+    K, d = cfg.hidden_size, cfg.head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_kv_heads
+    I = cfg.intermediate_size
+    G = 2  # scale groups
+    mark = jnp.ones((), jnp.bool_)
+
+    w = {}
+    outs = {"q_proj": hq * d, "k_proj": hkv * d, "v_proj": hkv * d,
+            "gate_proj": I, "up_proj": I}
+    for name, n in outs.items():
+        w[name] = jnp.zeros((L, K // 2, n), jnp.uint8)  # split-half packed
+        w[name + ".scale"] = jnp.ones((L, G, n), jnp.float32)
+        w[name + ".zero"] = jnp.zeros((L, G, n), jnp.float32)
+        w[name + ".int4p"] = mark
+    # remaining per-layer tensors so fuse_weights' group scan sees a model
+    fused = model.fuse_weights(dict(w))
+    assert "qkv_proj.int4p" in fused and "gate_up_proj.int4p" in fused
+
+    back = model.unfuse_weights(fused)
+    for name in outs:
+        assert name + ".int4p" in back, name
+        assert back[name].shape == w[name].shape
+    assert "gate_up_proj.int4p" not in back and "qkv_proj.int4p" not in back
+
+
 def test_fusion_skips_act_order_and_lora(tmp_path):
     cfg = tiny_config("qwen2")
     cfg.dtype = "float32"
