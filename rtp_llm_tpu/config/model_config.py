@@ -44,6 +44,7 @@ REFERENCE_TYPE_ALIASES = {
     "glm4_moe_lite": "glm4_moe",
     "gpt_neox_13b": "gpt_neox",
     "megatron-bert": "megatron_bert",  # HF config.json spelling
+    "xlm-roberta": "roberta",  # HF config.json spelling (XLMRobertaModel)
     "cosyvoice_qwen": "qwen2",
 }
 
@@ -92,6 +93,11 @@ class ModelConfig:
     # encoder family variant: "bert" (post-LN), "megatron" (pre-LN, final
     # encoder ln), "jina" (ALiBi + gated-gelu + qk post-norm)
     bert_variant: str = "bert"
+    # roberta: position ids offset past padding_idx (HF
+    # create_position_ids_from_input_ids; reference: models/bert.py Roberta
+    # — position_ids_style=1, pad_token_id)
+    roberta_positions: bool = False
+    pad_token_id: Optional[int] = None
     # activation: silu (llama family) | gelu_tanh (gemma/starcoder)
     hidden_act: str = "silu"
     # gemma: rmsnorm computes x * (1 + w); embeddings scaled by sqrt(hidden)
@@ -318,6 +324,14 @@ class ModelConfig:
         if arch == "bert":
             cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-12)
             cfg.attention_bias = True
+        if arch == "roberta":
+            # reference: models/bert.py Roberta (register_model "roberta",
+            # XLMRobertaModel/RobertaModel archs) — bert encoder with
+            # position ids offset past padding_idx (position_ids_style=1)
+            cfg.rms_norm_eps = hf.get("layer_norm_eps", 1e-5)
+            cfg.attention_bias = True
+            cfg.roberta_positions = True
+            cfg.pad_token_id = hf.get("pad_token_id", 1)
         if arch == "megatron_bert":
             # pre-LayerNorm bert (reference: models/megatron_bert.py —
             # layernorm_type=pre_layernorm, no embedding LN, final encoder ln)

@@ -1273,6 +1273,7 @@ _FAMILY_BUILDERS: dict[str, Callable[[ModelConfig], list[WeightSpec]]] = {
     "deepseek_vl_v2": _deepseek_vl2_specs,
     "deepseek_v3": _deepseek_with_mtp_specs,
     "bert": _bert_specs,
+    "roberta": _bert_specs,  # same layout; names may carry a roberta. prefix
     "megatron_bert": _megatron_bert_specs,
     "jina_bert_code": _jina_bert_specs,
     "internlm": _llama_family_specs,

@@ -103,6 +103,10 @@ def _make_bert(cfg: ModelConfig):
 
 
 register_model("bert", _make_bert)
+# roberta/xlm-roberta: bert encoder with pad-offset position ids (reference:
+# models/bert.py Roberta, position_ids_style=1; classifier/reranker heads in
+# downstream_modules/classifier/roberta_classifier.py)
+register_model("roberta", _make_bert)
 # encoder variants share the BertModel forward, selected by cfg.bert_variant
 # (reference: models/megatron_bert.py, models/jina_bert/jina_bert.py)
 register_model("megatron_bert", _make_bert)

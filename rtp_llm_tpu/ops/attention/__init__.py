@@ -63,10 +63,13 @@ def _pallas_decode_sharded(
         k_scale_e = jnp.zeros((q.shape[0], 1, mesh.shape.get("tp", 1)),
                               jnp.bfloat16)
         v_scale_e = jnp.zeros_like(k_scale_e)
+    dyn_layer = not isinstance(layer, int)
+    layer_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if dyn_layer
+                 else jnp.zeros((1,), jnp.int32))
 
-    def local(q, kop, block_tables, kv_lens, cur_k, cur_v, ks_e, vs_e):
+    def local(q, kop, block_tables, kv_lens, cur_k, cur_v, ks_e, vs_e, larr):
         if use_full:
-            k_l, v_l, lyr = kop, kop, layer
+            k_l, v_l, lyr = kop, kop, (-1 if dyn_layer else layer)
         else:
             k_l, v_l, lyr = kop[0], kop[1], -1
         return paged_decode_attention(
@@ -75,6 +78,7 @@ def _pallas_decode_sharded(
             cur_k=cur_k if has_cur else None,
             cur_v=cur_v if has_cur else None,
             interpret=interpret, layer=lyr,
+            layer_arr=larr if (use_full and dyn_layer) else None,
             k_scale_e=ks_e if quant else None,
             v_scale_e=vs_e if quant else None,
         )
@@ -93,6 +97,7 @@ def _pallas_decode_sharded(
             P("dp", "tp"),         # cur_v
             P("dp", None, "tp"),   # k_scale rows [B, MB*BS, Hkv]
             P("dp", None, "tp"),   # v_scale rows
+            P(None),               # layer index [1] (replicated)
         ),
         out_specs=P("dp", "tp", None),
         # pallas_call out_shapes don't carry vma metadata; replication over
@@ -100,7 +105,7 @@ def _pallas_decode_sharded(
         check_vma=False,
     )
     return fn(q, kop, block_tables, kv_lens, cur_k, cur_v,
-              k_scale_e, v_scale_e)
+              k_scale_e, v_scale_e, layer_arr)
 
 
 def _expand_kv_scales(k_scale, v_scale, block_tables, block_size, hq, hkv):
@@ -138,13 +143,15 @@ def paged_attention(
     cur_v: jnp.ndarray | None = None,  # (decode T=1: cache holds kv_len-1)
     mesh=None,  # live jax.sharding.Mesh => shard_map-wrapped kernel
     alibi_slopes: jnp.ndarray | None = None,  # [Hq] => XLA ref path
-    full_cache=None,  # whole [L, 2, NS, HD] cache + static layer: the pallas
-    layer: int = -1,  # kernel DMAs at a layer offset, avoiding slab copies
+    full_cache=None,  # whole [L, 2, NS, HD] cache + layer: the pallas
+    layer=-1,  # kernel DMAs at a layer offset, avoiding slab copies.
+    # int => static offset; traced jax scalar => dynamic (scan-over-layers)
 ) -> jnp.ndarray:
     b, t, hq, d = q.shape
     hkv = k_cache.shape[1] // d
     if backend == "auto":
         backend = default_backend()
+    dyn_layer = not isinstance(layer, int)
     quant_kv = k_scale is not None
     if quant_kv:
         # int8-KV dequant lives in the fullrow kernel only (bucketed context
@@ -198,7 +205,10 @@ def paged_attention(
                 q[:, 0], full_cache, full_cache, block_tables, kv_lens,
                 sm_scale, block_size=block_size,
                 sliding_window=sliding_window,
-                cur_k=cur_k, cur_v=cur_v, layer=layer,
+                cur_k=cur_k, cur_v=cur_v,
+                layer=-1 if dyn_layer else layer,
+                layer_arr=(jnp.asarray(layer, jnp.int32).reshape(1)
+                           if dyn_layer else None),
                 k_scale_e=ks_e, v_scale_e=vs_e,
             )
         else:

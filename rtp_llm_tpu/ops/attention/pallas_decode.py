@@ -43,22 +43,10 @@ CHUNK_BLOCKS = 4  # default KV blocks fetched per loop iteration
 
 
 def _decode_kernel(
-    # scalar prefetch
-    block_tables_ref,  # [B, MB] i32 (SMEM)
-    kv_lens_ref,  # [B] i32 (SMEM)
-    # inputs
-    qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
-    curk_ref,  # [1, Hkv*D] VMEM block — current token's K (deferred writes)
-    curv_ref,  # [1, Hkv*D] VMEM block — current token's V
-    k_hbm,  # [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
-    v_hbm,  # [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
-    # output
-    o_ref,  # [1, Hq, Hkv*D] VMEM block (per-segment partial outputs)
-    # scratch
-    k_buf,  # [nbuf, C*BS, Hkv*D] VMEM
-    v_buf,  # [nbuf, C*BS, Hkv*D] VMEM
-    sem,  # DMA sems [nbuf, C, 2]
-    *,
+    # scalar prefetch: block_tables [B,MB] i32, kv_lens [B] i32, and in
+    # dyn_layer mode a third [1] i32 layer index (scan-over-layers: the
+    # layer offset into the full cache is a runtime scalar)
+    *refs,
     bs: int,
     c: int,
     nbuf: int,
@@ -66,7 +54,22 @@ def _decode_kernel(
     window: int = 0,
     has_cur: bool = False,
     layer: int = -1,  # >= 0: kv_hbm is the full [L, 2, NS, HD] cache
+    dyn_layer: bool = False,  # layer index arrives as scalar prefetch
 ):
+    if dyn_layer:
+        (block_tables_ref, kv_lens_ref, layer_ref,
+         qe_ref, curk_ref, curv_ref, k_hbm, v_hbm,
+         o_ref, k_buf, v_buf, sem) = refs
+        layer_idx = layer_ref[0]
+    else:
+        (block_tables_ref, kv_lens_ref,
+         qe_ref, curk_ref, curv_ref, k_hbm, v_hbm,
+         o_ref, k_buf, v_buf, sem) = refs
+        layer_idx = layer
+    # qe_ref [1, Hq, Hkv*D] zero-expanded query; curk/curv [1, 1, Hkv*D]
+    # deferred current token; k_hbm/v_hbm [NS, Hkv*D] (or k_hbm = the full
+    # [L, 2, NS, HD] cache); o_ref [1, Hq, Hkv*D]; scratch k/v_buf
+    # [nbuf, C*BS, Hkv*D] VMEM + DMA sems [nbuf, C, 2]
     b = pl.program_id(0)
     hq = qe_ref.shape[1]
     hd = qe_ref.shape[2]
@@ -90,8 +93,8 @@ def _decode_kernel(
         # (0 * NaN = NaN in the PV matmul otherwise)
         safe = jax.lax.min(blk_idx, jax.lax.max(num_blocks - 1, 0))
         start = pl.multiple_of(block_tables_ref[b, safe] * bs, bs)
-        if layer >= 0:  # full cache: static layer + k/v plane indices
-            return k_hbm.at[layer, which, pl.ds(start, bs), :]
+        if dyn_layer or layer >= 0:  # full cache: layer + k/v plane indices
+            return k_hbm.at[layer_idx, which, pl.ds(start, bs), :]
         return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_chunk(slot, ci):
@@ -192,15 +195,12 @@ def _decode_kernel(
 
 
 def _fullrow_kernel(
-    # scalar prefetch
-    block_tables_ref,  # [B, MB] i32 (SMEM)
-    kv_lens_ref,  # [B] i32 (SMEM)
-    # inputs
-    qe_ref,  # [1, Hq, Hkv*D] VMEM block (zero-expanded query)
-    curk_ref,  # [1, Hkv*D] VMEM block (deferred current token, may be unused)
-    curv_ref,  # [1, Hkv*D]
-    k_hbm,  # [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
-    v_hbm,  # [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
+    # scalar prefetch: block_tables [B,MB] i32, kv_lens [B] i32, and in
+    # dyn_layer mode a third [1] i32 layer index; then inputs
+    #   qe_ref [1, Hq, Hkv*D] (zero-expanded query)
+    #   curk/curv_ref [1, 1, Hkv*D] (deferred current token, may be unused)
+    #   k_hbm [NS, Hkv*D] ANY/HBM — or the full [L, 2, NS, HD] cache
+    #   v_hbm [NS, Hkv*D] ANY/HBM — ignored (same ref) in full-cache mode
     # quant mode appends ks/vs input refs, then:
     # output o_ref [1, Hq, Hkv*D] VMEM block
     # scratch (persists across the sequential grid -> cross-row pipelining):
@@ -214,6 +214,7 @@ def _fullrow_kernel(
     layer: int = -1,  # >= 0: k_hbm is the full [L, 2, NS, HD] cache
     nb: int = 2,  # row buffers in flight
     quant: bool = False,  # int8 KV: ks/vs operands carry expanded scales
+    dyn_layer: bool = False,  # layer index arrives as scalar prefetch
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -227,6 +228,16 @@ def _fullrow_kernel(
     h//G) and applies dequant as two elementwise multiplies — K scale on the
     scores, V scale on the probabilities. The deferred current token stays
     bf16 in registers, so has_cur composes with quant unchanged."""
+    if dyn_layer:
+        block_tables_ref, kv_lens_ref, layer_ref = refs[:3]
+        refs = refs[3:]
+        layer_idx = layer_ref[0]
+    else:
+        block_tables_ref, kv_lens_ref = refs[:2]
+        refs = refs[2:]
+        layer_idx = layer
+    qe_ref, curk_ref, curv_ref, k_hbm, v_hbm = refs[:5]
+    refs = refs[5:]
     if quant:
         ks_ref, vs_ref, o_ref, k_buf, v_buf, sem = refs
     else:
@@ -235,8 +246,8 @@ def _fullrow_kernel(
     nrows = pl.num_programs(0)
 
     def kv_slab(which, start):
-        if layer >= 0:
-            return k_hbm.at[layer, which, pl.ds(start, bs), :]
+        if dyn_layer or layer >= 0:
+            return k_hbm.at[layer_idx, which, pl.ds(start, bs), :]
         return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_row(row):
@@ -412,12 +423,17 @@ def paged_decode_attention(
     layer: int = -1,  # >= 0: k_cache is the whole cache, v_cache unused
     k_scale_e: jnp.ndarray | None = None,  # [B, MB*BS, Hkv] gathered int8-KV
     v_scale_e: jnp.ndarray | None = None,  # scales (see _fullrow_kernel)
+    layer_arr: jnp.ndarray | None = None,  # [1] i32 runtime layer index
+    # (scan-over-layers: k_cache is the whole cache, layer ignored)
 ) -> jnp.ndarray:
     b, hq, d = q.shape
     hd = k_cache.shape[-1]
     hkv = hd // d
     kv_dtype = k_cache.dtype
-    if layer >= 0:
+    dyn_layer = layer_arr is not None
+    if dyn_layer:
+        v_cache = jnp.zeros((1, hd), kv_dtype)  # placeholder operand
+    elif layer >= 0:
         # the kernel DMAs from the full cache at a static (layer, plane)
         # offset — passing the big buffer avoids XLA materializing a [NS, HD]
         # slab copy per layer to feed the pallas operand
@@ -459,7 +475,7 @@ def paged_decode_attention(
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,
-            quant=quant,
+            quant=quant, dyn_layer=dyn_layer,
         )
         scratch = [
             pltpu.VMEM((nbf, mb * bs, hd), kv_dtype),
@@ -470,6 +486,7 @@ def paged_decode_attention(
         kernel = functools.partial(
             _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer,
+            dyn_layer=dyn_layer,
         )
         scratch = [
             pltpu.VMEM((nbuf, c * bs, hd), kv_dtype),
@@ -486,7 +503,12 @@ def paged_decode_attention(
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    operands = [block_tables, kv_lens, q_exp, cur_k, cur_v, k_cache, v_cache]
+    if dyn_layer:
+        operands = [block_tables, kv_lens, layer_arr.astype(jnp.int32),
+                    q_exp, cur_k, cur_v, k_cache, v_cache]
+    else:
+        operands = [block_tables, kv_lens, q_exp, cur_k, cur_v,
+                    k_cache, v_cache]
     if quant:
         hkv_s = k_scale_e.shape[-1]
         in_specs += [
@@ -497,7 +519,7 @@ def paged_decode_attention(
         ]
         operands += [k_scale_e, v_scale_e]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3 if dyn_layer else 2,
         grid=(b,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, hq, hd), lambda i, *_: (i, 0, 0),

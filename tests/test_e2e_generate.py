@@ -265,3 +265,45 @@ def test_logit_bias(tmp_path):
         logit_bias={str(base[0]): -100.0},
     )).output_token_ids
     assert banned[0] != base[0]
+
+
+def test_scan_layers_matches_unrolled(tmp_path, monkeypatch):
+    """Scan-over-layers (compile-time optimization, llama_family.forward)
+    must be token-exact vs the unrolled layer loop, dense and MoE."""
+    import os
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+
+    for kind in ("qwen2", "qwen2_moe"):
+        cfg = tiny_config(kind)
+        cfg.dtype = "float32"
+        ckpt = write_fake_checkpoint(str(tmp_path / kind), cfg)
+        outs = {}
+        for mode in ("scan", "unrolled"):
+            if mode == "unrolled":
+                monkeypatch.setenv("RTP_NO_SCAN_LAYERS", "1")
+            else:
+                monkeypatch.delenv("RTP_NO_SCAN_LAYERS", raising=False)
+            cfg2 = tiny_config(kind)
+            cfg2.dtype = "float32"
+            econf = EngineConfig(
+                cache=CacheConfig(block_size=4, test_num_blocks=64),
+                scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                          prefill_buckets=(16,)))
+            econf.quant.kv_cache_dtype = "float32"
+            eng = LlmEngine(create_model(cfg2),
+                            CheckpointLoader(cfg2).load(ckpt), econf)
+            outs[mode] = eng.generate(
+                [1, 5, 9, 42],
+                GenerateConfig(max_new_tokens=8, do_sample=False,
+                               ignore_eos=True)).output_token_ids
+        assert outs["scan"] == outs["unrolled"], kind

@@ -216,3 +216,37 @@ def test_int8_kv_dispatch_uses_pallas(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_dynamic_layer_matches_static(monkeypatch):
+    """Scan-over-layers mode: the layer offset into the full [L, 2, NS, HD]
+    cache arrives as a runtime scalar (scalar prefetch) instead of a static
+    int. Both kernel paths (fullrow + chunked) must match the static-layer
+    result for every layer."""
+    import rtp_llm_tpu.ops.attention.pallas_decode as pd
+
+    rng = np.random.default_rng(7)
+    L, b, hq, hkv, d, bs = 3, 2, 4, 2, 128, BS
+    nb = 8
+    full = rng.standard_normal((L, 2, nb * bs, hkv * d)).astype(np.float32)
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    lens = np.asarray([17, 60], np.int32)
+    bt = np.zeros((b, 4), np.int32)
+    bt[0, :2] = [1, 2]
+    bt[1, :4] = [3, 4, 5, 6]
+    fullj, qj = jnp.asarray(full), jnp.asarray(q)
+    btj, lensj = jnp.asarray(bt), jnp.asarray(lens)
+    sm = 1.0 / np.sqrt(d)
+
+    for fullrow_max in (2048, 0):  # fullrow then chunked kernel
+        monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", fullrow_max)
+        for l in range(L):
+            static = pd.paged_decode_attention(
+                qj, fullj, fullj, btj, lensj, sm, block_size=bs,
+                interpret=True, layer=l)
+            dyn = pd.paged_decode_attention(
+                qj, fullj, fullj, btj, lensj, sm, block_size=bs,
+                interpret=True, layer_arr=jnp.asarray([l], jnp.int32))
+            np.testing.assert_allclose(
+                np.asarray(dyn), np.asarray(static), rtol=2e-5, atol=2e-5,
+                err_msg=f"layer {l} fullrow_max={fullrow_max}")
