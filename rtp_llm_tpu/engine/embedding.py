@@ -185,14 +185,28 @@ class EmbeddingEngine:
 
     def classify(self, prompts: List[List[int]], heads: dict,
                  pooling: str = "last") -> np.ndarray:
-        """Sequence classification: classifier(pooled hidden) -> [n, C]."""
+        """Sequence classification: classifier(pooled hidden) -> [n, C].
+
+        Two-layer roberta-style heads (reference: RobertaClassifierHandler,
+        downstream_modules/classifier/roberta_classifier.py — dense + tanh +
+        out_proj on the FIRST token) apply when ``classifier_dense`` is
+        present."""
         w = np.asarray(heads["classifier"], np.float32)
         b = np.asarray(heads.get("classifier_bias",
                                  np.zeros(w.shape[1])), np.float32)
+        dense = heads.get("classifier_dense")
+        if dense is not None:
+            dense = np.asarray(dense, np.float32)
+            dense_b = np.asarray(heads.get(
+                "classifier_dense_bias", np.zeros(dense.shape[1])), np.float32)
+            pooling = "first"
         out = np.zeros((len(prompts), w.shape[1]), np.float32)
         for i, ids in enumerate(prompts):
             h = self._all_hidden(ids)
-            pooled = h.mean(0) if pooling == "mean" else h[-1]
+            pooled = (h.mean(0) if pooling == "mean"
+                      else h[0] if pooling == "first" else h[-1])
+            if dense is not None:
+                pooled = np.tanh(pooled @ dense + dense_b)
             out[i] = pooled @ w + b
         return out
 
@@ -237,19 +251,36 @@ def load_downstream_heads(model_path: str) -> dict:
 
         src = _TensorSource(model_path)
         try:
-            for cand in ("classifier.weight", "score.weight",
-                         "classifier.dense.weight"):
-                try:
-                    w = src.get(cand)
-                except KeyError:
-                    continue
-                heads["classifier"] = np.asarray(w, np.float32).T
-                try:
-                    heads["classifier_bias"] = np.asarray(
-                        src.get(cand.replace("weight", "bias")), np.float32)
-                except KeyError:
-                    pass
-                break
+            # roberta-style two-layer head first: dense + tanh + out_proj
+            # (reference: RobertaClassifierHandler.custom_weight_info)
+            try:
+                heads["classifier"] = np.asarray(
+                    src.get("classifier.out_proj.weight"), np.float32).T
+                heads["classifier_dense"] = np.asarray(
+                    src.get("classifier.dense.weight"), np.float32).T
+                for nm, key in (("classifier.out_proj.bias",
+                                 "classifier_bias"),
+                                ("classifier.dense.bias",
+                                 "classifier_dense_bias")):
+                    try:
+                        heads[key] = np.asarray(src.get(nm), np.float32)
+                    except KeyError:
+                        pass
+            except KeyError:
+                for cand in ("classifier.weight", "score.weight",
+                             "classifier.dense.weight"):
+                    try:
+                        w = src.get(cand)
+                    except KeyError:
+                        continue
+                    heads["classifier"] = np.asarray(w, np.float32).T
+                    try:
+                        heads["classifier_bias"] = np.asarray(
+                            src.get(cand.replace("weight", "bias")),
+                            np.float32)
+                    except KeyError:
+                        pass
+                    break
         finally:
             src.close()
     except Exception:

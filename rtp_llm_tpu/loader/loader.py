@@ -97,6 +97,11 @@ class _TensorSource:
         ("model.language_model.", "model."),
         ("model.visual.", "visual."),
     )
+    # encoder task checkpoints (BertForSequenceClassification,
+    # XLMRobertaModel, ...) nest the encoder under a family prefix; the
+    # canonical specs use the bare names (reference: bert_weight.py handles
+    # both spellings)
+    _STRIP_PREFIXES = ("bert.", "roberta.")
 
     def _resolve(self, name: str, known) -> str:
         if name in known:
@@ -106,6 +111,9 @@ class _TensorSource:
                 legacy = old + name[len(new):]
                 if legacy in known:
                     return legacy
+        for p in self._STRIP_PREFIXES:
+            if p + name in known:
+                return p + name
         return name
 
     def names(self):
@@ -121,6 +129,10 @@ class _TensorSource:
                     alias = new + n[len(old):]
                     if alias not in known:
                         out.append(alias)
+        for p in self._STRIP_PREFIXES:
+            for n in real:
+                if n.startswith(p) and n[len(p):] not in known:
+                    out.append(n[len(p):])
         return out
 
     def get(self, name: str) -> np.ndarray:

@@ -66,7 +66,15 @@ class BertModel:
         x = jnp.take(w["embed_tokens"], tokens, axis=0) \
             + jnp.take(w["type_embed"], tt, axis=0)
         if "pos_embed" in w:  # jina has none (ALiBi)
-            pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+            if getattr(cfg, "roberta_positions", False):
+                # RoBERTa: positions offset past padding_idx, computed from
+                # the mask (HF create_position_ids_from_input_ids; reference:
+                # models/bert.py Roberta, position_ids_style=1)
+                pad = cfg.pad_token_id if cfg.pad_token_id is not None else 1
+                pos = (jnp.cumsum(mask.astype(jnp.int32), axis=1) * mask
+                       + pad).astype(jnp.int32)
+            else:
+                pos = jnp.arange(t, dtype=jnp.int32)[None, :]
             x = x + jnp.take(w["pos_embed"], pos, axis=0)
         if "embed_norm" in w:  # megatron defers all LN into the layers
             x = layer_norm(x, w["embed_norm"], w["embed_norm_bias"], eps)

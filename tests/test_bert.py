@@ -269,3 +269,81 @@ def test_embedding_app_cross_request_batching(bert_ckpt):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_roberta_matches_hf(tmp_path):
+    """RoBERTa (reference: models/bert.py Roberta — pad-offset position ids,
+    roberta.* weight prefix) vs HF RobertaModel token-for-token."""
+    import torch
+    from transformers import RobertaConfig, RobertaModel
+
+    torch.manual_seed(2)
+    hf_cfg = RobertaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+    )
+    m = RobertaModel(hf_cfg, add_pooling_layer=False)
+    m.eval()
+    path = str(tmp_path)
+    m.save_pretrained(path, safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.model_type == "roberta" and cfg.roberta_positions
+    assert cfg.pad_token_id == 1
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(path)
+    model = create_model(cfg)
+
+    tokens = [[0, 45, 9, 17, 88, 2, 1, 1], [0, 6, 7, 2, 1, 1, 1, 1]]
+    mask = [[1, 1, 1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 0, 0, 0, 0]]
+    ours = np.asarray(model.encode(
+        weights, jnp.asarray(tokens, jnp.int32), jnp.asarray(mask, jnp.int32)))
+    with torch.no_grad():
+        theirs = m(torch.tensor(tokens),
+                   attention_mask=torch.tensor(mask)).last_hidden_state.numpy()
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(ours[valid], theirs[valid], rtol=3e-4, atol=3e-4)
+
+
+def test_roberta_classifier_head(tmp_path):
+    """Sequence-classification parity vs HF XLMRobertaForSequenceClassification
+    (reference: RobertaClassifierModule — dense+tanh+out_proj on token 0)."""
+    import torch
+    from transformers import (
+        XLMRobertaConfig, XLMRobertaForSequenceClassification,
+    )
+
+    torch.manual_seed(3)
+    hf_cfg = XLMRobertaConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=66, type_vocab_size=1, pad_token_id=1,
+        num_labels=3,
+    )
+    m = XLMRobertaForSequenceClassification(hf_cfg)
+    m.eval()
+    path = str(tmp_path)
+    m.save_pretrained(path, safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.model_type == "roberta"
+    cfg.dtype = "float32"
+    weights = CheckpointLoader(cfg).load(path)
+    model = create_model(cfg)
+
+    from rtp_llm_tpu.engine.embedding import load_downstream_heads
+
+    heads = load_downstream_heads(path)
+    assert "classifier_dense" in heads and "classifier" in heads
+
+    tokens = [0, 45, 9, 17, 2]
+    h = np.asarray(model.encode(
+        weights, jnp.asarray([tokens], jnp.int32),
+        jnp.ones((1, len(tokens)), jnp.int32)))[0]
+    pooled = np.tanh(h[0] @ heads["classifier_dense"]
+                     + heads["classifier_dense_bias"])
+    logits = pooled @ heads["classifier"] + heads["classifier_bias"]
+    with torch.no_grad():
+        expect = m(torch.tensor([tokens])).logits.numpy()[0]
+    np.testing.assert_allclose(logits, expect, rtol=3e-4, atol=3e-4)
