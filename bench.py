@@ -303,7 +303,17 @@ def _run_with_watchdog():
             "error": f"bench timed out after {args.watchdog}s (device hang)",
         }))
         sys.exit(0)
-    sys.exit(child.exitcode or 0)
+    if child.exitcode:
+        # crashed (e.g. device OOM) — the driver still needs one JSON line
+        print(json.dumps({
+            "metric": "decode_tokens_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "error": f"bench child exited rc={child.exitcode}",
+        }))
+        sys.exit(0)
+    sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -422,12 +422,18 @@ class LlamaFamilyModel:
             # bucket-miss compiles ~10x. Numerically identical (same ops).
             per_layer, global_w = self._split_layer_weights(weights)
 
-            def body(carry, xs):
+            def body(carry, li):
                 x, cache = carry
-                li, wl = xs
                 w_i = dict(global_w)
-                for k2, v2 in wl.items():
-                    w_i[k2] = v2[None]  # restore leading layer dim of 1
+                # Slice this layer's weights from the closed-over stacks via
+                # dynamic_index_in_dim instead of passing them as scan xs:
+                # xs become part of the XLA while-loop state and get COPIED
+                # into it (measured: the 7B's ~6.5 GB of stacked int8 weights
+                # duplicated -> HBM OOM at warmup); loop-invariant operands
+                # read by dynamic-slice stay in place.
+                for k2, v2 in per_layer.items():
+                    w_i[k2] = jax.lax.dynamic_index_in_dim(
+                        v2, li, 0, keepdims=True)
                 kw = ([], []) if defer_kv_writes else None
                 go = [] if need_moe_gating else None
                 x, cache = self._layer(w_i, cache, 0, x, inputs, slots,
@@ -439,7 +445,7 @@ class LlamaFamilyModel:
 
             idx = jnp.arange(cfg.num_layers, dtype=jnp.int32)
             (x, cache), (kw_k, kw_v, gate_counts) = jax.lax.scan(
-                body, (x, cache), (idx, per_layer))
+                body, (x, cache), idx)
             if defer_kv_writes:
                 kvw_out = (kw_k, kw_v)  # [L, B, HD] stacked by the scan
             if need_moe_gating:
