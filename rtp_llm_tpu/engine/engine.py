@@ -251,7 +251,7 @@ class LlmEngine:
         # jitted programs
         self._decode_jit = jax.jit(
             self._decode_impl, donate_argnums=(1, 2),
-            static_argnames=("need_sampling", "kv_blocks"),
+            static_argnames=("need_sampling", "need_stats", "kv_blocks"),
         )
         # kv-length buckets for the decode block tables: the fullrow pallas
         # kernel loads whole (bucketed) rows, so the table width passed into
@@ -295,7 +295,7 @@ class LlmEngine:
                                    static_argnums=(4,))
         self._decode_multi_jit = jax.jit(
             self._decode_multi_impl, donate_argnums=(1, 2),
-            static_argnames=("need_sampling", "n_steps", "kv_blocks"),
+            static_argnames=("need_sampling", "need_stats", "n_steps", "kv_blocks"),
         )
         # feature-level proposer (consumes the target's pre-norm hidden):
         # MtpRunner (deepseek MTP) or EagleRunner — both share the same
@@ -485,7 +485,8 @@ class LlmEngine:
     MAX_NGRAM_BANS = 16  # per-row cap on no-repeat-ngram banned tokens
 
     def _decode_impl(self, weights, kv, state: ds.DecodeState, need_sampling=True,
-                     ban_tokens=None, allow_tokens=None, kv_blocks=None):
+                     ban_tokens=None, allow_tokens=None, kv_blocks=None,
+                     need_stats=True):
         active = state.kv_lens > 0
         kv_lens_new = jnp.where(active, state.kv_lens + 1, 0)
         bt = (state.block_tables if kv_blocks is None
@@ -519,6 +520,7 @@ class LlmEngine:
             forced_tokens=state.forced_tokens, ban_tokens=ban_tokens,
             bias_ids=state.bias_ids, bias_vals=state.bias_vals,
             allow_tokens=allow_tokens, active=active,
+            need_stats=need_stats,
         )
         tokens = jnp.where(active, tokens, state.last_tokens)
         state = state._replace(
@@ -583,7 +585,8 @@ class LlmEngine:
         return flat.reshape(kv.shape)
 
     def _decode_multi_impl(self, weights, kv, state: ds.DecodeState,
-                           need_sampling=True, n_steps=8, kv_blocks=None):
+                           need_sampling=True, n_steps=8, kv_blocks=None,
+                           need_stats=True):
         """n_steps fused decode iterations in one program: scan over the
         decode body, stacking the sampled tokens. One dispatch + one readback
         per n_steps tokens (reference analog: CUDA-graph replay loops)."""
@@ -591,7 +594,8 @@ class LlmEngine:
         def body(carry, _):
             kv, st = carry
             kv, st, tokens, logprobs = self._decode_impl(
-                weights, kv, st, need_sampling, kv_blocks=kv_blocks
+                weights, kv, st, need_sampling, kv_blocks=kv_blocks,
+                need_stats=need_stats,
             )
             return (kv, st), (tokens, logprobs)
 
@@ -1766,6 +1770,12 @@ class LlmEngine:
             self._spec_decode_step(active)
         else:
             need_sampling = any(s.config.do_sample for s in active)
+            need_stats = any(
+                c.repetition_penalty != 1.0 or c.presence_penalty != 0.0
+                or c.frequency_penalty != 0.0 or c.return_logprobs
+                or c.top_logprobs
+                for c in (s.config for s in active)
+            )
             use_ban = any(s.config.no_repeat_ngram_size for s in active)
             use_tree = self.tree_config is not None and any(
                 s.tree_state is not None for s in active)
@@ -1801,7 +1811,8 @@ class LlmEngine:
                 with timed("engine.decode_ms"):
                     self.kv, self.state, tokens, logprobs = self._decode_jit(
                         self.weights, self.kv, self.state, need_sampling,
-                        kv_blocks=self._kv_bucket(active, 1), **kw,
+                        kv_blocks=self._kv_bucket(active, 1),
+                        need_stats=need_stats, **kw,
                     )
                 self._resolve_tuple(tokens, logprobs, active)
                 METRICS.set_gauge("engine.running_streams", len(active))
@@ -1814,12 +1825,14 @@ class LlmEngine:
                             self.weights, self.kv, self.state, need_sampling,
                             n_steps=n_multi,
                             kv_blocks=self._kv_bucket(active, extra),
+                            need_stats=need_stats,
                         )
                     )
                 else:
                     self.kv, self.state, tokens, logprobs = self._decode_jit(
                         self.weights, self.kv, self.state, need_sampling,
                         kv_blocks=self._kv_bucket(active, extra),
+                        need_stats=need_stats,
                     )
             if self.async_decode:
                 prev = self._pending
@@ -2042,16 +2055,19 @@ class LlmEngine:
                 ), {}))
         n_multi = self.config.scheduler.decode_steps
         for need_sampling in (False, True):
-            for kvb in self._kv_buckets:
-                thunks.append((self._decode_jit,
-                               (self.weights, self.kv, self.state,
-                                need_sampling),
-                               dict(kv_blocks=kvb)))
-                if n_multi > 1:
-                    thunks.append((self._decode_multi_jit,
+            for need_stats in (False, True):
+                for kvb in self._kv_buckets:
+                    thunks.append((self._decode_jit,
                                    (self.weights, self.kv, self.state,
                                     need_sampling),
-                                   dict(n_steps=n_multi, kv_blocks=kvb)))
+                                   dict(kv_blocks=kvb,
+                                        need_stats=need_stats)))
+                    if n_multi > 1:
+                        thunks.append((self._decode_multi_jit,
+                                       (self.weights, self.kv, self.state,
+                                        need_sampling),
+                                       dict(n_steps=n_multi, kv_blocks=kvb,
+                                            need_stats=need_stats)))
 
         def compile_one(job):
             fn, args, kw = job
@@ -2103,19 +2119,22 @@ class LlmEngine:
             # device lock — measured as a ~90 s TTFT cliff under load
             n_multi = self.config.scheduler.decode_steps
             for need_sampling in (False, True):
-                for kvb in self._kv_buckets:
-                    self.kv, self.state, _, _ = self._decode_jit(
-                        self.weights, self.kv, self.state, need_sampling,
-                        kv_blocks=kvb,
-                    )
+                for need_stats in (False, True):
+                    for kvb in self._kv_buckets:
+                        self.kv, self.state, _, _ = self._decode_jit(
+                            self.weights, self.kv, self.state, need_sampling,
+                            kv_blocks=kvb, need_stats=need_stats,
+                        )
             if n_multi > 1:
                 for need_sampling in (False, True):
                     # greedy batches (temperature 0) run need_sampling=False
-                    for kvb in self._kv_buckets:
-                        self.kv, self.state, _, _ = self._decode_multi_jit(
-                            self.weights, self.kv, self.state, need_sampling,
-                            n_steps=n_multi, kv_blocks=kvb,
-                        )
+                    for need_stats in (False, True):
+                        for kvb in self._kv_buckets:
+                            self.kv, self.state, _, _ = self._decode_multi_jit(
+                                self.weights, self.kv, self.state,
+                                need_sampling, n_steps=n_multi, kv_blocks=kvb,
+                                need_stats=need_stats,
+                            )
             if self.spec.enabled:
                 self.kv, self.state, _, _ = self._verify_jit(
                     self.weights, self.kv, self.state,

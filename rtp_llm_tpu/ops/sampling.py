@@ -114,20 +114,30 @@ def sample_tokens(
     bias_ids=None,  # [B, M] i32, -1 = empty (OpenAI logit_bias)
     bias_vals=None,  # [B, M] f32
     allow_tokens=None,  # [B, M] i32, -1-padded allow-list; all-(-1) row =
-):                      # unconstrained (tree/trie-constrained decode)
+                        # unconstrained (tree/trie-constrained decode)
+    need_stats: bool = True,  # static: penalties + chosen-token logprob +
+):                            # output-count updates
     """Returns (tokens [B] i32, logprobs [B] f32, new_output_counts).
 
     Greedy rows take argmax of penalized logits; sampling rows draw from the
     temperature/top-k/top-p distribution via the Gumbel trick.
     ``need_sampling=False`` (static) compiles the greedy-only fast path — the
     engine uses it when no active stream samples, skipping the [B,V] sort.
+    ``need_stats=False`` (static) additionally skips the penalty passes, the
+    [B,V] logsumexp for the chosen-token logprob (returned as zeros), and the
+    output-count scatter — measured ~1.1 ms/step at [64, 152k] (three fewer
+    full-row passes + the exp). The engine selects it when no active stream
+    uses penalties / requests logprobs; per-row counts only ever feed THAT
+    row's penalties, so rows admitted before a stats stream joins are
+    unaffected by their skipped updates (their penalties are identity).
     """
     logits = logits.astype(jnp.float32)
     if bias_ids is not None:
         rows = jnp.arange(logits.shape[0])[:, None]
         safe = jnp.where(bias_ids >= 0, bias_ids, logits.shape[1])
         logits = logits.at[rows, safe].add(bias_vals, mode="drop")
-    logits = apply_penalties(logits, prompt_mask, output_counts, params)
+    if need_stats:
+        logits = apply_penalties(logits, prompt_mask, output_counts, params)
     if len(eos_token_ids) > 0:
         # [V] row broadcast — a [B, V] scatter materializes 10 MB of mask
         eos = jnp.array(list(eos_token_ids), dtype=jnp.int32)
@@ -167,6 +177,9 @@ def sample_tokens(
         tokens = greedy
     if forced_tokens is not None:
         tokens = jnp.where(forced_tokens >= 0, forced_tokens, tokens)
+
+    if not need_stats:
+        return tokens, jnp.zeros(tokens.shape, jnp.float32), output_counts
 
     # logprob of the chosen token without materializing the full [B, V]
     # log-softmax: gather the logit, subtract the row logsumexp

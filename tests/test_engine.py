@@ -237,6 +237,41 @@ class TestSampling:
             assert pen == base
 
 
+class TestStatsFastPath:
+    """need_stats=False compiles a decode variant without penalties /
+    logprob / count updates (ops/sampling.py); tokens must match the full
+    variant exactly."""
+
+    def test_token_parity_with_and_without_stats(self):
+        eng = make_engine()
+        fast = eng.generate([5], greedy(8))  # no penalties, no logprobs
+        full = eng.generate(
+            [5], GenerateConfig(max_new_tokens=8, do_sample=False,
+                                ignore_eos=True, return_logprobs=True))
+        assert fast.output_token_ids == full.output_token_ids
+        # chain from 5 avoids the eos token (63), so the eos-ban detour
+        # doesn't apply and the pure argmax chain is the reference
+        assert fast.output_token_ids == expected_chain([5], 8)
+        # the stats variant produced real logprobs (mock logits are finite)
+        assert len(full.output_logprobs) == 8
+        assert all(lp <= 0.0 for lp in full.output_logprobs)
+
+    def test_penalty_stream_joining_switches_variant(self):
+        """Rows admitted under the fast path keep correct behavior after a
+        penalties stream joins (their per-row penalties are identity)."""
+        eng = make_engine()
+        s_plain = eng.enqueue([5], greedy(12))
+        for _ in range(3):
+            eng.step()  # fast-path steps
+        s_pen = eng.enqueue(
+            [5], GenerateConfig(max_new_tokens=8, do_sample=False,
+                                repetition_penalty=1.5, ignore_eos=True))
+        while not (s_plain.is_finished() and s_pen.is_finished()):
+            eng.step()
+        assert s_plain.output_token_ids == expected_chain([5], 12)
+        assert len(s_pen.output_token_ids) == 8
+
+
 def test_warmup_compiles_without_state_change():
     eng = make_engine()
     eng.warmup()
