@@ -257,6 +257,29 @@ def main():
             return acc
         return jax.jit(attn_only)
 
+    def attn_dyn_k(K):
+        """attn with a TRACED layer index (the scan-over-layers kernel
+        mode): isolates the dynamic-layer DMA addressing cost."""
+        from rtp_llm_tpu.ops.attention import paged_attention
+
+        def attn_only(kv, state, q0):
+            def body(acc, _):
+                q = q0 + (acc * 0).astype(q0.dtype)
+                for i in range(mc.num_layers):
+                    o = paged_attention(
+                        q, kv[i, 0], kv[i, 1],
+                        state.block_tables, state.kv_lens, state.kv_lens - 1,
+                        mc.head_dim ** -0.5, block_size=args.block_size,
+                        backend=model.attn_backend,
+                        full_cache=kv, layer=jnp.int32(i),
+                    )
+                    acc = acc + o.astype(jnp.float32).mean()
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                                  length=K)
+            return acc
+        return jax.jit(attn_only)
+
     def kvwrite_k(K):
         """Per-layer KV writes only (direct 3D scatters on the donated pool,
         matching the engine's in-layer write path)."""
@@ -310,6 +333,12 @@ def main():
             lambda kv, state: eng._decode_multi_jit(weights, kv, state,
                                                     False, K),
             "kvstate"),
+        # the serving fast path (no penalties / logprobs in the batch)
+        "full_fast": lambda K: (
+            lambda kv, state: eng._decode_multi_jit(weights, kv, state,
+                                                    False, K,
+                                                    need_stats=False),
+            "kvstate"),
         "fwd": lambda K: (functools.partial(fwd_only_k(K), weights),
                           "kvstate"),
         "fwd_nosample": lambda K: (
@@ -318,6 +347,7 @@ def main():
             functools.partial(fwd_noattn_k(K), weights), "kvstate"),
         "matmuls": lambda K: (matmuls_k(K), "x"),
         "attn": lambda K: (attn_k(K), "attn"),
+        "attn_dyn": lambda K: (attn_dyn_k(K), "attn"),
         "kvwrite": lambda K: (kvwrite_k(K), "kvrows"),
         "sampler": lambda K: (sampler_k(K), "logits"),
     }

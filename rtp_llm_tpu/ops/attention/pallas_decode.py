@@ -55,17 +55,23 @@ def _decode_kernel(
     has_cur: bool = False,
     layer: int = -1,  # >= 0: kv_hbm is the full [L, 2, NS, HD] cache
     dyn_layer: bool = False,  # layer index arrives as scalar prefetch
+    ns: int = 0,  # dyn mode: slots per (layer, plane) in the FLAT cache
 ):
     if dyn_layer:
         (block_tables_ref, kv_lens_ref, layer_ref,
          qe_ref, curk_ref, curv_ref, k_hbm, v_hbm,
          o_ref, k_buf, v_buf, sem) = refs
-        layer_idx = layer_ref[0]
+        # dyn mode gets the cache FLATTENED to [L*2*NS, HD] and resolves the
+        # layer offset to a row base ONCE here: the kernel is DMA-issue-rate
+        # bound, and a 4-D dynamic index recomputed per issue on the scalar
+        # core measurably stalls the pipeline (~1.4 ms/step at b=64, 28
+        # layers); a single pre-multiplied base leaves one add per issue.
+        row_k = layer_ref[0] * (2 * ns)
+        row_v = row_k + ns
     else:
         (block_tables_ref, kv_lens_ref,
          qe_ref, curk_ref, curv_ref, k_hbm, v_hbm,
          o_ref, k_buf, v_buf, sem) = refs
-        layer_idx = layer
     # qe_ref [1, Hq, Hkv*D] zero-expanded query; curk/curv [1, 1, Hkv*D]
     # deferred current token; k_hbm/v_hbm [NS, Hkv*D] (or k_hbm = the full
     # [L, 2, NS, HD] cache); o_ref [1, Hq, Hkv*D]; scratch k/v_buf
@@ -93,8 +99,11 @@ def _decode_kernel(
         # (0 * NaN = NaN in the PV matmul otherwise)
         safe = jax.lax.min(blk_idx, jax.lax.max(num_blocks - 1, 0))
         start = pl.multiple_of(block_tables_ref[b, safe] * bs, bs)
-        if dyn_layer or layer >= 0:  # full cache: layer + k/v plane indices
-            return k_hbm.at[layer_idx, which, pl.ds(start, bs), :]
+        if dyn_layer:  # flat [L*2*NS, HD] cache, pre-resolved row base
+            base = row_k if which == 0 else row_v
+            return k_hbm.at[pl.ds(pl.multiple_of(base + start, bs), bs), :]
+        if layer >= 0:  # full cache: static layer + k/v plane indices
+            return k_hbm.at[layer, which, pl.ds(start, bs), :]
         return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_chunk(slot, ci):
@@ -215,6 +224,7 @@ def _fullrow_kernel(
     nb: int = 2,  # row buffers in flight
     quant: bool = False,  # int8 KV: ks/vs operands carry expanded scales
     dyn_layer: bool = False,  # layer index arrives as scalar prefetch
+    ns: int = 0,  # dyn mode: slots per (layer, plane) in the FLAT cache
 ):
     """Whole-row variant: each grid step computes one batch row's attention in
     two MXU calls over the full (bucketed) context, with the NEXT row's KV
@@ -231,11 +241,13 @@ def _fullrow_kernel(
     if dyn_layer:
         block_tables_ref, kv_lens_ref, layer_ref = refs[:3]
         refs = refs[3:]
-        layer_idx = layer_ref[0]
+        # flat [L*2*NS, HD] cache; resolve the layer to row bases ONCE (the
+        # kernel is DMA-issue-rate bound — see _decode_kernel note)
+        row_k = layer_ref[0] * (2 * ns)
+        row_v = row_k + ns
     else:
         block_tables_ref, kv_lens_ref = refs[:2]
         refs = refs[2:]
-        layer_idx = layer
     qe_ref, curk_ref, curv_ref, k_hbm, v_hbm = refs[:5]
     refs = refs[5:]
     if quant:
@@ -246,8 +258,11 @@ def _fullrow_kernel(
     nrows = pl.num_programs(0)
 
     def kv_slab(which, start):
-        if dyn_layer or layer >= 0:
-            return k_hbm.at[layer_idx, which, pl.ds(start, bs), :]
+        if dyn_layer:
+            base = row_k if which == 0 else row_v
+            return k_hbm.at[pl.ds(pl.multiple_of(base + start, bs), bs), :]
+        if layer >= 0:
+            return k_hbm.at[layer, which, pl.ds(start, bs), :]
         return (k_hbm if which == 0 else v_hbm).at[pl.ds(start, bs), :]
 
     def start_row(row):
@@ -431,7 +446,13 @@ def paged_decode_attention(
     hkv = hd // d
     kv_dtype = k_cache.dtype
     dyn_layer = layer_arr is not None
+    ns_plane = 0
     if dyn_layer:
+        # flatten [L, 2, NS, HD] -> [L*2*NS, HD] (free: row-major view) so
+        # the kernel's per-issue address math is one scalar add off a
+        # pre-multiplied row base instead of a 4-D dynamic index
+        ns_plane = k_cache.shape[-2]
+        k_cache = k_cache.reshape(-1, hd)
         v_cache = jnp.zeros((1, hd), kv_dtype)  # placeholder operand
     elif layer >= 0:
         # the kernel DMAs from the full cache at a static (layer, plane)
@@ -475,7 +496,7 @@ def paged_decode_attention(
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,
-            quant=quant, dyn_layer=dyn_layer,
+            quant=quant, dyn_layer=dyn_layer, ns=ns_plane,
         )
         scratch = [
             pltpu.VMEM((nbf, mb * bs, hd), kv_dtype),
@@ -486,7 +507,7 @@ def paged_decode_attention(
         kernel = functools.partial(
             _decode_kernel, bs=bs, c=c, nbuf=nbuf, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer,
-            dyn_layer=dyn_layer,
+            dyn_layer=dyn_layer, ns=ns_plane,
         )
         scratch = [
             pltpu.VMEM((nbuf, c * bs, hd), kv_dtype),
