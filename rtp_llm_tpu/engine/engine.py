@@ -450,16 +450,32 @@ class LlmEngine:
         mc = self.model.cfg
         dev = jax.devices()[0]
         stats = getattr(dev, "memory_stats", lambda: None)()
-        if stats and "bytes_limit" in stats:
+        if stats and stats.get("bytes_limit"):
             free = stats["bytes_limit"] * cc.memory_utilization - stats.get(
                 "bytes_in_use", 0
             ) - cc.reserve_runtime_mem_mb * (1 << 20)
-        else:
-            # CPU backend / unknown: keep the pool SMALL — XLA:CPU does not
+        elif dev.platform == "cpu":
+            # CPU backend: keep the pool SMALL — XLA:CPU does not
             # reliably alias huge donated buffers across scan steps, so an
             # oversized pool turns every decode step into whole-pool memcpys
             # (measured: 14 s/step on a tiny model with a 2 GiB pool)
             free = 256 << 20
+        else:
+            # TPU without memory_stats (tunneled/remote PJRT): budget from
+            # the device kind's known HBM minus the RESIDENT weight bytes.
+            # Falling into the CPU fallback here starved serving to a
+            # 139-block pool on a 16 GB chip (measured: decode batch avg 7
+            # of 64, TTFT p50 33.7 s under 8 req/s load).
+            hbm_gb = float(os.environ.get("RTP_HBM_GB", "0")) or {
+                "TPU v4": 32.0, "TPU v5 lite": 16.0, "TPU v5e": 16.0,
+                "TPU v5": 95.0, "TPU v5p": 95.0, "TPU v6 lite": 32.0,
+                "TPU v6e": 32.0,
+            }.get(dev.device_kind, 16.0)
+            wbytes = sum(
+                getattr(w, "nbytes", 0)
+                for w in jax.tree.leaves(self.weights))
+            free = (hbm_gb * (1 << 30) * cc.memory_utilization - wbytes
+                    - cc.reserve_runtime_mem_mb * (1 << 20))
         kv_dtype_bytes = 1 if self.config.quant.kv_cache_dtype in ("int8", "fp8") else 2
         n_pool_layers = mc.num_layers
         if getattr(self.model, "swa_split", False):

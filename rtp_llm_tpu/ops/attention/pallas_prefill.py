@@ -199,6 +199,16 @@ def paged_prefill_attention(
             pltpu.SemaphoreType.DMA((NBUF, CHUNK_BLOCKS, 2)),
         ],
     )
+    # the fp32 accumulator + double-buffered q/o tiles total ~18 MB at
+    # TILE=64/Hq=28 — just over Mosaic's 16 MB scoped-vmem default (v5e has
+    # 128 MiB physical VMEM); raise the per-kernel limit instead of
+    # shrinking the tile (TILE=32 halves MXU row utilization)
+    kw = {}
+    try:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20)
+    except TypeError:  # older pallas: no vmem_limit knob
+        pass
     out_full = pl.pallas_call(
         functools.partial(
             _prefill_kernel, bs=block_size, c=CHUNK_BLOCKS, nbuf=NBUF,
@@ -207,6 +217,7 @@ def paged_prefill_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t, hq, hd), q.dtype),
         interpret=interpret,
+        **kw,
     )(block_table, scalars, q_exp, k_cache, v_cache)
 
     of = out_full.reshape(t, hkv, g, hkv, d)

