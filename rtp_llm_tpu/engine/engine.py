@@ -65,7 +65,18 @@ class LlmEngine:
             and not os.environ.get("RTP_DISABLE_WEIGHT_FUSION")
         )
         if self.fuse_eligible:
-            self.weights = model.fuse_weights(self.weights)
+            fused = model.fuse_weights(self.weights)
+            if fused is not self.weights and isinstance(weights, dict):
+                # sync the CALLER's dict in place: fuse_weights returns a
+                # new dict, and a caller still holding the original would
+                # pin the unfused q/k/v + gate/up device buffers alive —
+                # ~4.3 GB of duplicated HBM for a 7B int8 model (measured:
+                # the difference between the serving engine fitting a 16 GB
+                # chip and OOMing at warmup)
+                weights.clear()
+                weights.update(fused)
+                fused = weights
+            self.weights = fused
         mc = model.cfg
         sc = config.scheduler
         cc = config.cache
@@ -474,7 +485,12 @@ class LlmEngine:
             wbytes = sum(
                 getattr(w, "nbytes", 0)
                 for w in jax.tree.leaves(self.weights))
-            free = (hbm_gb * (1 << 30) * cc.memory_utilization - wbytes
+            # 0.8 of physical, not memory_utilization: bytes_limit on a
+            # visible device already excludes the runtime's own reservation,
+            # but here we only know the PHYSICAL size — a 0.9 budget OOM'd
+            # on v5e (16 GB phys, ~14.5 usable, plus program workspace)
+            util = min(cc.memory_utilization, 0.8)
+            free = (hbm_gb * (1 << 30) * util - wbytes
                     - cc.reserve_runtime_mem_mb * (1 << 20))
         kv_dtype_bytes = 1 if self.config.quant.kv_cache_dtype in ("int8", "fp8") else 2
         n_pool_layers = mc.num_layers
