@@ -26,6 +26,7 @@ import numpy as np
 
 from rtp_llm_tpu.config.model_config import ModelConfig
 from rtp_llm_tpu.loader.weight_maps import WeightSpec, get_weight_specs, hf_names_for
+from rtp_llm_tpu.quant.marker import MARKER, QuantMarker
 
 logger = logging.getLogger(__name__)
 
@@ -232,6 +233,9 @@ class CheckpointLoader:
             tmp = tempfile.mkdtemp(dir=os.path.dirname(cache_dir) or ".")
             manifest = {}
             for i, (name, arr) in enumerate(weights.items()):
+                if isinstance(arr, QuantMarker):
+                    manifest[name] = {"marker": arr.tag}
+                    continue
                 # raw bytes + manifest dtype/shape: np.save cannot represent
                 # the ml_dtypes (bf16/int4/fp8) descriptors
                 a = np.asarray(arr)
@@ -263,6 +267,9 @@ class CheckpointLoader:
                 manifest = json.load(f)
             out = {}
             for name, meta in manifest.items():
+                if "marker" in meta:
+                    out[name] = QuantMarker(meta["marker"])
+                    continue
                 dt = jnp.dtype(meta["dtype"])
                 with open(os.path.join(cache_dir, meta["file"]), "rb") as bf:
                     a = np.frombuffer(bf.read(), dtype=dt).reshape(
@@ -363,7 +370,7 @@ class CheckpointLoader:
             z_all = (z_all.astype(np.float32) - 8.0)
         out = {"": v_all, ".scale": s_all, ".zero": z_all}
         if packable:
-            out[".int4p"] = np.ones((), np.bool_)
+            out[".int4p"] = MARKER
         if any(p is not None for p in perms):
             # act-order: identity perm for layers that happened to be monotonic
             perms = [
@@ -417,7 +424,7 @@ class CheckpointLoader:
                 if base + ".shift" in avail else None)
         stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
         out = {"": stack(vals), ".scale": stack(scales),
-               ".w8a8": np.ones((), np.bool_)}
+               ".w8a8": MARKER}
         if any(s is not None for s in smooths):
             out[".smoother"] = stack([
                 s if s is not None else np.ones(vals[i].shape[-2], np.float32)
@@ -466,6 +473,8 @@ class CheckpointLoader:
         return {"": _cast_float(arr, jnp.dtype(self.cfg.dtype))}
 
     def _place(self, spec: WeightSpec, arr: np.ndarray) -> jax.Array:
+        if isinstance(arr, QuantMarker):
+            return arr  # pytree-static tag: no device placement
         sharding = self.shard_fn(spec, arr.shape) if self.shard_fn else None
         if sharding is not None:
             return jax.device_put(arr, sharding)

@@ -25,6 +25,9 @@ import numpy as np
 from rtp_llm_tpu.config.engine_config import QuantConfig, QuantMethod
 from rtp_llm_tpu.loader.weight_maps import WeightSpec
 
+
+from rtp_llm_tpu.quant.marker import MARKER, QuantMarker  # noqa: F401
+
 # canonical names never quantized (embeddings feed gathers; norms are tiny)
 _NEVER = {"embed_tokens", "final_norm", "input_norm", "post_attn_norm",
           "q_norm", "k_norm", "router", "router_bias", "shared_expert_gate"}
@@ -278,7 +281,7 @@ def make_quant_transform(quant: QuantConfig):
                     and spec.shard_axis != "expert"):
                 # routed experts run the batched capacity path (weight-only
                 # int8 there); everything else contracts in integers
-                out[".w8a8"] = np.ones((), np.bool_)
+                out[".w8a8"] = MARKER
             return out
         if quant.method in (QuantMethod.WEIGHT_ONLY_INT4, QuantMethod.W4A8):
             k = arr.shape[-2]
@@ -291,7 +294,7 @@ def make_quant_transform(quant: QuantConfig):
             if quant.method == QuantMethod.W4A8:
                 # runtime per-token activation quant (integer contraction):
                 # the s8 x s8 einsum consumes unpacked int8 values
-                return {"": q, ".scale": s, ".w4a8": np.ones((), np.bool_)}
+                return {"": q, ".scale": s, ".w4a8": MARKER}
             if not INT4_PACKED or spec.shard_axis == "expert":
                 # routed-expert stacks run the batched _expert_linear /
                 # ep_moe vmap paths (XLA groupwise matmul on int8 values)
@@ -301,7 +304,7 @@ def make_quant_transform(quant: QuantConfig):
             # split-half nibble packing + Pallas dequant-GEMM (0.5 B/elem
             # HBM reads; see ops/quant_gemm.py for why not native s4)
             return {"": pack_split_half(q), ".scale": s,
-                    ".int4p": np.ones((), np.bool_)}
+                    ".int4p": MARKER}
         if quant.method == QuantMethod.FP4:
             k = arr.shape[-2]
             # routed-expert stacks run the batched _expert_linear path,
@@ -311,7 +314,7 @@ def make_quant_transform(quant: QuantConfig):
                 q, s = int8_quantize(np.asarray(arr, np.float32))
                 return {"": q, ".scale": s}
             q, s = fp4_quantize_groupwise(np.asarray(arr, np.float32))
-            return {"": q, ".scale": s, ".fp4": np.ones((), np.bool_)}
+            return {"": q, ".scale": s, ".fp4": MARKER}
         if quant.method == QuantMethod.FP8:
             block = quant.fp8_block_size
             if block and arr.shape[-2] % block != 0:

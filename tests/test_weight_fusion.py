@@ -76,7 +76,8 @@ def test_unfuse_preserves_quant_markers():
     hq, hkv = cfg.num_attention_heads, cfg.num_kv_heads
     I = cfg.intermediate_size
     G = 2  # scale groups
-    mark = jnp.ones((), jnp.bool_)
+    from rtp_llm_tpu.quant.weight_only import MARKER
+    mark = MARKER
 
     w = {}
     outs = {"q_proj": hq * d, "k_proj": hkv * d, "v_proj": hkv * d,
