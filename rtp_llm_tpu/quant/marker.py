@@ -6,9 +6,11 @@ registered as a LEAFLESS pytree node: jax.jit sees it as part of the
 argument STRUCTURE (static), never as a program operand.
 
 Why not a 0-d bool array: the old array markers rode along as ~112 unused
-program parameters on a 7B model and cost a measured **2.8 ms per decode
-step** of per-dispatch argument handling on the tunneled TPU runtime
-(bench.py A/B with markers stripped: 15.11 -> 12.28 ms/step at b=64, K=16).
+program parameters on a 7B model — per-dispatch argument-handling work and
+jit-signature noise for values that are only ever tested for PRESENCE at
+trace time. (They also sat awkwardly in generic weights plumbing: 0-d
+leaves needed special-casing in shard-spec sizing and broke the
+converted-weights cache's byte serialization.)
 
 Presence checks (``name + ".w8a8" in w``) and dict copies behave exactly
 as before; the numpy-compat attrs keep generic weight plumbing (shard-spec
