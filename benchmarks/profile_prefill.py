@@ -50,6 +50,7 @@ def main():
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--block-size", type=int, default=64)
     p.add_argument("--variants", default="full,fwd,matmuls,attn_ref,attn_pl")
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -76,11 +77,12 @@ def main():
     bs = args.block_size
     max_seq = t + 128
     mbs = math.ceil(max_seq / bs)
-    blocks_needed = 4 * mbs + 8
+    nb = args.batch
+    blocks_needed = max(4, nb) * mbs + 8
     econf = EngineConfig(
         cache=CacheConfig(block_size=bs, test_num_blocks=blocks_needed,
                           enable_prefix_cache=False),
-        scheduler=SchedulerConfig(max_batch_size=4, max_seq_len=max_seq,
+        scheduler=SchedulerConfig(max_batch_size=max(4, nb), max_seq_len=max_seq,
                                   prefill_buckets=(t,), decode_steps=1),
         quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
     )
@@ -88,25 +90,35 @@ def main():
     weights = eng.weights
     kv = eng.kv
 
-    bt = np.zeros((1, mbs), np.int32)
-    bt[0, :mbs] = 1 + np.arange(mbs)
+    bt = np.zeros((nb, mbs), np.int32)
+    for r in range(nb):
+        bt[r] = 1 + r * mbs + np.arange(mbs)
     bt_j = jnp.asarray(bt)
-    tokens = jnp.asarray(np.random.randint(10, mc.vocab_size - 10, (1, t)),
+    tokens = jnp.asarray(np.random.randint(10, mc.vocab_size - 10, (nb, t)),
                          jnp.int32)
-    positions = jnp.arange(t, dtype=jnp.int32)[None]
-    kv_lens = jnp.asarray([t], jnp.int32)
-    q_off = jnp.asarray([0], jnp.int32)
+    positions = jnp.tile(jnp.arange(t, dtype=jnp.int32)[None], (nb, 1))
+    kv_lens = jnp.full((nb,), t, jnp.int32)
+    q_off = jnp.zeros((nb,), jnp.int32)
 
     results = {}
     want = args.variants.split(",")
 
     if "full" in want:
         fn = eng._get_prefill_fn(t)
-        def full(kv):
-            kv2, logits = fn(weights, kv, tokens, positions, bt_j, kv_lens,
-                             q_off)
-            return logits
-        results["full"] = timeit(full, kv)
+        # the engine program donates kv — thread it through the timing loop
+        def full_loop(kv, n=5):
+            kv, logits = fn(weights, kv, tokens, positions, bt_j, kv_lens,
+                            q_off)
+            _sync(logits)
+            best = float("inf")
+            for _ in range(n):
+                t0 = time.time()
+                kv, logits = fn(weights, kv, tokens, positions, bt_j,
+                                kv_lens, q_off)
+                _sync(logits)
+                best = min(best, time.time() - t0)
+            return best, kv
+        results["full"], kv = full_loop(kv)
 
     if "fwd" in want:
         @jax.jit
@@ -146,13 +158,13 @@ def main():
                 x = jnp.tanh(x)
             return x
         x0 = jax.device_put(jnp.asarray(
-            np.random.standard_normal((1, t, mc.hidden_size)) * 0.02,
+            np.random.standard_normal((nb, t, mc.hidden_size)) * 0.02,
             jnp.bfloat16))
         results["matmuls"] = timeit(mm_only, weights, x0)
 
     hq, hkv, d = mc.num_attention_heads, mc.num_kv_heads, mc.head_dim
     q0 = jax.device_put(jnp.asarray(
-        np.random.standard_normal((1, t, hq, d)), jnp.bfloat16))
+        np.random.standard_normal((nb, t, hq, d)), jnp.bfloat16))
 
     if "attn_ref" in want:
         from rtp_llm_tpu.ops.attention.ref import paged_attention_ref

@@ -148,6 +148,15 @@ class SchedulerConfig:
     # prefill rounds. 0 = unlimited / no spacing.
     max_prefills_per_step: int = 0
     decode_steps_per_prefill: int = 0
+    # prefill/decode fusion: while decode streams are RUNNING, cap the
+    # prompt tokens admitted per step so one prefill dispatch cannot hold
+    # the device long enough to starve decode TPOT (a packed 4x512 int8-7B
+    # prefill occupies the chip ~200 ms vs a 12.5 ms decode step). Applies
+    # only under mixed load — an idle engine admits freely, so batch
+    # benchmarks and pure-prefill roles are unaffected. At least one
+    # stream is always admitted. 0 = unlimited. (reference:
+    # RuntimeConfig max_context_batch_size / PDFusionRatioScheduler.)
+    max_prefill_tokens_per_step: int = 1024
     # multi-step decode: run N decode iterations inside ONE jitted dispatch
     # (lax.scan over the fused decode+sample body) and read back N token
     # vectors at once. Amortizes host->device dispatch N-fold — the TPU

@@ -89,6 +89,12 @@ class FIFOScheduler:
             1, int(self.cache.pool.num_blocks * self.config.watermark_frac)
         )
         cap = self.config.max_prefills_per_step
+        # mixed-load prefill budget: with decodes running, bound the prompt
+        # tokens dispatched this step so decode TPOT is stalled by at most
+        # one small prefill group (see SchedulerConfig)
+        tok_budget = (self.config.max_prefill_tokens_per_step
+                      if self.running else 0)
+        admitted_tokens = 0
         while self.waiting:
             if cap and len(new_streams) >= cap:
                 break
@@ -102,6 +108,9 @@ class FIFOScheduler:
             # (vLLM-style recompute): context = all tokens except the pending
             # last one, which re-enters decode directly
             ctx_len = s.total_len - 1 if s.output_token_ids else s.prompt_len
+            if tok_budget and new_streams and (
+                    admitted_tokens + ctx_len > tok_budget):
+                break  # budget spent; always admit at least one stream
             need = self.cache.estimate_peak_blocks(
                 ctx_len,
                 min(s.config.max_new_tokens - len(s.output_token_ids),
@@ -118,6 +127,7 @@ class FIFOScheduler:
             s.reuse_len = min(alloc.reuse_len, ctx_len - 1)
             s.state = StreamState.RUNNING
             new_streams.append(s)
+            admitted_tokens += ctx_len - s.reuse_len
 
         if new_streams:
             self._steps_since_prefill = 0

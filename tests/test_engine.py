@@ -330,6 +330,44 @@ def test_pd_fusion_ratio_scheduler():
     assert len(r4.new_streams) == 1
 
 
+def test_prefill_token_budget_under_mixed_load():
+    """max_prefill_tokens_per_step bounds the prompt tokens admitted per
+    step while decodes are running (decode-TPOT protection), admits at
+    least one stream regardless of size, and does not throttle an idle
+    engine (batch benchmarks / pure-prefill roles)."""
+    from rtp_llm_tpu.engine.scheduler import FIFOScheduler
+    from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+    from rtp_llm_tpu.engine.stream import GenerateStream
+
+    sc = SchedulerConfig(max_batch_size=16, max_seq_len=256,
+                         prefill_buckets=(64,),
+                         max_prefill_tokens_per_step=64)
+    sched = FIFOScheduler(sc, KVCacheManager(256, 4))
+    gc = GenerateConfig(max_new_tokens=4, ignore_eos=True)
+    prompt = list(range(1, 33))  # 32 tokens each
+
+    # idle engine: all four admitted in one step despite 4*32 > 64
+    for _ in range(4):
+        sched.enqueue(GenerateStream(list(prompt), gc))
+    r = sched.schedule()
+    assert len(r.new_streams) == 4
+
+    # mixed load (running set non-empty): budget 64 admits two 32-token
+    # prompts per step
+    for _ in range(5):
+        sched.enqueue(GenerateStream(list(prompt), gc))
+    r = sched.schedule()
+    assert len(r.new_streams) == 2
+    r = sched.schedule()
+    assert len(r.new_streams) == 2
+    # an oversized prompt (> budget) is still admitted, alone
+    sched.enqueue(GenerateStream(list(range(1, 129)), gc))
+    r = sched.schedule()
+    assert len(r.new_streams) == 1  # the last 32-token stream
+    r = sched.schedule()
+    assert len(r.new_streams) == 1  # the 128-token stream, over budget
+
+
 def test_multi_step_decode_matches_single(tmp_path):
     """decode_steps=N (one dispatch per N tokens) must produce identical
     outputs to per-step decode, including mid-window EOS stops."""
