@@ -100,6 +100,9 @@ def main():
                    help="fused decode steps per dispatch (lower than the "
                         "fixed-batch bench: bounds added TTFT)")
     p.add_argument("--port", type=int, default=18808)
+    p.add_argument("--prefill-budget", type=int, default=None,
+                   help="max_prefill_tokens_per_step override "
+                        "(default: SchedulerConfig default; 0 disables)")
     p.add_argument("--platform", default=None)
     args = p.parse_args()
 
@@ -134,6 +137,8 @@ def main():
             max_batch_size=args.max_batch, max_seq_len=max_seq,
             prefill_buckets=(args.input_len,),
             decode_steps=args.decode_steps,
+            **({} if args.prefill_budget is None
+               else {"max_prefill_tokens_per_step": args.prefill_budget}),
         ),
         quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
     )

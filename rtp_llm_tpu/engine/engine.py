@@ -1299,7 +1299,11 @@ class LlmEngine:
                 self._run_prefill_group(group)
 
     def _run_prefill_group(self, group):
-        n_pad = self.PREFILL_PACK
+        # pad to the smallest compiled pack width: a pair runs the [2,T]
+        # program at ~half the [4,T] cost (the matmuls are token-count
+        # bound at T>=512) — matters under max_prefill_tokens_per_step,
+        # which admits small groups while decodes run
+        n_pad = 2 if len(group) <= 2 else self.PREFILL_PACK
         bucket = max(
             self._pick_bucket(s.prompt_len - s.reuse_len) for s in group
         )
@@ -2076,7 +2080,7 @@ class LlmEngine:
         thunks = []
         for bucket in self.config.scheduler.prefill_buckets:
             fn = self._get_prefill_fn(bucket)
-            for rows in (1, self.PREFILL_PACK):
+            for rows in (1, 2, self.PREFILL_PACK):
                 thunks.append((fn, (
                     self.weights, self.kv,
                     jnp.zeros((rows, bucket), jnp.int32),
@@ -2137,7 +2141,7 @@ class LlmEngine:
         with self.device_lock:
             for bucket in self.config.scheduler.prefill_buckets:
                 fn = self._get_prefill_fn(bucket)
-                for rows in (1, self.PREFILL_PACK):
+                for rows in (1, 2, self.PREFILL_PACK):
                     # rows=PACK: the packed continuous-batching prefill
                     # program (serving admits several streams per cycle)
                     self.kv, _ = fn(
@@ -2187,7 +2191,7 @@ class LlmEngine:
                     self.draft.propose(self.state, self.spec.draft_tokens)
             # slot ops + first-token sampler
             v = self.model.cfg.vocab_size
-            for rows in (1, self.PREFILL_PACK):
+            for rows in (1, 2, self.PREFILL_PACK):
                 params_r = SamplingParams.zeros(rows)
                 for need in (False, True):
                     self._first_sample_jit(
