@@ -20,11 +20,92 @@ import json
 import math
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+_HB_LOCK = threading.Lock()
+_HB_STATE = {"phase": "init", "t": time.time()}
+
+
+def _hb(phase: str) -> None:
+    """Phase heartbeat: stderr line + shared file the watchdog parent reads.
+    Any hang then self-localizes to a named phase instead of a 1500s silent
+    timeout (round-3 failure mode — VERDICT.md weak #2)."""
+    now = time.time()
+    with _HB_LOCK:
+        _HB_STATE.update(phase=phase, t=now)
+    line = json.dumps({"t": round(now, 2), "phase": phase})
+    print(f"[bench-hb] {line}", file=sys.stderr, flush=True)
+    path = os.environ.get("BENCH_HB_FILE")
+    if path:
+        try:
+            with open(path, "a") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+
+
+def _hb_ticker(interval: float = 15.0) -> None:
+    """Background thread: re-emit the current phase periodically so elapsed
+    time inside a stuck phase is visible in stderr."""
+    def run():
+        while True:
+            time.sleep(interval)
+            with _HB_LOCK:
+                phase, t = _HB_STATE["phase"], _HB_STATE["t"]
+            print(f"[bench-hb] {json.dumps({'phase': phase, 'in_phase_s': round(time.time() - t, 1)})}",
+                  file=sys.stderr, flush=True)
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _probe_child():
+    """Trivial-op device probe run in a forked child: backend init + one
+    scalar round-trip. Exit 0 = device healthy."""
+    import jax
+    import jax.numpy as jnp
+
+    d = jax.devices()
+    v = float(jnp.arange(8.0).sum())
+    assert v == 28.0, v
+    print(f"[bench-hb] probe ok: {d[0]}", file=sys.stderr, flush=True)
+
+
+def device_probe(timeout_s: int, retries: int = 1, backoff_s: int = 30):
+    """Probe device reachability with a hard deadline BEFORE any heavy work.
+
+    A wedged/degraded tunnel (round-3: even jnp.arange(8).sum() hung) then
+    produces a structured `device_unreachable` diagnosis within ~timeout_s
+    instead of a 1500s perf-zero. Returns None if healthy, else an error
+    string."""
+    import multiprocessing as mp
+    import signal
+
+    ctx = mp.get_context("fork")
+    for attempt in range(retries + 1):
+        _hb(f"device_probe(attempt={attempt})")
+        child = ctx.Process(target=_probe_child)
+        t0 = time.time()
+        child.start()
+        child.join(timeout=timeout_s)
+        if child.is_alive():
+            os.kill(child.pid, signal.SIGKILL)
+            child.join(5)
+            err = (f"device_unreachable: trivial-op probe exceeded "
+                   f"{timeout_s}s (attempt {attempt + 1}/{retries + 1})")
+        elif child.exitcode:
+            err = (f"device_unreachable: probe child exited "
+                   f"rc={child.exitcode} (attempt {attempt + 1}/{retries + 1})")
+        else:
+            _hb(f"device_probe ok ({time.time() - t0:.1f}s)")
+            return None
+        print(f"[bench-hb] {err}", file=sys.stderr, flush=True)
+        if attempt < retries:
+            time.sleep(backoff_s)
+    return err
 
 
 MODELS = {
@@ -161,11 +242,31 @@ def _parse_args():
     p.add_argument("--watchdog", type=int, default=1500,
                    help="overall seconds before emitting a failure line "
                         "(device hangs must not hang the harness); 0=off")
+    p.add_argument("--probe-timeout", type=int, default=90,
+                   help="seconds for the trivial-op device probe before "
+                        "declaring device_unreachable (0=skip probe)")
     return p.parse_args()
+
+
+def _fail(error: str, args=None):
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "tokens/s",
+        "vs_baseline": 0.0,
+        "error": error,
+    }))
+    sys.exit(0)
 
 
 def main():
     args = _parse_args()
+    _hb_ticker()
+
+    if args.probe_timeout and not args.platform:
+        err = device_probe(args.probe_timeout)
+        if err:
+            _fail(err, args)
 
     import jax
 
@@ -186,6 +287,7 @@ def main():
 
     mc = ModelConfig(model_type="qwen2", **MODELS[args.model])
     model = create_model(mc)
+    _hb("weights")
     t0 = time.time()
     weights = build_device_weights(mc, args.quant)
     jax.block_until_ready(weights)
@@ -208,10 +310,13 @@ def main():
                           kv_cache_dtype=("int8" if args.kv == "int8"
                                           else "bfloat16")),
     )
+    _hb("engine_build")
     engine = LlmEngine(model, weights, econf)
+    _hb("warmup")
     t0 = time.time()
     engine.warmup()
     t_warmup = time.time() - t0
+    _hb("prefill")
 
     rng = np.random.default_rng(0)
     gc = lambda: GenerateConfig(
@@ -236,11 +341,13 @@ def main():
     assert all(s.slot >= 0 for s in streams), "not all streams admitted"
 
     # warmup decode (compiles the decode program)
+    _hb("decode_warmup")
     k = max(1, args.multi_steps)
     for _ in range(max(2, args.warmup_steps // k)):
         engine.step()
 
     # timed decode (each engine.step() emits k tokens per stream)
+    _hb("decode_timed")
     n_disp = max(1, args.decode_steps // k)
     t0 = time.time()
     for _ in range(n_disp):
@@ -291,9 +398,15 @@ def _run_with_watchdog():
     import os
     import signal
 
+    import tempfile
+
     args = _parse_args()
     if not args.watchdog:
         return main()
+    hb_file = tempfile.NamedTemporaryFile(
+        mode="w", prefix="bench_hb_", suffix=".jsonl", delete=False)
+    hb_file.close()
+    os.environ["BENCH_HB_FILE"] = hb_file.name
     ctx = mp.get_context("fork")
     child = ctx.Process(target=main)
     child.start()
@@ -301,12 +414,24 @@ def _run_with_watchdog():
     if child.is_alive():
         os.kill(child.pid, signal.SIGKILL)
         child.join(5)
+        # self-localize: report which phase the child was in when it hung
+        phase, in_phase_s = "unknown", None
+        try:
+            lines = open(hb_file.name).read().strip().splitlines()
+            if lines:
+                last = json.loads(lines[-1])
+                phase = last.get("phase", "unknown")
+                in_phase_s = round(time.time() - last.get("t", time.time()), 1)
+        except (OSError, ValueError):
+            pass
         print(json.dumps({
             "metric": "decode_tokens_per_sec_per_chip",
             "value": 0.0,
             "unit": "tokens/s",
             "vs_baseline": 0.0,
-            "error": f"bench timed out after {args.watchdog}s (device hang)",
+            "error": (f"bench timed out after {args.watchdog}s in phase "
+                      f"'{phase}'" + (f" ({in_phase_s}s in phase)"
+                                      if in_phase_s is not None else "")),
         }))
         sys.exit(0)
     if child.exitcode:

@@ -40,7 +40,12 @@ class DraftRunner:
     def __init__(self, model, weights: dict, num_blocks: int, block_size: int,
                  prefill_buckets, max_blocks_per_seq: int):
         self.model = model
-        self.weights = weights
+        self.weights = dict(weights)
+        # thread rope tables as program arguments (not closed-over
+        # constants) — same rationale as LlmEngine._inject_aux_weights
+        for k, v in (getattr(model, "aux_weights", dict)() or {}).items():
+            import jax.numpy as _jnp
+            self.weights.setdefault(k, _jnp.asarray(v))
         self.block_size = block_size
         self.buckets = tuple(prefill_buckets)
         self.max_blocks_per_seq = max_blocks_per_seq

@@ -80,6 +80,12 @@ class EagleRunner:
             cfg.head_dim, cfg.max_position_embeddings, cfg.rope_theta,
             cfg.rope_scaling,
         )
+        # thread the rope tables through the draft weight dict so the jitted
+        # prefill/propose programs take them as arguments, not closed-over
+        # constants (see ops/rope.compute_rope_freqs docstring)
+        self.w = dict(self.w)
+        self.w.setdefault("rope_cos", jnp.asarray(self.cos))
+        self.w.setdefault("rope_sin", jnp.asarray(self.sin))
         hkv, d = cfg.num_kv_heads, cfg.head_dim
         self.kv = jnp.zeros((2, num_blocks * block_size, hkv * d),
                             jnp.bfloat16)
@@ -131,8 +137,10 @@ class EagleRunner:
         q = (x @ w["q_proj"]).reshape(b, t, hq, d)
         k = (x @ w["k_proj"]).reshape(b, t, hkv, d)
         v = (x @ w["v_proj"]).reshape(b, t, hkv, d)
-        q = apply_rope(q, positions, self.cos, self.sin)
-        k = apply_rope(k, positions, self.cos, self.sin)
+        cos = w.get("rope_cos", self.cos)
+        sin = w.get("rope_sin", self.sin)
+        q = apply_rope(q, positions, cos, sin)
+        k = apply_rope(k, positions, cos, sin)
         k_cache, v_cache = write_kv(
             kv[0], kv[1], k.reshape(-1, hkv, d), v.reshape(-1, hkv, d), slots)
         kv = jnp.stack([k_cache, v_cache])

@@ -77,6 +77,7 @@ class LlmEngine:
                 weights.update(fused)
                 fused = weights
             self.weights = fused
+        self.weights = self._inject_aux_weights(self.weights)
         mc = model.cfg
         sc = config.scheduler
         cc = config.cache
@@ -446,6 +447,33 @@ class LlmEngine:
                 w = self.model.unfuse_weights(w)
             w.update(pack)
             self.weights = w
+
+    def _inject_aux_weights(self, w: dict) -> dict:
+        """Merge the model's host-resident auxiliary tables (rope cos/sin,
+        alibi slopes — model.aux_weights()) into the weights pytree as device
+        arrays, replicated under a mesh. Compiled programs then receive them
+        as ARGUMENTS: one HBM copy shared by every program variant instead of
+        a constant re-embedded into each program's HLO at lowering (which for
+        a 7B model is ~16 MB of f32 per variant, and on a degraded device
+        link blocks lowering entirely — the round-3 bench hang)."""
+        aux_fn = getattr(self.model, "aux_weights", None)
+        if aux_fn is None:
+            return w
+        aux = aux_fn()
+        if not aux or all(k in w for k in aux):
+            return w
+        if not isinstance(w, dict):
+            return w
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            from rtp_llm_tpu.parallel.shardings import replicated
+
+            rep = replicated(self.mesh)
+            put = lambda a: jax.device_put(jnp.asarray(a), rep)
+        else:
+            put = jnp.asarray
+        for k, v in aux.items():
+            w.setdefault(k, put(v))
+        return w
 
     def _adapter_id_for(self, stream) -> int:
         if self.lora_manager is None:

@@ -36,8 +36,10 @@ class BertModel:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.variant = getattr(cfg, "bert_variant", "bert")
+        import numpy as _np
+        # host numpy: tiny constant, embeds at lowering without device fetch
         self._slopes = (
-            jnp.asarray(alibi_slopes(cfg.num_attention_heads), jnp.float32)
+            _np.asarray(alibi_slopes(cfg.num_attention_heads), _np.float32)
             if cfg.use_alibi else None
         )
 

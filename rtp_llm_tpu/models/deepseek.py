@@ -72,6 +72,17 @@ class DeepseekModel:
         # so the bf16 TPU scorer omits it.
         self.use_dsa = cfg.indexer_topk > 0 and cfg.indexer_head_dim > 0
 
+    def aux_weights(self) -> dict:
+        """Rope tables threaded into the weights pytree by the engine so
+        jitted programs take them as arguments, not closed-over constants
+        (see ops/rope.compute_rope_freqs docstring)."""
+        return {"rope_cos": self.cos, "rope_sin": self.sin}
+
+    def _rope_tables(self, w):
+        if w is not None and "rope_cos" in w:
+            return w["rope_cos"], w["rope_sin"]
+        return self.cos, self.sin
+
     # ---- cache: latent rows (+ DSA indexer keys) ----
 
     def cache_shape(self, num_blocks: int, block_size: int) -> tuple:
@@ -221,9 +232,10 @@ class DeepseekModel:
         k_rope = ckv_full[..., kvl:]  # [B,T,dr] single head
 
         rope_fn = apply_rope_interleave if cfg.rope_interleave else apply_rope
-        q_rope = rope_fn(q_rope, inputs.positions, self.cos, self.sin)
+        cos, sin = self._rope_tables(w)
+        q_rope = rope_fn(q_rope, inputs.positions, cos, sin)
         k_rope = rope_fn(k_rope[:, :, None, :], inputs.positions,
-                         self.cos, self.sin)[:, :, 0]
+                         cos, sin)[:, :, 0]
 
         # absorption: q_abs[..., h, kvl] = q_nope_h @ W_uk_h
         kv_b = w["kv_b_proj"][i].reshape(kvl, hq, dn + dv)
@@ -266,11 +278,11 @@ class DeepseekModel:
             # same tables/interleave as the MLA rope
             nr = di - cfg.qk_rope_head_dim
             qi = jnp.concatenate([
-                rope_fn(qi[..., :nr], inputs.positions, self.cos, self.sin),
+                rope_fn(qi[..., :nr], inputs.positions, cos, sin),
                 qi[..., nr:]], axis=-1)
             ki = jnp.concatenate([
                 rope_fn(ki[:, :, None, :nr], inputs.positions,
-                        self.cos, self.sin)[:, :, 0],
+                        cos, sin)[:, :, 0],
                 ki[..., nr:]], axis=-1)
             idx_plane = idx_plane.at[slots].set(
                 ki.reshape(-1, di).astype(idx_plane.dtype), mode="drop")

@@ -81,8 +81,10 @@ class LlamaFamilyModel:
         # replace RoPE entirely
         self.alibi_slopes = None
         if cfg.use_alibi:
-            self.alibi_slopes = jnp.asarray(
-                alibi_slopes(cfg.num_attention_heads), jnp.float32)
+            # host numpy on purpose — see compute_rope_freqs docstring
+            import numpy as _np
+            self.alibi_slopes = _np.asarray(
+                alibi_slopes(cfg.num_attention_heads), _np.float32)
         self.sm_scale = (
             cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar
             else cfg.head_dim ** -0.5
@@ -648,17 +650,33 @@ class LlamaFamilyModel:
             lambda We, se, ze: quantized_matmul(x, We, se, ze)
         )(W, s[i], z[i])
 
-    def _apply_rope(self, x, inputs: ModelInputs):
+    def aux_weights(self) -> dict:
+        """Host-resident auxiliary tables the engine threads into the weights
+        pytree so jitted programs take them as ARGUMENTS instead of
+        closed-over constants (no per-program HLO embedding, no device fetch
+        at lowering — see compute_rope_freqs docstring)."""
+        aux = {"rope_cos": self.cos, "rope_sin": self.sin}
+        if self.alibi_slopes is not None:
+            aux["alibi_slopes"] = self.alibi_slopes
+        return aux
+
+    def _rope_tables(self, w):
+        if w is not None and "rope_cos" in w:
+            return w["rope_cos"], w["rope_sin"]
+        return self.cos, self.sin
+
+    def _apply_rope(self, x, inputs: ModelInputs, w=None):
+        cos, sin = self._rope_tables(w)
         if self.rotary_dim != self.cfg.head_dim or self.cfg.rope_gptj_pairs:
             if not self.cfg.rope_partial_interleaved:
                 # gpt_neox / phi: first rotary_dim dims rotate half-split
                 from rtp_llm_tpu.ops.rope import apply_rope_partial_neox
 
                 return apply_rope_partial_neox(
-                    x, inputs.positions, self.cos, self.sin, self.rotary_dim)
+                    x, inputs.positions, cos, sin, self.rotary_dim)
             return apply_rope_partial_interleaved(
-                x, inputs.positions, self.cos, self.sin, self.rotary_dim)
-        return apply_rope(x, inputs.positions, self.cos, self.sin)
+                x, inputs.positions, cos, sin, self.rotary_dim)
+        return apply_rope(x, inputs.positions, cos, sin)
 
     # ---- layer ----
 
@@ -714,8 +732,8 @@ class LlamaFamilyModel:
             q = self._norm(q, w["q_norm"][i], cfg.rms_norm_eps)
             k = self._norm(k, w["k_norm"][i], cfg.rms_norm_eps)
         if self.alibi_slopes is None and not cfg.use_learned_positions:
-            q = self._apply_rope(q, inputs)
-            k = self._apply_rope(k, inputs)
+            q = self._apply_rope(q, inputs, w)
+            k = self._apply_rope(k, inputs, w)
 
         cur_k = cur_v = None
         if kv_writes is not None:
@@ -795,7 +813,8 @@ class LlamaFamilyModel:
             k_scale=k_scale, v_scale=v_scale,
             mesh=self.mesh,
             cur_k=cur_k, cur_v=cur_v,
-            alibi_slopes=self.alibi_slopes,
+            alibi_slopes=(w.get("alibi_slopes", self.alibi_slopes)
+                          if self.alibi_slopes is not None else None),
             full_cache=full_cache, layer=li,
         )
         x = self._linear(w, "o_proj", i, attn.reshape(b, t, hq * d), aids)

@@ -35,11 +35,12 @@ class Qwen2VLModel(LlamaFamilyModel):
             [np.full(n, i % 3, np.int32) for i, n in enumerate(sec)]
         )
         assert secmap.shape[0] == cfg.head_dim // 2, (sec, cfg.head_dim)
-        self.secmap = jnp.asarray(secmap)
+        self.secmap = secmap  # host numpy; embeds as a tiny constant
 
-    def _apply_rope(self, x, inputs: ModelInputs):
+    def _apply_rope(self, x, inputs: ModelInputs, w=None):
+        cos, sin = self._rope_tables(w)
         if inputs.mrope_positions is not None:
-            return apply_mrope(x, inputs.mrope_positions, self.cos, self.sin,
+            return apply_mrope(x, inputs.mrope_positions, cos, sin,
                                self.secmap)
         if inputs.pos_deltas is not None:
             from rtp_llm_tpu.ops.rope import apply_rope
@@ -47,8 +48,8 @@ class Qwen2VLModel(LlamaFamilyModel):
             shifted = jnp.maximum(
                 inputs.positions + inputs.pos_deltas[:, None], 0
             )
-            return apply_rope(x, shifted, self.cos, self.sin)
-        return super()._apply_rope(x, inputs)
+            return apply_rope(x, shifted, cos, sin)
+        return super()._apply_rope(x, inputs, w)
 
 
 class Qwen3VLModel(Qwen2VLModel):
@@ -71,7 +72,7 @@ class Qwen3VLModel(Qwen2VLModel):
         if len(sec) == 3:
             secmap[1: sec[1] * 3: 3] = 1  # H
             secmap[2: sec[2] * 3: 3] = 2  # W
-        self.secmap = jnp.asarray(secmap)
+        self.secmap = secmap  # host numpy; embeds as a tiny constant
         ds = (cfg.vision_config or {}).get("deepstack_visual_indexes") or ()
         self.num_deepstack = len(ds)
 

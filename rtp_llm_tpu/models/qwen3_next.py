@@ -151,9 +151,10 @@ class QwenNextModel(LlamaFamilyModel):
         v = self._linear(w, "v_proj", fi, x).reshape(b, t, hkv, d)
         q = rms_norm(q, w["q_norm"][fi], cfg.rms_norm_eps)
         k = rms_norm(k, w["k_norm"][fi], cfg.rms_norm_eps)
-        q = apply_rope_partial_neox(q, inputs.positions, self.cos, self.sin,
+        cos, sin = self._rope_tables(w)
+        q = apply_rope_partial_neox(q, inputs.positions, cos, sin,
                                     self.rotary_dim)
-        k = apply_rope_partial_neox(k, inputs.positions, self.cos, self.sin,
+        k = apply_rope_partial_neox(k, inputs.positions, cos, sin,
                                     self.rotary_dim)
 
         k_cache, v_cache = cache["kv"][fi, 0], cache["kv"][fi, 1]

@@ -21,8 +21,18 @@ def compute_rope_freqs(
     max_len: int,
     theta: float = 10000.0,
     rope_scaling: Optional[dict] = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Return (cos, sin) tables of shape [max_len, head_dim//2] in fp32."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (cos, sin) tables of shape [max_len, head_dim//2] in fp32.
+
+    Returned as HOST numpy arrays on purpose: models build these at
+    construction time, outside jit. If they were device arrays, every jitted
+    program that closes over them would force MLIR lowering to fetch them
+    back from the device to embed as constants (~16 MB per program variant
+    for a 7B model at 32k positions) — bloating HLO, slowing every compile,
+    and blocking lowering entirely on a degraded device link (the round-3
+    bench hang). The engine threads them into the weights pytree
+    (LlmEngine._inject_aux_weights) so compiled programs receive them as
+    arguments; direct callers fall back to embedding the host constant."""
     inv_freq = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
     attn_factor = 1.0
     if rope_scaling:
@@ -54,7 +64,7 @@ def compute_rope_freqs(
     freqs = np.outer(t, inv_freq)
     cos = np.cos(freqs) * attn_factor
     sin = np.sin(freqs) * attn_factor
-    return jnp.asarray(cos, dtype=jnp.float32), jnp.asarray(sin, dtype=jnp.float32)
+    return cos.astype(np.float32), sin.astype(np.float32)
 
 
 def _yarn_inv_freq(inv_freq, head_dim, theta, orig_max, factor, beta_fast, beta_slow):
@@ -94,6 +104,7 @@ def apply_rope_partial_interleaved(
     pairwise fashion — pair (2i, 2i+1) rotates by angle theta_i (HF glm4
     rotate_half is the interleaved variant). cos/sin: [T, rotary_dim//2]."""
     half = rotary_dim // 2
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     c = cos[positions][..., None, :half].astype(jnp.float32)  # [..,1,half]
     s = sin[positions][..., None, :half].astype(jnp.float32)
     xf = x.astype(jnp.float32)
@@ -126,6 +137,7 @@ def apply_rope(
     Rotation pairs (i, i + head_dim//2) — matches HF llama/qwen.
     """
     half = x.shape[-1] // 2
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     c = cos[positions][..., None, :].astype(jnp.float32)  # [..., 1, half]
     s = sin[positions][..., None, :].astype(jnp.float32)
     xf = x.astype(jnp.float32)
@@ -157,9 +169,10 @@ def apply_mrope(
     with mrope_section; text rows have identical t/h/w so this reduces to
     standard neox rope)."""
     half = x.shape[-1] // 2
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
     c3 = jnp.moveaxis(cos[positions3], 1, -1)  # [B, T, half, 3]
     s3 = jnp.moveaxis(sin[positions3], 1, -1)
-    sel = secmap[None, None, :, None]
+    sel = jnp.asarray(secmap)[None, None, :, None]
     c = jnp.take_along_axis(c3, sel, axis=-1)[..., 0][:, :, None, :]  # [B,T,1,half]
     s = jnp.take_along_axis(s3, sel, axis=-1)[..., 0][:, :, None, :]
     xf = x.astype(jnp.float32)

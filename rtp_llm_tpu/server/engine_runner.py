@@ -100,6 +100,7 @@ class EngineRunner:
             eng.lora_manager and eng.lora_manager.names()
         ):
             new_weights = eng.model.fuse_weights(new_weights)
+        new_weights = eng._inject_aux_weights(new_weights)
         with eng.device_lock:
             eng.weights = new_weights
         logger.info("weights updated from %s", model_path)
