@@ -199,6 +199,57 @@ class SpeculativeConfig:
         return self.method != "none" and self.draft_tokens > 0
 
 
+def _rf(name):
+    from rtp_llm_tpu.config import runtime_flags
+
+    return lambda: runtime_flags.get(name)
+
+
+@dataclasses.dataclass
+class KernelConfig:
+    """Kernel / runtime tuning knobs (reference analog: HWKernelConfig +
+    FMHAConfig + MiscellaneousConfig groups, server_args/hw_kernel_group.py).
+
+    Defaults initialize from the legacy env vars (RTP_ATTN_BACKEND etc.) via
+    config.runtime_flags, so both the grouped surface
+    (``--kernel-attn-backend`` / ``RTP_KERNEL_ATTN_BACKEND``) and the legacy
+    bare env vars work; the grouped surface wins when set."""
+
+    # attention backend: auto | pallas | ref (XLA reference path)
+    attn_backend: str = dataclasses.field(default_factory=_rf("attn_backend"))
+    enable_pallas_prefill: bool = dataclasses.field(
+        default_factory=_rf("enable_pallas_prefill"))
+    # fullrow decode kernel tuning (ops/attention/pallas_decode.py)
+    disable_fullrow: bool = dataclasses.field(
+        default_factory=_rf("disable_fullrow"))
+    fullrow_vmem_mb: int = dataclasses.field(
+        default_factory=_rf("fullrow_vmem_mb"))
+    fullrow_nb: int = dataclasses.field(default_factory=_rf("fullrow_nb"))
+    # int4 weight layout: packed 2/byte (Pallas dequant GEMM) vs unpacked s8
+    int4_packed: bool = dataclasses.field(default_factory=_rf("int4_packed"))
+    # disable the scan-over-layers compile-time optimization
+    no_scan_layers: bool = dataclasses.field(
+        default_factory=_rf("no_scan_layers"))
+    # disable load-time QKV / gate-up fusion
+    disable_weight_fusion: bool = dataclasses.field(
+        default_factory=_rf("disable_weight_fusion"))
+    # warmup compile parallelism (engine.warmup)
+    parallel_warmup: bool = dataclasses.field(
+        default_factory=_rf("parallel_warmup"))
+    parallel_warmup_workers: int = dataclasses.field(
+        default_factory=_rf("parallel_warmup_workers"))
+    # HBM size override for KV auto-sizing (0 = per-device-kind table)
+    hbm_gb: float = dataclasses.field(default_factory=_rf("hbm_gb"))
+    # persistent XLA compile cache dir ("" = platform default)
+    compile_cache_dir: str = dataclasses.field(
+        default_factory=_rf("compile_cache_dir"))
+    # converted-weights cache dir ("" = off)
+    weights_cache_dir: str = dataclasses.field(
+        default_factory=_rf("weights_cache_dir"))
+    # multimodal embedding cache budget
+    mm_cache_mb: int = dataclasses.field(default_factory=_rf("mm_cache_mb"))
+
+
 @dataclasses.dataclass
 class ServerConfig:
     host: str = "0.0.0.0"
@@ -225,6 +276,15 @@ class ServerConfig:
     # remote VIT worker endpoint (reference: VIT role, vit_start_server.py);
     # empty = encode in-process on this chip
     vit_endpoint: str = ""
+    # multi-worker launch (server/launcher.py): number of backend workers
+    # and the router port fronting them (0 = no router). Legacy env:
+    # RTP_LAUNCH_WORKERS / RTP_LAUNCH_ROUTER_PORT.
+    launch_workers: int = dataclasses.field(
+        default_factory=lambda: int(
+            __import__("os").environ.get("RTP_LAUNCH_WORKERS", "1")))
+    launch_router_port: int = dataclasses.field(
+        default_factory=lambda: int(
+            __import__("os").environ.get("RTP_LAUNCH_ROUTER_PORT", "0")))
 
 
 @dataclasses.dataclass
@@ -238,6 +298,7 @@ class EngineConfig:
     quant: QuantConfig = dataclasses.field(default_factory=QuantConfig)
     speculative: SpeculativeConfig = dataclasses.field(default_factory=SpeculativeConfig)
     server: ServerConfig = dataclasses.field(default_factory=ServerConfig)
+    kernel: KernelConfig = dataclasses.field(default_factory=KernelConfig)
     # runtime
     enable_profiling: bool = False
     warmup: bool = True
@@ -246,4 +307,5 @@ class EngineConfig:
     # PrefixToCandidateTokens.h:24); "" = off
     tree_decode_config_path: str = ""
 
-    GROUPS = ("parallel", "cache", "scheduler", "quant", "speculative", "server")
+    GROUPS = ("parallel", "cache", "scheduler", "quant", "speculative",
+              "server", "kernel")

@@ -1,0 +1,96 @@
+"""Process-wide runtime flags bridging the config system and low-level ops.
+
+Kernel- and loader-level knobs (Pallas attention tuning, int4 packing, weight
+caching...) are consulted deep inside ops code where no EngineConfig is in
+scope. This registry gives them ONE home: each flag defaults from its legacy
+env var (so bare scripts keep working), and `apply_engine_config` overrides
+them from the parsed config tree so every knob is reachable through the
+``--<group>-<field>`` / ``RTP_<GROUP>_<FIELD>`` dual surface
+(reference analog: py_env_configs.py reading the 36 server_args groups into
+StaticConfig consulted by kernels/loaders).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+_OVERRIDES: Dict[str, Any] = {}
+
+# flag -> (env var, type, default)
+_DEFS = {
+    "attn_backend": ("RTP_ATTN_BACKEND", str, "auto"),
+    "enable_pallas_prefill": ("RTP_ENABLE_PALLAS_PREFILL", bool, False),
+    "disable_fullrow": ("RTP_DISABLE_FULLROW", bool, False),
+    "fullrow_vmem_mb": ("RTP_FULLROW_VMEM_MB", int, 12),
+    "fullrow_nb": ("RTP_FULLROW_NB", int, 0),  # 0 = auto
+    "int4_packed": ("RTP_INT4_UNPACKED", "inv_bool", True),
+    "no_scan_layers": ("RTP_NO_SCAN_LAYERS", bool, False),
+    "disable_weight_fusion": ("RTP_DISABLE_WEIGHT_FUSION", bool, False),
+    "parallel_warmup": ("RTP_PARALLEL_WARMUP", "warmup_bool", True),
+    "parallel_warmup_workers": ("RTP_PARALLEL_WARMUP", "warmup_int", 8),
+    "hbm_gb": ("RTP_HBM_GB", float, 0.0),
+    "compile_cache_dir": ("RTP_COMPILE_CACHE_DIR", str, ""),
+    "weights_cache_dir": ("RTP_WEIGHTS_CACHE_DIR", str, ""),
+    "mm_cache_mb": ("RTP_MM_CACHE_MB", int, 256),
+}
+
+
+def _from_env(name: str):
+    env, typ, default = _DEFS[name]
+    raw = os.environ.get(env)
+    if typ == "inv_bool":  # flag is the NEGATION of the env var
+        return not raw if raw is not None else default
+    if raw is None or raw == "":
+        return default
+    if typ is bool:
+        return str(raw).lower() not in ("0", "false", "no", "off", "")
+    if typ == "warmup_bool":
+        return raw not in ("0", "")
+    if typ == "warmup_int":
+        try:
+            return int(raw)
+        except ValueError:
+            return default
+    try:
+        return typ(raw)
+    except (TypeError, ValueError):
+        return default
+
+
+def get(name: str):
+    """Current value: explicit override (config) > env var > default."""
+    if name in _OVERRIDES:
+        return _OVERRIDES[name]
+    return _from_env(name)
+
+
+def set_flag(name: str, value) -> None:
+    if name not in _DEFS:
+        raise KeyError(name)
+    _OVERRIDES[name] = value
+
+
+def reset() -> None:
+    _OVERRIDES.clear()
+
+
+def apply_engine_config(cfg) -> None:
+    """Push the kernel/runtime fields of an EngineConfig into this registry
+    (called by LlmEngine and the CLI so ops-level code observes them)."""
+    k = getattr(cfg, "kernel", None)
+    if k is not None:
+        set_flag("attn_backend", k.attn_backend)
+        set_flag("enable_pallas_prefill", k.enable_pallas_prefill)
+        set_flag("disable_fullrow", k.disable_fullrow)
+        set_flag("fullrow_vmem_mb", k.fullrow_vmem_mb)
+        set_flag("fullrow_nb", k.fullrow_nb)
+        set_flag("int4_packed", k.int4_packed)
+        set_flag("no_scan_layers", k.no_scan_layers)
+        set_flag("disable_weight_fusion", k.disable_weight_fusion)
+        set_flag("parallel_warmup", k.parallel_warmup)
+        set_flag("parallel_warmup_workers", k.parallel_warmup_workers)
+        set_flag("hbm_gb", k.hbm_gb)
+        set_flag("compile_cache_dir", k.compile_cache_dir)
+        set_flag("weights_cache_dir", k.weights_cache_dir)
+        set_flag("mm_cache_mb", k.mm_cache_mb)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtp_llm_tpu.cache.kv_cache_manager import KVCacheManager
+from rtp_llm_tpu.config import runtime_flags
 from rtp_llm_tpu.config.engine_config import EngineConfig
 from rtp_llm_tpu.config.generate_config import GenerateConfig
 from rtp_llm_tpu.engine import device_state as ds
@@ -55,6 +56,11 @@ class LlmEngine:
         self.weights = weights
         self.config = config
         self.mesh = mesh
+        # push kernel/runtime knobs into the process-wide flag registry so
+        # ops-level code (Pallas gates, loaders, caches) observes them
+        runtime_flags.apply_engine_config(config)
+        if config.kernel.attn_backend != "auto":
+            model.attn_backend = config.kernel.attn_backend
         # load-time QKV / gate|up fusion (models/llama_family.fuse_weights):
         # single-device only (under TP the per-tensor shardings stay clean
         # for GSPMD) and off when LoRA targets the unfused names
@@ -62,7 +68,7 @@ class LlmEngine:
             (mesh is None or mesh.devices.size == 1)
             and not config.server.lora_adapters
             and hasattr(model, "fuse_weights")
-            and not os.environ.get("RTP_DISABLE_WEIGHT_FUSION")
+            and not runtime_flags.get("disable_weight_fusion")
         )
         if self.fuse_eligible:
             fused = model.fuse_weights(self.weights)
@@ -505,7 +511,7 @@ class LlmEngine:
             # Falling into the CPU fallback here starved serving to a
             # 139-block pool on a 16 GB chip (measured: decode batch avg 7
             # of 64, TTFT p50 33.7 s under 8 req/s load).
-            hbm_gb = float(os.environ.get("RTP_HBM_GB", "0")) or {
+            hbm_gb = float(runtime_flags.get("hbm_gb")) or {
                 "TPU v4": 32.0, "TPU v5 lite": 16.0, "TPU v5e": 16.0,
                 "TPU v5": 95.0, "TPU v5p": 95.0, "TPU v6 lite": 32.0,
                 "TPU v6e": 32.0,
@@ -2140,7 +2146,7 @@ class LlmEngine:
             except Exception as e:  # noqa: BLE001 — fall back to sequential
                 logger.debug("parallel warmup compile skipped: %s", e)
 
-        workers = int(os.environ.get("RTP_PARALLEL_WARMUP") or 8)
+        workers = int(runtime_flags.get("parallel_warmup_workers"))
         t0 = time.time()
         with ThreadPoolExecutor(max_workers=max(2, workers)) as ex:
             list(ex.map(compile_one, thunks))
@@ -2156,7 +2162,7 @@ class LlmEngine:
         t0 = time.time()
         b = self.config.scheduler.max_batch_size
         mb = self.max_blocks_per_seq
-        if os.environ.get("RTP_PARALLEL_WARMUP", "1") not in ("0", ""):
+        if runtime_flags.get("parallel_warmup"):
             # phase 1: AOT-compile every program CONCURRENTLY (the XLA /
             # remote-compile layer releases the GIL and compiles requests
             # in parallel), populating the persistent compile cache; the

@@ -44,8 +44,8 @@ class VisionChatHandler:
 
         self._embed_cache: OrderedDict = OrderedDict()
         self._embed_cache_bytes = 0
-        self._embed_cache_cap = int(
-            os.environ.get("RTP_MM_CACHE_MB", "256")) << 20
+        from rtp_llm_tpu.config import runtime_flags
+        self._embed_cache_cap = int(runtime_flags.get("mm_cache_mb")) << 20
         self.mm_cache_hits = 0
         self.mm_cache_misses = 0
 

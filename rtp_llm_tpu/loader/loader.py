@@ -204,7 +204,8 @@ class CheckpointLoader:
     # load-time quantization run once; restarts mmap the converted dump) ----
 
     def _cache_dir(self, model_path: str):
-        root = os.environ.get("RTP_WEIGHTS_CACHE_DIR")
+        from rtp_llm_tpu.config import runtime_flags
+        root = runtime_flags.get("weights_cache_dir")
         if not root or self.shard_fn is not None:
             return None  # sharded loads are placement-specific
         tkey = (getattr(self.transform, "cache_key", None)
@@ -352,13 +353,13 @@ class CheckpointLoader:
             perms.append(perm)
         stack = (lambda xs: np.stack(xs)) if spec.per_layer else (lambda xs: xs[0])
         from rtp_llm_tpu.ops.quant_gemm import pack_split_half
-        from rtp_llm_tpu.quant.weight_only import INT4_PACKED
+        from rtp_llm_tpu.quant.weight_only import int4_packed
 
         v_all, z_all = stack(vals), stack(zeros)
         s_all = stack(scales)
         k_rows = v_all.shape[-2]
         g_rows = s_all.shape[-2]
-        packable = (INT4_PACKED and spec.shard_axis != "expert"
+        packable = (int4_packed() and spec.shard_axis != "expert"
                     and k_rows % 2 == 0 and g_rows % 2 == 0
                     and k_rows % (2 * (k_rows // g_rows)) == 0)
         if packable:

@@ -536,7 +536,9 @@ class LlamaFamilyModel:
         import os as _os
 
         cfg = self.cfg
-        if _os.environ.get("RTP_NO_SCAN_LAYERS"):
+        from rtp_llm_tpu.config import runtime_flags
+
+        if runtime_flags.get("no_scan_layers"):
             return False
         if cfg.num_layers < 2:
             return False

@@ -17,9 +17,15 @@ import jax.numpy as jnp
 from rtp_llm_tpu.ops.attention.ref import paged_attention_ref
 
 _TPU_PLATFORMS = ("tpu", "axon")
-# prefill kernel is opt-in until validated on hardware (see pallas_decode's
-# fullrow gate for the same policy)
-_ENABLE_PALLAS_PREFILL = bool(os.environ.get("RTP_ENABLE_PALLAS_PREFILL"))
+
+
+def _enable_pallas_prefill() -> bool:
+    # prefill kernel is opt-in until validated on hardware (see
+    # pallas_decode's fullrow gate for the same policy); config-aware
+    # (kernel.enable_pallas_prefill / RTP_ENABLE_PALLAS_PREFILL)
+    from rtp_llm_tpu.config import runtime_flags
+
+    return bool(runtime_flags.get("enable_pallas_prefill"))
 
 
 def default_backend() -> str:
@@ -159,7 +165,7 @@ def paged_attention(
         from rtp_llm_tpu.ops.attention import pallas_decode as _pd
 
         quant_ok = (
-            block_tables.shape[1] * block_size <= _pd.FULLROW_MAX_TOKENS
+            block_tables.shape[1] * block_size <= _pd.fullrow_max_tokens()
         )
     use_pallas = (
         backend == "pallas"
@@ -220,7 +226,7 @@ def paged_attention(
             )
         return out[:, None]
     use_pallas_prefill = (
-        _ENABLE_PALLAS_PREFILL
+        _enable_pallas_prefill()
         and backend == "pallas"
         and b == 1
         and t > 1

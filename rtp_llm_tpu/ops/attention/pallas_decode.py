@@ -413,7 +413,12 @@ def _fullrow_kernel(
 # RTP_DISABLE_FULLROW=1 falls back to chunked for all contexts.
 import os as _os
 
-FULLROW_MAX_TOKENS = 0 if _os.environ.get("RTP_DISABLE_FULLROW") else 2048
+
+def fullrow_max_tokens() -> int:
+    """Config-aware gate (kernel.disable_fullrow / RTP_DISABLE_FULLROW)."""
+    from rtp_llm_tpu.config import runtime_flags
+
+    return 0 if runtime_flags.get("disable_fullrow") else 2048
 
 
 @functools.partial(
@@ -469,7 +474,7 @@ def paged_decode_attention(
     q_exp = jnp.einsum("bkgd,kh->bkghd", q4, eye).reshape(b, hq, hd)
 
     mb = block_tables.shape[1]
-    fullrow = mb * bs <= FULLROW_MAX_TOKENS
+    fullrow = mb * bs <= fullrow_max_tokens()
     has_cur = cur_k is not None
     if not has_cur:
         cur_k = jnp.zeros((b, hd), k_cache.dtype)
@@ -489,10 +494,12 @@ def paged_decode_attention(
         # rings are noise at block 64 (2.85 vs 2.89 ms/step nb8 vs nb4) and
         # NEGATIVE at block 32 (3.79 vs 3.60) — the kernel is DMA-issue-rate
         # bound, not depth bound, so 4 buffers is the sweet spot.
-        vmem_mb = int(_os.environ.get("RTP_FULLROW_VMEM_MB", "12"))
+        from rtp_llm_tpu.config import runtime_flags as _rtf
+
+        vmem_mb = int(_rtf.get("fullrow_vmem_mb"))
         nbf = max(2, min(8, (vmem_mb << 20) // max(2 * mb * bs * hd * 2, 1)))
-        if _os.environ.get("RTP_FULLROW_NB"):
-            nbf = int(_os.environ["RTP_FULLROW_NB"])
+        if _rtf.get("fullrow_nb"):
+            nbf = int(_rtf.get("fullrow_nb"))
         kernel = functools.partial(
             _fullrow_kernel, bs=bs, mb=mb, sm_scale=sm_scale,
             window=sliding_window, has_cur=has_cur, layer=layer, nb=nbf,

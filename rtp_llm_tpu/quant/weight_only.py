@@ -43,9 +43,11 @@ def int8_quantize(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 FP8_MAX = 448.0  # float8_e4m3fn
 
-import os as _os
+def int4_packed() -> bool:
+    """Config-aware (kernel.int4_packed / RTP_INT4_UNPACKED negated)."""
+    from rtp_llm_tpu.config import runtime_flags
 
-INT4_PACKED = not _os.environ.get("RTP_INT4_UNPACKED")
+    return bool(runtime_flags.get("int4_packed"))
 
 
 def to_int4(q: np.ndarray) -> np.ndarray:
@@ -295,7 +297,7 @@ def make_quant_transform(quant: QuantConfig):
                 # runtime per-token activation quant (integer contraction):
                 # the s8 x s8 einsum consumes unpacked int8 values
                 return {"": q, ".scale": s, ".w4a8": MARKER}
-            if not INT4_PACKED or spec.shard_axis == "expert":
+            if not int4_packed() or spec.shard_axis == "expert":
                 # routed-expert stacks run the batched _expert_linear /
                 # ep_moe vmap paths (XLA groupwise matmul on int8 values)
                 return {"": q, ".scale": s}

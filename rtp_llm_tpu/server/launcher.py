@@ -133,8 +133,10 @@ def launch(config) -> int:
     config: EngineConfig; worker i serves on server.port + i. The router (if
     launch_router_port set via env RTP_LAUNCH_ROUTER_PORT or --launch-* flags)
     fronts them with least-loaded routing."""
-    n_workers = int(os.environ.get("RTP_LAUNCH_WORKERS", "1"))
-    router_port = int(os.environ.get("RTP_LAUNCH_ROUTER_PORT", "0"))
+    n_workers = int(getattr(config.server, "launch_workers", 0)
+                    or os.environ.get("RTP_LAUNCH_WORKERS", "1"))
+    router_port = int(getattr(config.server, "launch_router_port", 0)
+                      or os.environ.get("RTP_LAUNCH_ROUTER_PORT", "0"))
     base_port = config.server.port
     mgr = ProcessManager()
 

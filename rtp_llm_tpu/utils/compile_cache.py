@@ -20,8 +20,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> str:
     """Point jax at a persistent compilation cache (idempotent)."""
     import jax
 
+    from rtp_llm_tpu.config import runtime_flags
+
     cache_dir = (cache_dir
-                 or os.environ.get("RTP_COMPILE_CACHE_DIR")
+                 or runtime_flags.get("compile_cache_dir")
                  or os.path.join(os.path.expanduser("~"), ".cache",
                                  "rtp_llm_tpu", "jax_cache"))
     os.makedirs(cache_dir, exist_ok=True)

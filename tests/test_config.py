@@ -116,6 +116,118 @@ def test_reference_type_aliases_resolve():
             assert alias in _REGISTRY, alias
 
 
+def _synthetic_value(ftype, current):
+    """A value of the field's type that differs from `current`."""
+    import enum
+    import typing
+
+    origin = typing.get_origin(ftype)
+    if origin is typing.Union:
+        args = [a for a in typing.get_args(ftype) if a is not type(None)]
+        ftype = args[0] if args else str
+        origin = typing.get_origin(ftype)
+    if ftype is bool:
+        return (not current), ("0" if current else "1")
+    if ftype is int:
+        v = (current or 0) + 7
+        return v, str(v)
+    if ftype is float:
+        v = (current or 0.0) + 0.5
+        return v, str(v)
+    if origin is tuple or ftype is tuple:
+        v = (3, 9)
+        return v, "3,9"
+    if isinstance(ftype, type) and issubclass(ftype, enum.Enum):
+        opts = list(ftype)
+        v = opts[1] if len(opts) > 1 and opts[0] == current else opts[0]
+        return v, v.value
+    v = "synthval" if current != "synthval" else "synthval2"
+    return v, v
+
+
+def test_full_flag_surface_parity(monkeypatch):
+    """EVERY field of EVERY config group is settable both via env var
+    (RTP_<GROUP>_<FIELD>) and via CLI flag (--<group>-<field>), with CLI
+    winning over env (reference parity: server_args.py 36 groups expose each
+    engine option both ways). Walks the dataclass tree — a new field that is
+    not parseable both ways fails this test."""
+    import dataclasses
+    import typing
+
+    from rtp_llm_tpu.config.server_args import (
+        _iter_fields, env_name, flag_name,
+    )
+
+    n_checked = 0
+    for group_name, group, f in _iter_fields(EngineConfig()):
+        hints = typing.get_type_hints(type(group))
+        ftype = hints.get(f.name, str)
+        current = getattr(group, f.name)
+        want, raw = _synthetic_value(ftype, current)
+
+        # env path
+        ev = env_name(group_name, f.name)
+        monkeypatch.setenv(ev, raw)
+        cfg = parse_engine_config([])
+        got = getattr(getattr(cfg, group_name) if group_name else cfg, f.name)
+        assert got == want, f"env {ev}={raw!r}: got {got!r} want {want!r}"
+        monkeypatch.delenv(ev)
+
+        # CLI path
+        fl = flag_name(group_name, f.name)
+        cfg2 = apply_env_and_args(EngineConfig(), [fl, raw])
+        got2 = getattr(getattr(cfg2, group_name) if group_name else cfg2,
+                       f.name)
+        assert got2 == want, f"flag {fl} {raw!r}: got {got2!r} want {want!r}"
+
+        # CLI wins over env
+        monkeypatch.setenv(ev, raw)
+        other_want, other_raw = _synthetic_value(ftype, want)
+        cfg3 = apply_env_and_args(EngineConfig(), [fl, other_raw])
+        got3 = getattr(getattr(cfg3, group_name) if group_name else cfg3,
+                       f.name)
+        assert got3 == other_want, f"{fl} should beat {ev}"
+        monkeypatch.delenv(ev)
+        n_checked += 1
+
+    # every group + the flat EngineConfig fields are covered
+    total = sum(len(dataclasses.fields(getattr(EngineConfig(), g)))
+                for g in EngineConfig.GROUPS)
+    total += sum(1 for f in dataclasses.fields(EngineConfig)
+                 if f.name not in EngineConfig.GROUPS)
+    assert n_checked == total and n_checked >= 80, n_checked
+
+
+def test_kernel_flags_reach_ops(monkeypatch):
+    """KernelConfig fields propagate into the runtime_flags registry that
+    ops-level code consults (and legacy bare env vars still work)."""
+    from rtp_llm_tpu.config import runtime_flags
+
+    runtime_flags.reset()
+    try:
+        # legacy env honored as default
+        monkeypatch.setenv("RTP_ATTN_BACKEND", "ref")
+        assert runtime_flags.get("attn_backend") == "ref"
+        cfg = parse_engine_config([])
+        assert cfg.kernel.attn_backend == "ref"
+        # grouped surface wins
+        cfg2 = parse_engine_config(["--kernel-attn-backend", "pallas"])
+        runtime_flags.apply_engine_config(cfg2)
+        assert runtime_flags.get("attn_backend") == "pallas"
+        # negated legacy env (RTP_INT4_UNPACKED)
+        runtime_flags.reset()
+        monkeypatch.setenv("RTP_INT4_UNPACKED", "1")
+        assert runtime_flags.get("int4_packed") is False
+        # legacy warmup env: "0" disables, N sets workers
+        monkeypatch.setenv("RTP_PARALLEL_WARMUP", "0")
+        assert runtime_flags.get("parallel_warmup") is False
+        monkeypatch.setenv("RTP_PARALLEL_WARMUP", "4")
+        assert runtime_flags.get("parallel_warmup") is True
+        assert runtime_flags.get("parallel_warmup_workers") == 4
+    finally:
+        runtime_flags.reset()
+
+
 def test_extra_configs_merge():
     """extra_configs nests generate-config fields (reference:
     ChatCompletionRequest.extra_configs, api_datatype.py:150); explicit

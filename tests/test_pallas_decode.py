@@ -98,7 +98,7 @@ def test_fullrow_path_matches(monkeypatch):
     collision with the chunked-path tests)."""
     import rtp_llm_tpu.ops.attention.pallas_decode as pd
 
-    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    monkeypatch.setattr(pd, "fullrow_max_tokens", lambda: 2048)
     q, k, v, bt, lens = _setup(b=3, hq=8, hkv=2, max_blocks=6,
                                kv_lens=[3, 50, 96])
     sm = 1.0 / np.sqrt(q.shape[-1])
@@ -126,7 +126,7 @@ def test_sliding_window_matches_reference(window):
 def test_sliding_window_fullrow(monkeypatch):
     import rtp_llm_tpu.ops.attention.pallas_decode as pd
 
-    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    monkeypatch.setattr(pd, "fullrow_max_tokens", lambda: 2048)
     q, k, v, bt, lens = _setup(b=2, hq=8, hkv=2, max_blocks=7,
                                kv_lens=[30, 100])
     sm = 0.1
@@ -147,7 +147,7 @@ def test_int8_kv_quant_fullrow(monkeypatch):
     import rtp_llm_tpu.ops.attention.pallas_decode as pd
     from rtp_llm_tpu.ops.attention import _expand_kv_scales
 
-    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    monkeypatch.setattr(pd, "fullrow_max_tokens", lambda: 2048)
     rng = np.random.default_rng(7)
     b, hq, hkv, d, nb, max_blocks = 4, 8, 2, 128, 32, 6
     q, k, v, bt, lens = _setup(b=b, hq=hq, hkv=hkv, d=d, nb=nb,
@@ -181,7 +181,7 @@ def test_int8_kv_dispatch_uses_pallas(monkeypatch):
     import rtp_llm_tpu.ops.attention as attn_mod
     import rtp_llm_tpu.ops.attention.pallas_decode as pd
 
-    monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", 2048)
+    monkeypatch.setattr(pd, "fullrow_max_tokens", lambda: 2048)
     rng = np.random.default_rng(3)
     b, hq, hkv, d = 2, 4, 2, 128
     q, k, v, bt, lens = _setup(b=b, hq=hq, hkv=hkv, max_blocks=4,
@@ -239,7 +239,7 @@ def test_dynamic_layer_matches_static(monkeypatch):
     sm = 1.0 / np.sqrt(d)
 
     for fullrow_max in (2048, 0):  # fullrow then chunked kernel
-        monkeypatch.setattr(pd, "FULLROW_MAX_TOKENS", fullrow_max)
+        monkeypatch.setattr(pd, "fullrow_max_tokens", lambda: fullrow_max)
         for l in range(L):
             static = pd.paged_decode_attention(
                 qj, fullj, fullj, btj, lensj, sm, block_size=bs,
