@@ -83,6 +83,16 @@ class ParallelConfig:
     # collect per-expert gating counts each step and rebalance the most
     # unbalanced MoE layer every eplb_interval steps; 0 = off
     eplb_interval: int = 0
+    # redundant physical expert slots per MoE layer (reference:
+    # rebalance_experts num_replicas - num_logical, eplb/eplb.py:193). R > 0
+    # enables the replicated tier: hot experts get extra copies and
+    # rebalances swap weight rows without retracing. Must keep
+    # (E + R) % tp_size == 0.
+    eplb_redundant: int = 0
+    # only rebalance when the measured imbalance (max/mean shard load)
+    # exceeds this; 0 = rebalance every interval (reference:
+    # ExpertBalancer imbalance trigger)
+    eplb_threshold: float = 0.0
 
     # multi-host
     num_hosts: int = 1

@@ -84,6 +84,19 @@ class LlmEngine:
                 fused = weights
             self.weights = fused
         self.weights = self._inject_aux_weights(self.weights)
+        if config.parallel.eplb_redundant > 0:
+            from rtp_llm_tpu.parallel import eplb as _eplb
+
+            shards = (mesh.shape.get("tp", 1) if mesh is not None else 1)
+            expanded = _eplb.expand_expert_stacks(
+                self.weights, config.parallel.eplb_redundant, shards)
+            if expanded is not self.weights and isinstance(weights, dict):
+                # same caller-dict sync as fuse_weights: don't pin the
+                # unexpanded expert stacks alive in the caller's reference
+                weights.clear()
+                weights.update(expanded)
+                expanded = weights
+            self.weights = expanded
         mc = model.cfg
         sc = config.scheduler
         cc = config.cache
@@ -399,17 +412,48 @@ class LlmEngine:
             return None
         layer = eplb.pick_layer(loads_by_layer, max(num_shards, 1))
         load = loads_by_layer[layer]
-        perm = eplb.balance_plan(load, max(num_shards, 1))
-        before = eplb.imbalance(load, max(num_shards, 1))
-        after = eplb.imbalance(load, max(num_shards, 1), perm)
-        self.weights = eplb.apply_layer_permutation(
-            self.weights, layer, perm
-        )
+        replicated = "eplb_log2phy" in self.weights
+        if replicated:
+            # "before" against the CURRENT replicated placement
+            cur_l2p = np.asarray(self.weights["eplb_log2phy"])[layer]
+            cur_cnt = np.asarray(self.weights["eplb_rep_count"])[layer]
+            np_phys = self.weights["moe_gate"].shape[1]
+            before = eplb.replicated_imbalance(
+                load, eplb.phy2log_from_mapping(cur_l2p, cur_cnt, np_phys),
+                cur_cnt, max(num_shards, 1))
+        else:
+            before = eplb.imbalance(load, max(num_shards, 1))
+        threshold = self.config.parallel.eplb_threshold
+        if threshold > 0 and before <= threshold:
+            return None
+        if replicated:
+            # replicated tier: hot experts get extra physical copies
+            # (reference: rebalance_experts, eplb/eplb.py:193) — weight-row
+            # rewrite only, no retrace
+            num_phys = self.weights["moe_gate"].shape[1]
+            mc = self.model.cfg
+            phy2log, log2phy, rep_count = eplb.rebalance_experts(
+                load, num_phys, max(num_shards, 1),
+                num_groups=getattr(mc, "moe_n_group", 1) or 1,
+                num_nodes=self.config.parallel.num_hosts,
+            )
+            after = eplb.replicated_imbalance(
+                load, phy2log, rep_count, max(num_shards, 1))
+            self.weights = eplb.apply_replicated_balance(
+                self.weights, layer, phy2log, log2phy, rep_count)
+            plan = phy2log.tolist()
+        else:
+            perm = eplb.balance_plan(load, max(num_shards, 1))
+            after = eplb.imbalance(load, max(num_shards, 1), perm)
+            self.weights = eplb.apply_layer_permutation(
+                self.weights, layer, perm
+            )
+            plan = perm.tolist()
         from rtp_llm_tpu.utils.metrics import METRICS
 
         METRICS.inc("engine.eplb_rebalances")
         return {"layer": layer, "imbalance_before": before,
-                "imbalance_after": after, "perm": perm.tolist()}
+                "imbalance_after": after, "perm": plan}
 
     def _eplb_tick(self):
         """Closed-loop EPLB: every eplb_interval steps read the device-side

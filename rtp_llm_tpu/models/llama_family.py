@@ -919,11 +919,28 @@ class LlamaFamilyModel:
             top_vals = top_vals * cfg.moe_routed_scaling_factor
 
         if gating_out is not None:
-            e = w["moe_gate"].shape[1]
+            # LOGICAL loads (pre-replica-remap): the EPLB balancer plans over
+            # logical experts
+            e = (w["eplb_log2phy"].shape[1] if "eplb_log2phy" in w
+                 else w["moe_gate"].shape[1])
             gating_out.append(jnp.sum(
                 top_idx.reshape(-1)[:, None] == jnp.arange(e)[None, :],
                 axis=0,
             ).astype(jnp.int32))
+
+        if "eplb_log2phy" in w:
+            # redundant-expert remap (parallel/eplb.py tier 2): logical
+            # expert id -> one of its physical replicas, token-index
+            # round-robin so a hot expert's load spreads evenly. Mapping
+            # arrays are weights-pytree arguments: rebalances never retrace.
+            l2p = w["eplb_log2phy"][i]  # [E, max_rep]
+            cnt = w["eplb_rep_count"][i]  # [E]
+            rr = (jnp.arange(top_idx.shape[0], dtype=jnp.int32)[:, None]
+                  % cnt[top_idx])
+            top_idx = jnp.take_along_axis(
+                l2p[top_idx], rr[..., None].astype(jnp.int32), axis=-1
+            )[..., 0]
+
         def experts(xp, idxp, valp):
             if "moe_gate.scale" not in w:
                 from rtp_llm_tpu.ops.moe import fused_moe

@@ -97,3 +97,132 @@ def test_eplb_closed_loop_from_live_gating(tmp_path):
     got = e.generate([1, 5, 9], gc()).output_token_ids
     assert got == base  # permutation must not change outputs
     assert METRICS.snapshot()["counters"].get("engine.eplb_rebalances", 0) > n0
+
+
+def test_rebalance_experts_fixes_single_hotspot():
+    """VERDICT r3 done-criterion: one expert carrying 50% of total load
+    converges to <= 1.2x imbalance via replication (a permutation-only
+    balancer CANNOT fix this: max shard >= 0.5 while mean = 0.25)."""
+    load = np.array([700, 100, 100, 100, 100, 100, 100, 100], np.float64)
+    assert load[0] / load.sum() == 0.5
+    num_shards = 4
+    # permutation floor: hot expert pins its shard at 2x mean
+    assert eplb.imbalance(load, num_shards, eplb.balance_plan(load, num_shards)) > 1.5
+    phy2log, log2phy, rep_count = eplb.rebalance_experts(
+        load, num_phys=12, num_shards=num_shards)
+    assert eplb.replicated_imbalance(load, phy2log, rep_count, num_shards) <= 1.2
+    assert rep_count[0] >= 3  # the hotspot got most of the replicas
+    # mapping arrays are mutually consistent
+    assert rep_count.sum() == 12
+    for e in range(8):
+        for r in range(rep_count[e]):
+            assert phy2log[log2phy[e, r]] == e
+
+
+def test_rebalance_experts_hierarchical_keeps_groups_on_nodes():
+    """Hierarchical mode (reference eplb.py:97): expert groups pack to nodes
+    first so group-limited routing stays node-local."""
+    rng = np.random.default_rng(0)
+    e, groups, nodes, shards = 16, 4, 2, 4
+    load = rng.uniform(1, 100, e)
+    phy2log, log2phy, rep_count = eplb.rebalance_experts(
+        load, num_phys=20, num_shards=shards, num_groups=groups,
+        num_nodes=nodes)
+    gsz = e // groups
+    slots_per_node = 20 // nodes
+    # every replica of a group lives on exactly one node
+    group_nodes = {}
+    for j, le in enumerate(phy2log):
+        g = le // gsz
+        node = j // slots_per_node
+        group_nodes.setdefault(int(g), set()).add(node)
+    assert all(len(v) == 1 for v in group_nodes.values()), group_nodes
+    assert rep_count.sum() == 20
+
+
+def test_redundant_experts_preserve_outputs_and_rebalance_live(tmp_path):
+    """Engine with eplb_redundant > 0: outputs identical to the R=0 engine
+    (replication is semantically neutral), a live rebalance swaps weight rows
+    without changing outputs, and — unlike the permutation tier — does NOT
+    retrace the decode program (mapping arrays are pytree arguments)."""
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2_moe")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+    def eng(redundant):
+        c = tiny_config("qwen2_moe")
+        c.dtype = "float32"
+        weights = CheckpointLoader(c).load(ckpt)
+        econf = EngineConfig(
+            parallel=ParallelConfig(eplb_redundant=redundant),
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(c), weights, econf)
+
+    gc = lambda: GenerateConfig(max_new_tokens=8, do_sample=False,
+                                ignore_eos=True)
+    prompt = [1, 5, 9, 42, 7]
+    base = eng(0).generate(prompt, gc()).output_token_ids
+
+    e = eng(2)
+    E = tiny_config("qwen2_moe").num_experts
+    assert e.weights["moe_gate"].shape[1] == E + 2
+    assert e.weights["eplb_log2phy"].shape[-1] == 3  # max_rep = R+1 fixed
+    got = e.generate(prompt, gc()).output_token_ids
+    assert got == base
+
+    # live rebalance with a hotspot on expert 0
+    load = np.full(E, 10.0)
+    load[0] = 10.0 * (E - 1)
+    plan = e.apply_expert_balance({0: load}, num_shards=2)
+    assert plan is not None
+    assert plan["imbalance_after"] <= plan["imbalance_before"] + 1e-9
+    after = e.generate(prompt, gc()).output_token_ids
+    assert after == base
+
+
+def test_eplb_threshold_skips_balanced_load(tmp_path):
+    """eplb_threshold > 0: a balanced load below the threshold must NOT
+    trigger a rebalance (reference: ExpertBalancer imbalance trigger)."""
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+
+    cfg = tiny_config("qwen2_moe")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        parallel=ParallelConfig(eplb_threshold=1.5),
+        cache=CacheConfig(block_size=4, test_num_blocks=64),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,)),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+    E = cfg.num_experts
+    balanced = eng.apply_expert_balance({0: np.full(E, 25.0)}, num_shards=2)
+    assert balanced is None  # under threshold -> no-op
+    skew = np.full(E, 1.0)
+    skew[0] = 100.0
+    assert eng.apply_expert_balance({0: skew}, num_shards=2) is not None
