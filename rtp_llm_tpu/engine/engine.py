@@ -367,6 +367,7 @@ class LlmEngine:
         # N's tokens are read back (reference analog: C++ engine async exec)
         self.async_decode = sc.async_decode
         self._pending = None  # (tokens_dev, logprobs_dev, streams)
+        self._timeline = None  # active gen_timeline window (dict) or None
 
         # beam search groups (engine/beam.py); processed synchronously per step
         self._beam_groups = []
@@ -1700,6 +1701,38 @@ class LlmEngine:
         with self.device_lock:
             return self._step_locked()
 
+    def _timeline_tick(self, active):
+        """Per-request profiling (reference: gen_timeline flag,
+        NormalEngine.cc:477-487 + TorchProfiler.h:20-117): when a running
+        stream asked for ``gen_timeline=N``, capture a jax.profiler trace of
+        the next N engine steps into its timeline dir. One window at a time
+        engine-wide; each stream triggers at most once."""
+        t = self._timeline
+        if t is not None:
+            t["remaining"] -= 1
+            if t["remaining"] <= 0:
+                try:
+                    jax.profiler.stop_trace()
+                except RuntimeError:
+                    pass
+                logger.info("gen_timeline trace for request %s -> %s",
+                            t["rid"], t["dir"])
+                self._timeline = None
+            return
+        for s in active:
+            g = int(getattr(s.config, "gen_timeline", 0) or 0)
+            if g > 0 and not getattr(s, "_timeline_done", False):
+                s._timeline_done = True
+                d = (s.config.timeline_dir
+                     or f"/tmp/rtp_llm_timeline/{s.request_id}")
+                try:
+                    jax.profiler.start_trace(d)
+                except RuntimeError:
+                    return  # a global /start_profile window is already open
+                self._timeline = {"remaining": g, "dir": d,
+                                  "rid": s.request_id}
+                return
+
     def _resolve_pending(self):
         """Read back the last dispatched decode step and run stream dispatch
         (stop checks, releases). Overlaps with the device executing the step
@@ -1785,6 +1818,7 @@ class LlmEngine:
                 self._beam_step(group)
 
         active = [s for s in self.scheduler.running if s.slot >= 0]
+        self._timeline_tick(active)
         if not active:
             self._resolve_pending()
             self.step_count += 1
@@ -1959,6 +1993,13 @@ class LlmEngine:
         METRICS.set_gauge("engine.running_streams", len(active))
         METRICS.set_gauge("engine.waiting_streams", self.scheduler.pending)
         METRICS.set_gauge("engine.kv_free_blocks", self.cache_mgr.pool.free_blocks)
+        pool = self.cache_mgr.pool
+        METRICS.set_gauge(
+            "engine.kv_utilization",
+            1.0 - pool.free_blocks / max(pool.num_blocks, 1))
+        METRICS.set_gauge(
+            "engine.batch_occupancy",
+            len(active) / max(self.config.scheduler.max_batch_size, 1))
         self.step_count += 1
         self._eplb_tick()
         return True

@@ -110,7 +110,12 @@ class FIFOScheduler:
             ctx_len = s.total_len - 1 if s.output_token_ids else s.prompt_len
             if tok_budget and new_streams and (
                     admitted_tokens + ctx_len > tok_budget):
-                break  # budget spent; always admit at least one stream
+                # budget spent; always admit at least one stream. The check
+                # uses GROSS ctx_len while admitted_tokens accumulates NET
+                # (ctx - reuse) — deliberately conservative: reuse_len is
+                # only known after allocate(), and a deferred nearly-cached
+                # prompt just waits one step (never over-admits compute).
+                break
             need = self.cache.estimate_peak_blocks(
                 ctx_len,
                 min(s.config.max_new_tokens - len(s.output_token_ids),
@@ -128,6 +133,10 @@ class FIFOScheduler:
             s.state = StreamState.RUNNING
             new_streams.append(s)
             admitted_tokens += ctx_len - s.reuse_len
+            from rtp_llm_tpu.utils.metrics import METRICS
+
+            METRICS.inc("cache.prefix_reused_tokens", s.reuse_len)
+            METRICS.inc("cache.prefill_context_tokens", ctx_len)
 
         if new_streams:
             self._steps_since_prefill = 0

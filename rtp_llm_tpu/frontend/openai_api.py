@@ -784,7 +784,17 @@ class OpenAIApp:
             )
 
     async def metrics(self, request: web.Request):
-        return web.json_response(METRICS.snapshot())
+        """Prometheus text exposition by default (reference parity:
+        kmonitor-reported RtpLLMMetrics become scrapeable);
+        ``?format=json`` (or Accept: application/json) returns the raw
+        snapshot for tooling."""
+        accept = request.headers.get("Accept", "")
+        if (request.query.get("format") == "json"
+                or "application/json" in accept):
+            return web.json_response(METRICS.snapshot())
+        return web.Response(
+            text=METRICS.prometheus_text(),
+            content_type="text/plain", charset="utf-8")
 
     async def start_profile(self, request: web.Request):
         """Start a jax.profiler trace window (reference: StartProfile RPC,

@@ -75,6 +75,41 @@ class MetricsRegistry:
                 "histograms": {k: h.snapshot() for k, h in self._hists.items()},
             }
 
+    def prometheus_text(self, prefix: str = "rtp") -> str:
+        """Render the registry in Prometheus text exposition format
+        (reference analog: the kmonitor reporter sinks RtpLLMSchedulerMetrics
+        / RtpLLMExecutorMetrics to an agent; here any Prometheus scraper can
+        pull the same per-phase timings, queue depths and cache gauges from
+        GET /metrics)."""
+
+        def name_of(k: str) -> str:
+            return prefix + "_" + "".join(
+                c if (c.isalnum() or c == "_") else "_" for c in k)
+
+        lines: List[str] = []
+        with self._lock:
+            lines.append(f"# TYPE {prefix}_uptime_seconds gauge")
+            lines.append(
+                f"{prefix}_uptime_seconds {time.time() - self.start_time:.3f}")
+            for k in sorted(self._counters):
+                n = name_of(k) + "_total"
+                lines.append(f"# TYPE {n} counter")
+                lines.append(f"{n} {self._counters[k]:g}")
+            for k in sorted(self._gauges):
+                n = name_of(k)
+                lines.append(f"# TYPE {n} gauge")
+                lines.append(f"{n} {self._gauges[k]:g}")
+            for k in sorted(self._hists):
+                h = self._hists[k]
+                n = name_of(k)
+                lines.append(f"# TYPE {n} summary")
+                for q, p in ((0.5, 50), (0.9, 90), (0.99, 99)):
+                    lines.append(
+                        f'{n}{{quantile="{q}"}} {h.percentile(p):g}')
+                lines.append(f"{n}_sum {h.total:g}")
+                lines.append(f"{n}_count {h.count}")
+        return "\n".join(lines) + "\n"
+
 
 METRICS = MetricsRegistry()
 

@@ -87,6 +87,18 @@ def test_engine_batched_matches_sequential(tmp_path):
     for s, expect in zip(streams, seq_outputs):
         assert s.output_token_ids == expect
 
+    # 2-stream admission exercises the n_pad=2 pair-pack prefill program
+    # ([2,T] rows + rows=2 first-sample path), which 3 streams skip by
+    # padding straight to PREFILL_PACK=4 (ADVICE r3)
+    eng4 = _build_engine(tiny_config("qwen3"), ckpt)
+    streams2 = [eng4.enqueue(p, gc()) for p in prompts[:2]]
+    for _ in range(100):
+        if all(s.is_finished() for s in streams2):
+            break
+        eng4.step()
+    for s, expect in zip(streams2, seq_outputs[:2]):
+        assert s.output_token_ids == expect
+
 
 def test_fp8_kv_cache_quality(tmp_path):
     """fp8 KV cache must generate nearly the same tokens as fp32 KV
