@@ -280,6 +280,15 @@ class ServerConfig:
     # its decode peer and relays the token stream.
     role: str = "fusion"
     decode_peer: str = ""  # host:port of the decode instance (prefill role)
+    # decode-entrance inversion (reference: DECODE_ENTRANCE=1,
+    # docs/backend/pd_entrance_transpose.md): the DECODE instance is the
+    # request entry — it asks prefill_peer to prefill, pulls the KV
+    # asynchronously and streams tokens straight to the client (no prefill
+    # relay hop). Legacy env DECODE_ENTRANCE honored as the default.
+    decode_entrance: bool = dataclasses.field(
+        default_factory=lambda: __import__("os").environ.get(
+            "DECODE_ENTRANCE", "") not in ("", "0"))
+    prefill_peer: str = ""  # host:port of the prefill instance (decode role)
     # host:port of the decode instance's gRPC plane; when set, PD KV ships
     # as binary protobuf over HTTP/2 instead of the NDJSON HTTP fallback
     decode_grpc_peer: str = ""

@@ -181,11 +181,10 @@ class LlmEngine:
                     "PD disaggregation is not wired for mixed global/SWA "
                     "pool models yet (KV row transfer assumes one paged "
                     "pool)")
-        if (getattr(model, "use_dsa", False)
-                and config.server.role not in ("", "fusion")):
-            raise ValueError(
-                "PD disaggregation is not wired for DSA (V3.2) caches yet "
-                "(KV row transfer assumes one latent pool)")
+        # DSA (V3.2) caches are a {latent, idx_k} pytree: the PD row
+        # transfer tree-maps the per-slot gather/scatter over both planes,
+        # so disaggregated roles work the same as the single latent pool
+        # (round-4 carve-out lift; see test_pd_disagg deepseek_v32 case)
         self.kv = model.init_cache(num_blocks, cc.block_size, kv_dtype,
                                    max_slots=sc.max_batch_size)
         # EPLB closed loop (reference: ExpertBalancer::stepForward,

@@ -34,22 +34,7 @@ class DecodeRole:
         """Body: multipart-free framing — JSON header line + raw KV bytes.
         Header: {token_ids, first_token, first_logprob, dtype, shape, config}.
         """
-        reader = request.content
-        header_line = await reader.readline()
-        meta = json.loads(header_line)
-        if "segments" in meta:  # pytree KV (int8 cache: data + scale arrays)
-            kv_rows = {}
-            for seg in meta["segments"]:
-                raw = await reader.readexactly(int(seg["nbytes"]))
-                kv_rows[seg["name"]] = np.frombuffer(
-                    raw, dtype=np.dtype(seg["dtype"])
-                ).reshape(seg["shape"])
-        else:
-            nbytes = int(meta["nbytes"])
-            raw = await reader.readexactly(nbytes)
-            kv_rows = np.frombuffer(raw, dtype=np.dtype(meta["dtype"])).reshape(
-                meta["shape"]
-            )
+        meta, kv_rows = await _read_kv_payload(request.content)
         cfg = GenerateConfig.from_dict(meta.get("config") or {})
         engine = self.runner.engine
         stream = engine.enqueue_preloaded(
@@ -80,6 +65,127 @@ class DecodeRole:
 
     def add_routes(self, app: web.Application):
         app.router.add_post("/remote_generate", self.remote_generate)
+
+
+def _pack_kv_payload(head: dict, kv_rows) -> bytes:
+    """JSON header line + raw KV bytes (shared framing for both PD
+    directions)."""
+    if isinstance(kv_rows, dict):  # pytree KV (int8 cache: data + scales)
+        segs, body = [], b""
+        for name in sorted(kv_rows):
+            a = np.ascontiguousarray(kv_rows[name])
+            segs.append({"name": name, "dtype": str(a.dtype),
+                         "shape": list(a.shape), "nbytes": a.nbytes})
+            body += a.tobytes()
+        head["segments"] = segs
+    else:
+        kv = np.ascontiguousarray(kv_rows)
+        head.update(dtype=str(kv.dtype), shape=list(kv.shape),
+                    nbytes=kv.nbytes)
+        body = kv.tobytes()
+    return json.dumps(head).encode() + b"\n" + body
+
+
+async def _read_kv_payload(reader):
+    """Inverse of _pack_kv_payload over an aiohttp StreamReader."""
+    header_line = await reader.readline()
+    meta = json.loads(header_line)
+    if "segments" in meta:
+        kv_rows = {}
+        for seg in meta["segments"]:
+            raw = await reader.readexactly(int(seg["nbytes"]))
+            kv_rows[seg["name"]] = np.frombuffer(
+                raw, dtype=np.dtype(seg["dtype"])).reshape(seg["shape"])
+    else:
+        raw = await reader.readexactly(int(meta["nbytes"]))
+        kv_rows = np.frombuffer(
+            raw, dtype=np.dtype(meta["dtype"])).reshape(meta["shape"])
+    return meta, kv_rows
+
+
+class PrefillRole:
+    """Passive routes served by a prefill instance under DECODE-ENTRANCE
+    inversion (reference: docs/backend/pd_entrance_transpose.md + the
+    loadCache RPC on PrefillRpcServer): the decode instance is the request
+    entry; it asks this instance to prefill and streams the KV back in the
+    response body, so the token stream never relays through the prefill
+    node."""
+
+    def __init__(self, runner):
+        self.runner = runner
+
+    async def prefill_kv(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        cfg = GenerateConfig.from_dict(body.get("config") or {})
+        token_ids = list(body["token_ids"])
+        engine = self.runner.engine
+        loop = asyncio.get_running_loop()
+        tok, lp, kv_rows = await loop.run_in_executor(
+            None, engine.prefill_only, token_ids, cfg)
+        payload = _pack_kv_payload(
+            {"first_token": int(tok), "first_logprob": float(lp)}, kv_rows)
+        resp = web.StreamResponse(
+            status=200,
+            headers={"Content-Type": "application/octet-stream"})
+        await resp.prepare(request)
+        # chunked write: the decode side starts consuming KV bytes while the
+        # tail is still in flight (the async-pull of the reference design)
+        for off in range(0, len(payload), 1 << 20):
+            await resp.write(payload[off: off + (1 << 20)])
+        await resp.write_eof()
+        return resp
+
+    def add_routes(self, app: web.Application):
+        app.router.add_post("/prefill_kv", self.prefill_kv)
+
+
+class DecodeEntranceBackend:
+    """Decode-instance generation backend under entrance inversion
+    (reference: DECODE_ENTRANCE=1, DecodeRpcServer.h:11): request enters
+    HERE; the prefill peer computes the first token + KV, which this side
+    pulls asynchronously; decode then proceeds locally and streams straight
+    to the client — removing the prefill relay hop from every token."""
+
+    def __init__(self, engine, runner, prefill_peer: str):
+        self.engine = engine
+        self.runner = runner
+        self.peer = prefill_peer
+        self._session: Optional[aiohttp.ClientSession] = None
+
+    async def _sess(self) -> aiohttp.ClientSession:
+        if self._session is None or self._session.closed:
+            self._session = aiohttp.ClientSession()
+        return self._session
+
+    async def generate(self, token_ids, config: GenerateConfig):
+        """Async generator of (new_tokens, finished, finish_reason) — the
+        same contract as PrefillForwarder.generate, so the OpenAI frontend
+        works unchanged in either entrance."""
+        import dataclasses
+
+        sess = await self._sess()
+        async with sess.post(
+            f"http://{self.peer}/prefill_kv",
+            json={"token_ids": list(map(int, token_ids)),
+                  "config": dataclasses.asdict(config)},
+            timeout=aiohttp.ClientTimeout(total=600),
+        ) as resp:
+            if resp.status != 200:
+                raise RuntimeError(
+                    f"prefill peer error {resp.status}: {await resp.text()}")
+            meta, kv_rows = await _read_kv_payload(resp.content)
+        stream = self.engine.enqueue_preloaded(
+            list(map(int, token_ids)), int(meta["first_token"]), kv_rows,
+            config, first_logprob=float(meta.get("first_logprob", 0.0)),
+        )
+        self.runner.kick()
+        aq = stream.register_async(asyncio.get_running_loop())
+        while True:
+            out = await aq.get()
+            yield ([int(t) for t in out.new_tokens], out.finished,
+                   out.finish_reason.value if out.finish_reason else None)
+            if out.finished:
+                return
 
 
 class PrefillForwarder:
@@ -142,30 +248,16 @@ class PrefillForwarder:
                     await fut
                     return
 
-        head = {
+        payload = _pack_kv_payload({
             "token_ids": list(map(int, token_ids)),
             "first_token": tok,
             "first_logprob": lp,
             "config": dataclasses.asdict(config),
-        }
-        if isinstance(kv_rows, dict):  # pytree KV (int8 cache)
-            segs, body = [], b""
-            for name in sorted(kv_rows):
-                a = np.ascontiguousarray(kv_rows[name])
-                segs.append({"name": name, "dtype": str(a.dtype),
-                             "shape": list(a.shape), "nbytes": a.nbytes})
-                body += a.tobytes()
-            head["segments"] = segs
-        else:
-            kv = np.ascontiguousarray(kv_rows)
-            head.update(dtype=str(kv.dtype), shape=list(kv.shape),
-                        nbytes=kv.nbytes)
-            body = kv.tobytes()
-        header = json.dumps(head).encode() + b"\n"
+        }, kv_rows)
         sess = await self._sess()
         async with sess.post(
             f"http://{self.peer}/remote_generate",
-            data=header + body,
+            data=payload,
             timeout=aiohttp.ClientTimeout(total=600),
         ) as resp:
             if resp.status != 200:

@@ -126,13 +126,25 @@ def serve(config: EngineConfig):
 
     pd_forwarder = None
     if config.server.role == "prefill":
-        if not config.server.decode_peer:
-            raise ValueError("prefill role requires --server-decode-peer")
-        from rtp_llm_tpu.frontend.pd_routes import PrefillForwarder
+        if config.server.decode_peer:
+            # push entrance: this instance is the entry and relays tokens
+            from rtp_llm_tpu.frontend.pd_routes import PrefillForwarder
 
-        pd_forwarder = PrefillForwarder(
-            engine, config.server.decode_peer,
-            decode_grpc_peer=config.server.decode_grpc_peer or None)
+            pd_forwarder = PrefillForwarder(
+                engine, config.server.decode_peer,
+                decode_grpc_peer=config.server.decode_grpc_peer or None)
+        elif not config.server.decode_entrance:
+            raise ValueError(
+                "prefill role requires --server-decode-peer (push entrance) "
+                "or --server-decode-entrance (passive /prefill_kv)")
+    elif (config.server.role == "decode" and config.server.decode_entrance
+          and config.server.prefill_peer):
+        # decode-entrance inversion: this instance is the entry, pulls KV
+        # from the prefill peer (pd_entrance_transpose.md)
+        from rtp_llm_tpu.frontend.pd_routes import DecodeEntranceBackend
+
+        pd_forwarder = DecodeEntranceBackend(
+            engine, runner, config.server.prefill_peer)
 
     api = OpenAIApp(
         runner,
@@ -154,6 +166,11 @@ def serve(config: EngineConfig):
         from rtp_llm_tpu.frontend.pd_routes import DecodeRole
 
         DecodeRole(runner).add_routes(app)
+    if config.server.role == "prefill":
+        # decode-entrance: serve the passive /prefill_kv pull endpoint
+        from rtp_llm_tpu.frontend.pd_routes import PrefillRole
+
+        PrefillRole(runner).add_routes(app)
     logger.info("serving on %s:%d", config.server.host, config.server.port)
     try:
         web.run_app(
