@@ -56,6 +56,10 @@ async def _one(session, url, prompt_ids, max_tokens, results):
                   "temperature": 0.0, "ignore_eos": True, "stream": True},
             timeout=aiohttp.ClientTimeout(total=900),
         ) as resp:
+            if resp.status == 429:  # SLA shed — count explicitly
+                results.append({"ok": False, "rejected": True,
+                                "error": "429"})
+                return
             async for raw in resp.content:
                 line = raw.decode().strip()
                 if not line.startswith("data: "):
@@ -104,6 +108,9 @@ def main():
                    help="max_prefill_tokens_per_step override "
                         "(default: SchedulerConfig default; 0 disables)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--ttft-slo-ms", type=int, default=0,
+                   help="SLA admission guard: shed (429) when projected "
+                        "queue wait exceeds this (0 = off)")
     args = p.parse_args()
 
     import os
@@ -137,6 +144,7 @@ def main():
             max_batch_size=args.max_batch, max_seq_len=max_seq,
             prefill_buckets=(args.input_len,),
             decode_steps=args.decode_steps,
+            ttft_slo_ms=args.ttft_slo_ms,
             **({} if args.prefill_budget is None
                else {"max_prefill_tokens_per_step": args.prefill_budget}),
         ),
@@ -247,6 +255,8 @@ def main():
         "unit": "tokens/s",
         "detail": {
             "requests_ok": len(ok), "requests_failed": fail,
+            "requests_rejected_429": sum(
+                1 for r in results if r.get("rejected")),
             "wall_s": round(wall, 1),
             "ttft_p50_s": pct(ttfts, 50), "ttft_p99_s": pct(ttfts, 99),
             "tpot_p50_s": pct(tpots, 50), "tpot_p99_s": pct(tpots, 99),

@@ -167,6 +167,12 @@ class SchedulerConfig:
     # stream is always admitted. 0 = unlimited. (reference:
     # RuntimeConfig max_context_batch_size / PDFusionRatioScheduler.)
     max_prefill_tokens_per_step: int = 1024
+    # SLA admission guard (reference: FlexLB QueueManager shedding):
+    # reject (HTTP 429) instead of queueing when the projected queue wait
+    # exceeds this bound — at saturation an unbounded FIFO just converts
+    # overload into multi-second TTFT for everyone. 0 = off.
+    ttft_slo_ms: int = 0
+    # ---
     # multi-step decode: run N decode iterations inside ONE jitted dispatch
     # (lax.scan over the fused decode+sample body) and read back N token
     # vectors at once. Amortizes host->device dispatch N-fold — the TPU

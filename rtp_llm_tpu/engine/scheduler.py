@@ -45,13 +45,46 @@ class FIFOScheduler:
         # PD-fusion ratio control (reference: PDFusionRatioScheduler):
         # decode-only steps executed since the last prefill round
         self._steps_since_prefill = 0
+        # SLA admission guard: recent admission timestamps (30 s window)
+        # estimate the drain rate for projected-TTFT shedding
+        self._admit_events: Deque[float] = deque()
 
     # ---- enqueue / cancel ----
 
+    def projected_wait_s(self) -> float:
+        """Estimated queue wait for a NEW request: waiting depth over the
+        recent admission rate (30 s window). The dominant TTFT term at
+        saturation is queue wait, not the request's own prefill."""
+        import time as _time
+
+        now = _time.time()
+        while self._admit_events and now - self._admit_events[0] > 30.0:
+            self._admit_events.popleft()
+        depth = len(self.waiting)
+        if depth == 0:
+            return 0.0
+        rate = len(self._admit_events) / 30.0
+        if rate <= 0.0:
+            # no drain observed: only call it overload once the queue
+            # exceeds a full batch (cold start / brief stall tolerance)
+            return float("inf") if depth > self.config.max_batch_size else 0.0
+        return depth / rate
+
     def enqueue(self, stream: GenerateStream) -> bool:
         if len(self.waiting) >= self.config.max_queue_size:
-            stream.abort("queue full")
+            stream.abort("overloaded: queue full")
             return False
+        slo = self.config.ttft_slo_ms
+        if slo > 0:
+            wait_s = self.projected_wait_s()
+            if wait_s * 1e3 > slo:
+                from rtp_llm_tpu.utils.metrics import METRICS
+
+                METRICS.inc("scheduler.sla_rejections")
+                stream.abort(
+                    f"overloaded: projected queue wait {wait_s:.1f}s "
+                    f"exceeds ttft_slo_ms={slo}")
+                return False
         if stream.prompt_len + 1 > self.config.max_seq_len:
             stream.abort(
                 f"prompt length {stream.prompt_len} exceeds max_seq_len "
@@ -140,6 +173,10 @@ class FIFOScheduler:
 
         if new_streams:
             self._steps_since_prefill = 0
+            import time as _time
+
+            now = _time.time()
+            self._admit_events.extend([now] * len(new_streams))
         else:
             self._steps_since_prefill += 1
         self.running.extend(new_streams)

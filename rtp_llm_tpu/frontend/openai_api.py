@@ -85,6 +85,9 @@ class OpenAIApp:
         while True:
             out = await aq.get()
             if out.error:
+                if out.error.startswith("overloaded"):
+                    # SLA shed / queue full (reference: FlexLB backpressure)
+                    raise web.HTTPTooManyRequests(text=out.error)
                 raise web.HTTPInternalServerError(text=out.error)
             _, hit = detok.push(out.new_tokens)
             if hit and not out.finished:
@@ -125,6 +128,7 @@ class OpenAIApp:
             for i in range(n):
                 s = self.runner.enqueue(token_ids, cfg,
                                         stop_token_sequences=stop_seqs)
+                self._check_admitted(s)
                 streams.append(s)
                 detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
 
@@ -363,6 +367,7 @@ class OpenAIApp:
                     s = self.runner.enqueue(
                         token_ids, cfg, stop_token_sequences=stop_seqs
                     )
+                    self._check_admitted(s)
                     streams.append(s)
                     detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
                 for s, d in zip(streams, detoks):
@@ -400,6 +405,7 @@ class OpenAIApp:
             stream = self.runner.enqueue(token_ids, cfg,
                                          stop_token_sequences=stop_seqs,
                                          mm=mm)
+            self._check_admitted(stream)
             detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
             if not stream_mode:
                 out = await self._collect(stream, detok)
@@ -782,6 +788,14 @@ class OpenAIApp:
                 rid, route, latency, len(token_ids),
                 len(stream.output_token_ids), first_token_ms=ttft,
             )
+
+    @staticmethod
+    def _check_admitted(stream):
+        """Admission-time shed (scheduler SLA guard / queue full) surfaces
+        as HTTP 429 BEFORE any response bytes are written."""
+        err = getattr(stream, "error", None)
+        if err and str(err).startswith("overloaded"):
+            raise web.HTTPTooManyRequests(text=str(err))
 
     async def metrics(self, request: web.Request):
         """Prometheus text exposition by default (reference parity:

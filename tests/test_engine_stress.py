@@ -92,3 +92,114 @@ def test_queue_overflow_aborts_cleanly(tmp_path):
     eng._resolve_pending()
     survivors = [s for s in streams if s not in overflowed]
     assert all(len(s.output_token_ids) == 4 for s in survivors)
+
+
+def test_sla_admission_guard_sheds_overload(tmp_path):
+    """SchedulerConfig.ttft_slo_ms: with the queue projected past the bound,
+    enqueue sheds with an 'overloaded' abort (counted in metrics) instead of
+    queueing into multi-second TTFT (VERDICT r3 weak #7)."""
+    import numpy as np
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.utils.metrics import METRICS
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=256),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,), ttft_slo_ms=500),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+
+    gc = lambda: GenerateConfig(max_new_tokens=32, do_sample=False,
+                                ignore_eos=True)
+    n0 = METRICS.snapshot()["counters"].get("scheduler.sla_rejections", 0)
+    # flood: batch=2, so the queue backs up beyond a full batch with no
+    # drain history -> projected wait = inf -> shed
+    streams = [eng.enqueue([1, 5, 9], gc()) for _ in range(12)]
+    shed = [s for s in streams if s.error
+            and s.error.startswith("overloaded")]
+    live = [s for s in streams if not s.error]
+    assert shed, "overload must shed some requests"
+    assert len(live) >= 2, "an admissible head of the queue must survive"
+    assert METRICS.snapshot()["counters"][
+        "scheduler.sla_rejections"] >= n0 + len(shed)
+    # the live ones still complete
+    for _ in range(300):
+        if all(s.is_finished() for s in live):
+            break
+        eng.step()
+    assert all(len(s.output_token_ids) == 32 for s in live)
+
+
+def test_sla_guard_maps_to_http_429(tmp_path):
+    import asyncio
+
+    asyncio.run(_sla_http(tmp_path))
+
+
+async def _sla_http(tmp_path):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.frontend.openai_api import OpenAIApp
+    from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint, write_fake_tokenizer,
+    )
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.server.engine_runner import EngineRunner
+
+    cfg = tiny_config("qwen2")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+    write_fake_tokenizer(ckpt, 128)
+    weights = CheckpointLoader(cfg).load(ckpt)
+    econf = EngineConfig(
+        cache=CacheConfig(block_size=4, test_num_blocks=256),
+        scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                  prefill_buckets=(16,), ttft_slo_ms=500),
+    )
+    econf.quant.kv_cache_dtype = "float32"
+    eng = LlmEngine(create_model(cfg), weights, econf)
+    runner = EngineRunner(eng).start()
+    # hold the engine loop so the queue cannot drain while we flood
+    runner.pause()
+    api = OpenAIApp(runner, TokenizerFactory.create(ckpt), model_name="sla")
+    client = TestClient(TestServer(api.build_app()))
+    await client.start_server()
+    try:
+        import asyncio as aio
+
+        async def one():
+            r = await client.post("/v1/completions", json={
+                "prompt": "w1 w2", "max_tokens": 8, "temperature": 0.0,
+                "ignore_eos": True})
+            return r.status
+
+        tasks = [aio.ensure_future(one()) for _ in range(12)]
+        await aio.sleep(0.5)
+        runner.resume()
+        statuses = await aio.gather(*tasks)
+        assert 429 in statuses, statuses
+        assert 200 in statuses, statuses
+    finally:
+        await client.close()
+        runner.stop()
