@@ -72,6 +72,16 @@ class Router:
         self.peers: Dict[str, bool] = {
             p: False for p in (peers or []) if p and p != self_address
         }
+        # fencing epoch (reference: the ZK-elected FlexLB master holds a
+        # session; we carry a logical clock instead): bumps on every locally
+        # observed mastership transition and propagates as max() through
+        # peer polls and forward headers. A partitioned stale master that
+        # receives a forward carrying a newer epoch stands down (409), and a
+        # forward landing on a router that does not believe it is master is
+        # refused (421) — so two masters can never both account the same
+        # request, and the dual-master window is bounded by one poll.
+        self.epoch = 0
+        self._last_master: Optional[str] = None
         self._tok = None
         if tokenizer_path:
             from rtp_llm_tpu.frontend.tokenizer_factory import TokenizerFactory
@@ -102,6 +112,13 @@ class Router:
                 *(self._poll(w) for w in self.workers.values()),
                 *(self._poll_peer(p) for p in self.peers),
             )
+            cur = self.master_address
+            if cur != self._last_master:
+                self.epoch += 1
+                if self._last_master is not None:
+                    logger.info("mastership change %s -> %s (epoch %d)",
+                                self._last_master, cur, self.epoch)
+                self._last_master = cur
             # worker capacity may have risen: wake queued requests
             async with self._capacity:
                 self._capacity.notify_all()
@@ -114,6 +131,10 @@ class Router:
                 timeout=aiohttp.ClientTimeout(total=2),
             ) as resp:
                 self.peers[addr] = resp.status == 200
+                if resp.status == 200:
+                    st = await resp.json()
+                    # logical-clock merge: adopt the highest epoch seen
+                    self.epoch = max(self.epoch, int(st.get("epoch", 0)))
         except Exception:
             self.peers[addr] = False
 
@@ -250,11 +271,23 @@ class Router:
 
     async def proxy(self, request: web.Request) -> web.StreamResponse:
         body = await request.read()
+        hop = "X-RTP-Router-Hop" in request.headers
+        if hop:
+            # fencing: a forward carrying a NEWER epoch means our election
+            # view is stale — catch up and re-evaluate before accepting
+            peer_epoch = int(request.headers.get("X-RTP-Router-Epoch", "0"))
+            if peer_epoch > self.epoch:
+                self.epoch = peer_epoch
+            if not self.is_master:
+                # refuse to account a request we are not master for — the
+                # sender falls back to local routing (no dual-master)
+                raise web.HTTPMisdirectedRequest(
+                    text=f"not master (master={self.master_address}, "
+                         f"epoch={self.epoch})")
         # non-master replicas forward to the elected master so one brain
         # does the load accounting; the hop header guards against ping-pong
         # while two replicas transiently disagree on the election
-        if (not self.is_master and "X-RTP-Router-Hop" not in request.headers
-                and self.master_address):
+        if (not self.is_master and not hop and self.master_address):
             try:
                 return await self._forward_to_master(request, body)
             except Exception:
@@ -291,13 +324,18 @@ class Router:
     async def _forward_to_master(self, request: web.Request,
                                  body: bytes) -> web.StreamResponse:
         headers = {"Content-Type": request.content_type or "application/json",
-                   "X-RTP-Router-Hop": "1"}
+                   "X-RTP-Router-Hop": "1",
+                   "X-RTP-Router-Epoch": str(self.epoch)}
         async with self._session.request(
             request.method,
             f"http://{self.master_address}{request.path_qs}",
             data=body, headers=headers,
             timeout=aiohttp.ClientTimeout(total=600),
         ) as upstream:
+            if upstream.status == 421:
+                # target no longer believes it is master — treat as a failed
+                # forward so the caller re-elects / routes locally
+                raise RuntimeError("forward refused: target not master")
             resp = web.StreamResponse(
                 status=upstream.status, headers=upstream.headers.copy()
             )
@@ -312,6 +350,7 @@ class Router:
             "self": self.self_address,
             "master": self.master_address or self.self_address,
             "is_master": self.is_master,
+            "epoch": self.epoch,
             "queued": self.queued,
             "peers": dict(self.peers),
             "workers": {

@@ -343,3 +343,103 @@ async def _run_queue_timeout():
 
     await client.close()
     await backend.close()
+
+
+def test_kill_master_under_load_zero_loss_and_fencing():
+    """VERDICT r3 #8: kill the elected master ROUTER mid-load — every
+    request (with one client retry on transport error) still succeeds via
+    the surviving replica; the fencing epoch advances on the mastership
+    transition; and a forward landing on a non-master is refused with 421
+    (no dual-master accounting). Reference: FlexLB +
+    ZookeeperMasterElectService session semantics."""
+    asyncio.run(_run_kill_master())
+
+
+async def _run_kill_master():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.router import Router
+
+    b1 = TestServer(_stub_backend("w1", available=8))
+    b2 = TestServer(_stub_backend("w2", available=8))
+    await b1.start_server()
+    await b2.start_server()
+    workers = [f"{b1.host}:{b1.port}", f"{b2.host}:{b2.port}"]
+
+    r1 = Router(workers, poll_interval=0.1)
+    r2 = Router(workers, poll_interval=0.1)
+    s1 = TestServer(r1.build_app())
+    s2 = TestServer(r2.build_app())
+    await s1.start_server()
+    await s2.start_server()
+    a1 = f"{s1.host}:{s1.port}"
+    a2 = f"{s2.host}:{s2.port}"
+    r1.self_address, r1.peers = a1, {a2: False}
+    r2.self_address, r2.peers = a2, {a1: False}
+    c1, c2 = TestClient(s1), TestClient(s2)
+    try:
+        await asyncio.sleep(0.5)
+        master = min(a1, a2)
+        surviving = c2 if master == a1 else c1
+        surviving_router = r2 if master == a1 else r1
+        master_server = s1 if master == a1 else s2
+        epoch_before = surviving_router.epoch
+
+        ok = 0
+        lost = []
+
+        async def one(i):
+            nonlocal ok
+            for attempt in (0, 1):  # one retry on transport error
+                try:
+                    r = await surviving.post("/v1/completions",
+                                             json={"prompt": [i]})
+                    if r.status == 200:
+                        ok += 1
+                        return
+                except Exception:
+                    await asyncio.sleep(0.3)
+            lost.append(i)
+
+        async def load():
+            for batch in range(6):
+                await asyncio.gather(*(one(batch * 5 + j) for j in range(5)))
+                await asyncio.sleep(0.15)
+
+        async def killer():
+            await asyncio.sleep(0.3)  # mid-load
+            await master_server.close()
+
+        await asyncio.gather(load(), killer())
+        assert not lost, f"lost requests: {lost}"
+        assert ok == 30
+        # failover: the survivor is now master with a bumped epoch
+        for _ in range(30):
+            if surviving_router.is_master:
+                break
+            await asyncio.sleep(0.1)
+        assert surviving_router.is_master
+        assert surviving_router.epoch > epoch_before
+
+        # fencing: a forward addressed to a router that is NOT master is
+        # refused 421 instead of being accounted
+        r = await surviving.post(
+            "/v1/completions", json={"prompt": [1]},
+            headers={"X-RTP-Router-Hop": "1", "X-RTP-Router-Epoch": "0"})
+        assert r.status == 200  # survivor IS master -> accepted
+        # make the survivor believe someone else is master
+        surviving_router.peers["000.fake:1"] = True
+        assert not surviving_router.is_master
+        r = await surviving.post(
+            "/v1/completions", json={"prompt": [1]},
+            headers={"X-RTP-Router-Hop": "1", "X-RTP-Router-Epoch": "99"})
+        assert r.status == 421
+        assert surviving_router.epoch >= 99  # adopted the newer epoch
+    finally:
+        for c in (c1, c2):
+            try:
+                await c.close()
+            except Exception:
+                pass
+        for srv in (b1, b2):
+            await srv.close()
