@@ -331,6 +331,9 @@ class EngineConfig:
     # trie-constrained decode config JSON (reference: TreeDecodeConfig,
     # PrefixToCandidateTokens.h:24); "" = off
     tree_decode_config_path: str = ""
+    # dump every dispatched batch's model inputs for offline replay
+    # (reference: ModelInputsLogger, NormalExecutor.cc:44-49); "" = off
+    model_inputs_log_dir: str = ""
 
     GROUPS = ("parallel", "cache", "scheduler", "quant", "speculative",
               "server", "kernel")

@@ -368,6 +368,12 @@ class LlmEngine:
         self._pending = None  # (tokens_dev, logprobs_dev, streams)
         self._timeline = None  # active gen_timeline window (dict) or None
         self._warmup_bg_thread = None  # stats-tail background compile
+        self._inputs_logger = None
+        if config.model_inputs_log_dir:
+            from rtp_llm_tpu.utils.inputs_logger import ModelInputsLogger
+
+            self._inputs_logger = ModelInputsLogger(
+                config.model_inputs_log_dir)
 
         # beam search groups (engine/beam.py); processed synchronously per step
         self._beam_groups = []
@@ -1331,6 +1337,10 @@ class LlmEngine:
                 jnp.asarray([pos], np.int32),
                 jnp.asarray([aid], np.int32),
             )
+            if self._inputs_logger is not None:
+                self._inputs_logger.log_prefill(
+                    self.step_count, toks, positions, block_row[None, :],
+                    [pos + t_real], [pos], [aid])
             if mtp_chunks is not None:
                 self.kv, logits, hid = self._get_prefill_hidden_fn(bucket)(*args)
                 mtp_chunks.append((pos, hid))
@@ -1409,6 +1419,10 @@ class LlmEngine:
             aids[r] = self._adapter_id_for(s)
             block_rows.append(jnp.asarray(bt[r]))
         fn = self._get_prefill_fn(bucket)
+        if self._inputs_logger is not None:
+            self._inputs_logger.log_prefill(
+                self.step_count, toks, positions, bt, kv_lens, q_offsets,
+                aids)
         from rtp_llm_tpu.utils.metrics import timed as _timed
 
         with _timed("engine.prefill_group_ms"):
@@ -1966,6 +1980,11 @@ class LlmEngine:
                 METRICS.set_gauge("engine.running_streams", len(active))
                 self.step_count += 1
                 return True
+            if self._inputs_logger is not None:
+                self._inputs_logger.log_decode(
+                    self.step_count, self.state,
+                    kv_blocks=self._kv_bucket(active, extra),
+                    need_sampling=need_sampling, need_stats=need_stats)
             with timed("engine.decode_ms"):
                 if use_multi:
                     self.kv, self.state, tokens, logprobs = (
