@@ -34,14 +34,20 @@ def main(argv=None):
         return launch(config)
 
     if cmd == "vit-serve":
-        # standalone VIT worker (reference: vit_start_server.py)
+        # standalone VIT worker / worker pool (reference: vit_start_server.py
+        # / vit_proxy_start_server.py)
         from rtp_llm_tpu.config.model_config import ModelConfig
-        from rtp_llm_tpu.server.vit_server import serve_vit
+        from rtp_llm_tpu.server.vit_server import serve_vit, serve_vit_pool
 
         mc = ModelConfig.from_pretrained(config.server.model_path,
                                          config.server.model_type)
-        serve_vit(config.server.model_path, mc.model_type,
-                  host=config.server.host, port=config.server.port)
+        if config.server.vit_workers > 1:
+            serve_vit_pool(config.server.model_path, mc.model_type,
+                           config.server.vit_workers,
+                           host=config.server.host, port=config.server.port)
+        else:
+            serve_vit(config.server.model_path, mc.model_type,
+                      host=config.server.host, port=config.server.port)
         return 0
 
     from rtp_llm_tpu.server.server import serve

@@ -301,6 +301,10 @@ class ServerConfig:
     # remote VIT worker endpoint (reference: VIT role, vit_start_server.py);
     # empty = encode in-process on this chip
     vit_endpoint: str = ""
+    # VIT pool size for `vit-serve` (reference: vit_proxy_start_server.py):
+    # >1 spawns N worker processes on port+1..port+N fronted by a
+    # least-inflight proxy on `port`
+    vit_workers: int = 1
     # multi-worker launch (server/launcher.py): number of backend workers
     # and the router port fronting them (0 = no router). Legacy env:
     # RTP_LAUNCH_WORKERS / RTP_LAUNCH_ROUTER_PORT.

@@ -131,9 +131,127 @@ class RemoteTower:
             return int(json.loads(resp.read())["tokens_per_image"])
 
 
+class VitProxy:
+    """Least-inflight proxy over a pool of VIT workers (reference analog:
+    vit_proxy_start_server.py + the N-worker VIT deployment wired by
+    start_server.py:121-258). Serves the SAME route surface as one worker
+    (/encode_images, /health), so RemoteTower / --server-vit-endpoint point
+    here unchanged. Dead workers are skipped and retried on the next
+    request; an encode that fails on one worker fails over to another."""
+
+    def __init__(self, worker_endpoints):
+        self.workers = [w.rstrip("/") for w in worker_endpoints]
+        self.inflight = {w: 0 for w in self.workers}
+        self.alive = {w: True for w in self.workers}
+        self._session = None
+
+    async def _sess(self):
+        import aiohttp
+
+        if self._session is None or self._session.closed:
+            self._session = aiohttp.ClientSession()
+        return self._session
+
+    def _ranked(self):
+        up = [w for w in self.workers if self.alive[w]]
+        pool = up or self.workers  # all marked dead: try everyone again
+        return sorted(pool, key=lambda w: self.inflight[w])
+
+    async def encode_images(self, request: web.Request) -> web.Response:
+        import aiohttp
+
+        body = await request.read()
+        sess = await self._sess()
+        last_err = None
+        for w in self._ranked():
+            self.inflight[w] += 1
+            try:
+                async with sess.post(
+                    f"{w}/encode_images", data=body,
+                    headers={"Content-Type": "application/octet-stream"},
+                    timeout=aiohttp.ClientTimeout(total=300),
+                ) as resp:
+                    payload = await resp.read()
+                    if resp.status == 200:
+                        self.alive[w] = True
+                        return web.Response(
+                            body=payload,
+                            content_type="application/octet-stream")
+                    last_err = f"{w}: HTTP {resp.status}"
+                    if resp.status >= 500:
+                        # worker-side failure: demote until it passes a
+                        # health probe again (4xx = bad request, keep alive)
+                        self.alive[w] = False
+            except Exception as e:  # noqa: BLE001 — fail over
+                self.alive[w] = False
+                last_err = f"{w}: {e!r}"
+            finally:
+                self.inflight[w] -= 1
+        raise web.HTTPBadGateway(text=f"all VIT workers failed ({last_err})")
+
+    async def health(self, request):
+        import aiohttp
+
+        sess = await self._sess()
+        for w in self._ranked():
+            try:
+                async with sess.get(
+                        f"{w}/health",
+                        timeout=aiohttp.ClientTimeout(total=10)) as resp:
+                    if resp.status == 200:
+                        meta = await resp.json()
+                        meta.update(role="vit-proxy",
+                                    workers=len(self.workers),
+                                    alive=[x for x in self.workers
+                                           if self.alive[x]])
+                        self.alive[w] = True
+                        return web.json_response(meta)
+            except Exception:
+                self.alive[w] = False
+        raise web.HTTPServiceUnavailable(text="no alive VIT workers")
+
+    def build_app(self) -> web.Application:
+        app = web.Application(client_max_size=1 << 30)
+        app.router.add_post("/encode_images", self.encode_images)
+        app.router.add_get("/health", self.health)
+        return app
+
+
 def serve_vit(model_path: str, model_type: str, host: str = "0.0.0.0",
               port: int = 8188):
     srv = VitServer(model_path, model_type)
     logger.info("VIT worker (%s) serving on %s:%d", model_type, host, port)
     web.run_app(srv.build_app(), host=host, port=port, print=None,
                 access_log=None)
+
+
+def serve_vit_pool(model_path: str, model_type: str, n_workers: int,
+                   host: str = "0.0.0.0", port: int = 8188):
+    """Spawn N VIT worker processes on port+1..port+N and front them with a
+    VitProxy on ``port`` (reference: vit_proxy_start_server.py). Workers are
+    monitored and restarted by the ProcessManager."""
+    import sys
+
+    from rtp_llm_tpu.server.launcher import ProcessManager, WorkerSpec
+
+    mgr = ProcessManager()
+    endpoints = []
+    for i in range(n_workers):
+        wport = port + 1 + i
+        mgr.spawn(WorkerSpec(
+            name=f"vit-worker-{i}",
+            cmd=[sys.executable, "-m", "rtp_llm_tpu.cli", "vit-serve",
+                 model_path, "--server-port", str(wport),
+                 "--server-host", "127.0.0.1",
+                 "--server-vit-workers", "1"],
+            health_url=f"http://127.0.0.1:{wport}/health",
+        ))
+        endpoints.append(f"http://127.0.0.1:{wport}")
+    proxy = VitProxy(endpoints)
+    logger.info("VIT proxy fronting %d workers on %s:%d",
+                n_workers, host, port)
+    try:
+        web.run_app(proxy.build_app(), host=host, port=port, print=None,
+                    access_log=None)
+    finally:
+        mgr.shutdown()

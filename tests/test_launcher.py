@@ -91,3 +91,81 @@ def test_restart_budget_exhausted():
     t.join(timeout=15)
     assert not t.is_alive()
     assert fatal == ["dies"]
+
+
+def test_vit_proxy_failover_and_health():
+    """VitProxy fronts N workers with least-inflight pick and per-request
+    failover; /health aggregates (reference: vit_proxy_start_server.py —
+    VERDICT r3 missing #8)."""
+    import asyncio
+
+    asyncio.run(_vit_proxy())
+
+
+async def _vit_proxy():
+    import io
+
+    import numpy as np
+    from aiohttp import web
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.vit_server import VitProxy, _npz_bytes
+
+    calls = {"w1": 0, "w2": 0}
+
+    def stub(name, fail=False):
+        async def encode(request):
+            calls[name] += 1
+            if fail:
+                raise web.HTTPInternalServerError(text="boom")
+            body = await request.read()
+            with np.load(io.BytesIO(body)) as z:
+                n = z["pixel_values"].shape[0]
+            return web.Response(
+                body=_npz_bytes(embeds=np.full((n, 4), ord(name[-1]),
+                                               np.float32)),
+                content_type="application/octet-stream")
+
+        async def health(request):
+            return web.json_response({"status": "ok", "role": "vit",
+                                      "model_type": "stub",
+                                      "tokens_per_image": 4})
+
+        app = web.Application()
+        app.router.add_post("/encode_images", encode)
+        app.router.add_get("/health", health)
+        return app
+
+    s1 = TestServer(stub("w1", fail=True))   # always fails -> failover
+    s2 = TestServer(stub("w2"))
+    await s1.start_server()
+    await s2.start_server()
+    proxy = VitProxy([f"http://{s1.host}:{s1.port}",
+                      f"http://{s2.host}:{s2.port}"])
+    client = TestClient(TestServer(proxy.build_app()))
+    await client.start_server()
+    try:
+        body = _npz_bytes(pixel_values=np.zeros((3, 8), np.float32))
+        r = await client.post("/encode_images", data=body)
+        assert r.status == 200
+        with np.load(io.BytesIO(await r.read())) as z:
+            assert z["embeds"].shape == (3, 4)
+        assert calls["w2"] == 1  # failed over (w1 may or may not be hit)
+
+        r = await client.get("/health")
+        assert r.status == 200
+        meta = await r.json()
+        assert meta["role"] == "vit-proxy" and meta["workers"] == 2
+
+        # subsequent requests skip the dead worker
+        calls["w1"] = calls["w2"] = 0
+        for _ in range(3):
+            r = await client.post("/encode_images", data=body)
+            assert r.status == 200
+        assert calls["w2"] == 3 and calls["w1"] == 0
+    finally:
+        await client.close()
+        if proxy._session:
+            await proxy._session.close()
+        await s1.close()
+        await s2.close()
