@@ -218,7 +218,7 @@ class SpeculativeConfig:
 def _rf(name):
     from rtp_llm_tpu.config import runtime_flags
 
-    return lambda: runtime_flags.get(name)
+    return lambda: runtime_flags.env_default(name)
 
 
 @dataclasses.dataclass

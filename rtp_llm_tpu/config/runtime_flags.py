@@ -65,6 +65,14 @@ def get(name: str):
     return _from_env(name)
 
 
+def env_default(name: str):
+    """Env var / built-in default, IGNORING overrides. Used by the config
+    dataclass default_factories: a freshly constructed KernelConfig must
+    reflect the CURRENT environment, not whatever a previously constructed
+    engine pushed into the override registry."""
+    return _from_env(name)
+
+
 def set_flag(name: str, value) -> None:
     if name not in _DEFS:
         raise KeyError(name)
