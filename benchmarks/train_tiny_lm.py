@@ -40,39 +40,57 @@ GEOM = dict(hidden_size=192, intermediate_size=576, num_layers=4,
             vocab_size=1024, max_position_embeddings=512)
 
 
-def make_markov_task(vocab: int, seed: int = 7, branch: int = 12,
-                     sharp: float = 2.5):
-    """Order-2 Markov source: P(next | prev, cur) = softmax(row), where the
-    row is chosen by mixing (prev, cur). Each context has ~``branch`` likely
-    successors with logit spread ``sharp`` — entropy ~2-2.5 nats (ppl ~8-12,
-    the regime of a trained LLM on natural text)."""
-    rng = np.random.default_rng(seed)
-    n_rows = vocab  # contexts hash into vocab rows
-    logits = np.full((n_rows, vocab), -8.0, np.float32)
-    for r in range(n_rows):
-        succ = rng.choice(vocab, branch, replace=False)
-        logits[r, succ] = rng.normal(sharp, 1.0, branch)
-    probs = np.exp(logits - logits.max(axis=1, keepdims=True))
-    probs /= probs.sum(axis=1, keepdims=True)
-    # context mix: row index = (a*prev + cur) mod n_rows, a odd => bijective
-    a = 2 * int(rng.integers(1, vocab // 2)) + 1
+class PhraseTask:
+    """Compositional synthetic language: a seeded phrasebook whose phrases
+    repeat across the stream. Inside a phrase the continuation is (nearly)
+    deterministic but findable only by MATCHING the running prefix against
+    earlier occurrences — i.e. the induction-head mechanism trained LLMs
+    actually use — so the attention/MLP stacks genuinely train rather than
+    idling behind a memorizable bigram table. Phrase-to-phrase transitions
+    are a first-order Markov chain over the book (local entropy at phrase
+    boundaries) and a small substitution noise keeps the floor nonzero."""
 
-    def row_of(prev, cur):
-        return (a * prev + cur) % n_rows
+    def __init__(self, vocab: int, seed: int = 7, n_phrases: int = 256,
+                 plen=(6, 18), branch: int = 8, noise: float = 0.03):
+        rng = np.random.default_rng(seed)
+        self.vocab = vocab
+        self.noise = noise
+        # phrase contents: cluster-structured tokens (adjacent ids close)
+        self.phrases = []
+        for _ in range(n_phrases):
+            n = int(rng.integers(plen[0], plen[1] + 1))
+            base = int(rng.integers(vocab))
+            toks = (base + np.cumsum(rng.integers(1, 9, size=n))) % vocab
+            self.phrases.append(toks.astype(np.int64))
+        # first-order chain over phrases: ~branch likely successors each
+        self.succ = [rng.choice(n_phrases, branch, replace=False)
+                     for _ in range(n_phrases)]
+        self.succ_p = rng.dirichlet(np.ones(branch) * 2.0, size=n_phrases)
+        lens = np.array([len(p) for p in self.phrases], np.float64)
+        # approximate entropy floor (nats/token): phrase-choice entropy
+        # amortized over the mean phrase length + substitution noise
+        h_choice = float(np.mean([
+            -(p * np.log(p + 1e-12)).sum() for p in self.succ_p]))
+        h_noise = (-(1 - noise) * math.log(1 - noise)
+                   - noise * math.log(noise / max(vocab - 1, 1))
+                   if noise > 0 else 0.0)
+        self.entropy = h_choice / float(lens.mean()) + h_noise
 
-    entropy = float(-(probs * np.log(probs + 1e-12)).sum(axis=1).mean())
-    return probs, row_of, entropy
-
-
-def sample_stream(probs, row_of, n_tokens: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    v = probs.shape[1]
-    out = np.empty(n_tokens + 2, np.int64)
-    out[0] = rng.integers(v)
-    out[1] = rng.integers(v)
-    for i in range(2, n_tokens + 2):
-        out[i] = rng.choice(v, p=probs[row_of(out[i - 2], out[i - 1])])
-    return out[2:]
+    def sample(self, n_tokens: int, seed: int = 0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        out = np.empty(n_tokens + 32, np.int64)
+        i = 0
+        cur = int(rng.integers(len(self.phrases)))
+        while i < n_tokens:
+            ph = self.phrases[cur]
+            n = min(len(ph), len(out) - i)
+            out[i: i + n] = ph[:n]
+            i += n
+            cur = int(rng.choice(self.succ[cur], p=self.succ_p[cur]))
+        sub = rng.random(n_tokens) < self.noise
+        out[:n_tokens][sub] = rng.integers(
+            self.vocab, size=int(sub.sum()))
+        return out[:n_tokens]
 
 
 def train(out_dir: str, steps: int = 300, seq_len: int = 96, batch: int = 8,
@@ -94,7 +112,8 @@ def train(out_dir: str, steps: int = 300, seq_len: int = 96, batch: int = 8,
     cfg = tiny_config("qwen2", **g)
     cfg.dtype = "float32"
     v = cfg.vocab_size
-    probs, row_of, entropy = make_markov_task(v, seed=seed)
+    task = PhraseTask(v, seed=seed)
+    entropy = task.entropy
 
     # init: realistic-statistics weights (structured spectra) — training
     # from this init converges faster than iid and keeps the spectra shape
@@ -137,9 +156,8 @@ def train(out_dir: str, steps: int = 300, seq_len: int = 96, batch: int = 8,
         updates, s = opt.update(grads, s, w)
         return optax.apply_updates(w, updates), s, loss
 
-    data = sample_stream(probs, row_of,
-                         steps * batch * seq_len // 4 + batch * seq_len,
-                         seed=seed + 1)
+    data = task.sample(steps * batch * seq_len // 4 + batch * seq_len,
+                       seed=seed + 1)
     n_win = len(data) // seq_len
     rng = np.random.default_rng(seed + 2)
     import time

@@ -56,6 +56,16 @@ def ring_prefill_attention(
 
         perm = [(i, (i + 1) % n) for i in range(n)]  # rotate right
         for step in range(n):
+            # COMM/COMPUTE OVERLAP (reference: the allgather_cp overlap
+            # variant, cuda_cp_impl/prefill_mha/allgather_cp_impl.py:34):
+            # issue next chunk's ppermute BEFORE this chunk's attention —
+            # the collective and the einsums are then independent dataflow
+            # nodes, so XLA's latency-hiding scheduler runs the ICI
+            # transfer under the whole chunk's compute instead of after it.
+            k_next = v_next = None
+            if step + 1 < n:
+                k_next = jax.lax.ppermute(k_cur, axis, perm)
+                v_next = jax.lax.ppermute(v_cur, axis, perm)
             kv_pos = src * tc + jnp.arange(tc, dtype=jnp.int32)  # [Tc]
             s = jnp.einsum(
                 "thgd,shd->thgs", qf, k_cur.astype(jnp.float32)
@@ -74,8 +84,7 @@ def ring_prefill_attention(
             m = m_new
 
             if step + 1 < n:
-                k_cur = jax.lax.ppermute(k_cur, axis, perm)
-                v_cur = jax.lax.ppermute(v_cur, axis, perm)
+                k_cur, v_cur = k_next, v_next
                 src = (src - 1) % n
 
         out = acc / jnp.maximum(l, 1e-20)
@@ -140,6 +149,13 @@ def ring_prefill_attention_pos(
 
         perm = [(i, (i + 1) % n) for i in range(n)]
         for step in range(n):
+            # prefetch next chunk BEFORE compute — see the overlap note in
+            # ring_prefill_attention (allgather_cp_impl.py:34 analog)
+            nxt = None
+            if step + 1 < n:
+                nxt = (jax.lax.ppermute(k_cur, axis, perm),
+                       jax.lax.ppermute(v_cur, axis, perm),
+                       jax.lax.ppermute(p_cur, axis, perm))
             s = jnp.einsum(
                 "bthgd,bshd->bthgs", qf, k_cur.astype(jnp.float32))
             mask = p_cur[:, None, :] <= q_pos[:, :, None]  # [B, Tc, Tc]
@@ -152,9 +168,7 @@ def ring_prefill_attention_pos(
                 "bthgs,bshd->bthgd", p, v_cur.astype(jnp.float32))
             m = m_new
             if step + 1 < n:
-                k_cur = jax.lax.ppermute(k_cur, axis, perm)
-                v_cur = jax.lax.ppermute(v_cur, axis, perm)
-                p_cur = jax.lax.ppermute(p_cur, axis, perm)
+                k_cur, v_cur, p_cur = nxt
 
         out = acc / jnp.maximum(l, 1e-20)
         return out.reshape(b, tc, hq, d).astype(q_l.dtype)
