@@ -35,8 +35,10 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-GEOM = dict(hidden_size=192, intermediate_size=576, num_layers=4,
-            num_attention_heads=6, num_kv_heads=6, head_dim=32,
+# group-size-aligned dims (hidden % 128 == 0) so every projection takes the
+# REAL packed-int4 / groupwise path instead of a fallback
+GEOM = dict(hidden_size=256, intermediate_size=768, num_layers=4,
+            num_attention_heads=8, num_kv_heads=8, head_dim=32,
             vocab_size=1024, max_position_embeddings=512)
 
 
