@@ -85,20 +85,33 @@ def reset() -> None:
 
 def apply_engine_config(cfg) -> None:
     """Push the kernel/runtime fields of an EngineConfig into this registry
-    (called by LlmEngine and the CLI so ops-level code observes them)."""
+    (called by LlmEngine and the CLI so ops-level code observes them).
+
+    Only values that DIFFER from the current env-derived default become
+    overrides: KernelConfig defaults initialize from env, so an unchanged
+    field means the operator never touched it — and a later env change (or
+    another engine in the same process) must still be able to take effect
+    instead of being shadowed by a stale default."""
     k = getattr(cfg, "kernel", None)
-    if k is not None:
-        set_flag("attn_backend", k.attn_backend)
-        set_flag("enable_pallas_prefill", k.enable_pallas_prefill)
-        set_flag("disable_fullrow", k.disable_fullrow)
-        set_flag("fullrow_vmem_mb", k.fullrow_vmem_mb)
-        set_flag("fullrow_nb", k.fullrow_nb)
-        set_flag("int4_packed", k.int4_packed)
-        set_flag("no_scan_layers", k.no_scan_layers)
-        set_flag("disable_weight_fusion", k.disable_weight_fusion)
-        set_flag("parallel_warmup", k.parallel_warmup)
-        set_flag("parallel_warmup_workers", k.parallel_warmup_workers)
-        set_flag("hbm_gb", k.hbm_gb)
-        set_flag("compile_cache_dir", k.compile_cache_dir)
-        set_flag("weights_cache_dir", k.weights_cache_dir)
-        set_flag("mm_cache_mb", k.mm_cache_mb)
+    if k is None:
+        return
+    for name, value in (
+        ("attn_backend", k.attn_backend),
+        ("enable_pallas_prefill", k.enable_pallas_prefill),
+        ("disable_fullrow", k.disable_fullrow),
+        ("fullrow_vmem_mb", k.fullrow_vmem_mb),
+        ("fullrow_nb", k.fullrow_nb),
+        ("int4_packed", k.int4_packed),
+        ("no_scan_layers", k.no_scan_layers),
+        ("disable_weight_fusion", k.disable_weight_fusion),
+        ("parallel_warmup", k.parallel_warmup),
+        ("parallel_warmup_workers", k.parallel_warmup_workers),
+        ("hbm_gb", k.hbm_gb),
+        ("compile_cache_dir", k.compile_cache_dir),
+        ("weights_cache_dir", k.weights_cache_dir),
+        ("mm_cache_mb", k.mm_cache_mb),
+    ):
+        if value != _from_env(name):
+            set_flag(name, value)
+        else:
+            _OVERRIDES.pop(name, None)
