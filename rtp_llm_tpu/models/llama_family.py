@@ -434,8 +434,16 @@ class LlamaFamilyModel:
                 # duplicated -> HBM OOM at warmup); loop-invariant operands
                 # read by dynamic-slice stay in place.
                 for k2, v2 in per_layer.items():
+                    if k2 + ".int4p" in weights and k2 + ".zero" not in weights:
+                        # packed-s4 stacks stay UNSLICED: the Pallas dequant
+                        # kernel indexes the stack in place via __layer_idx
+                        # (slicing here copies the whole packed matrix per
+                        # layer — see ops/quant_gemm._kernel_matmul)
+                        w_i[k2] = v2
+                        continue
                     w_i[k2] = jax.lax.dynamic_index_in_dim(
                         v2, li, 0, keepdims=True)
+                w_i["__layer_idx"] = li
                 kw = ([], []) if defer_kv_writes else None
                 go = [] if need_moe_gating else None
                 x, cache = self._layer(w_i, cache, 0, x, inputs, slots,
@@ -587,7 +595,6 @@ class LlamaFamilyModel:
 
     @staticmethod
     def _linear(w: dict, name: str, i, x, aids=None):
-        W = w[name][i]
         s = w.get(name + ".scale")
         z = w.get(name + ".zero")
         P = w.get(name + ".act_perm")
@@ -602,11 +609,30 @@ class LlamaFamilyModel:
         sm = w.get(name + ".smoother")
         if sm is not None:
             xq = xq / sm[i].astype(xq.dtype)
-        if name + ".fp4" in w:  # packed e2m1 codes (quant/weight_only.py)
+        if name + ".int4p" in w and z is None and w[name].ndim == 3:
+            # split-half packed s4: the kernel indexes the FULL per-layer
+            # stack in place via a (scalar-prefetched) layer index — a
+            # sliced operand would make XLA copy the whole [K/2, N] packed
+            # matrix before every pallas call (xprof: slice_bitcast_fusion
+            # dominated the int4 decode step). The scan path leaves these
+            # stacks unsliced and provides __layer_idx (forward(); the
+            # unrolled path uses the static python index).
+            from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
+
+            li = w.get("__layer_idx")
+            y = groupwise_matmul_packed(
+                xq, w[name], s[i], code="s4",
+                layer=i if li is None else li)
+            W = None
+        else:
+            W = w[name][i]
+        if W is None:
+            pass
+        elif name + ".fp4" in w:  # packed e2m1 codes (quant/weight_only.py)
             from rtp_llm_tpu.quant.weight_only import fp4_matmul
 
             y = fp4_matmul(xq, W, s[i])
-        elif name + ".int4p" in w:  # split-half packed s4 (ops/quant_gemm)
+        elif name + ".int4p" in w:  # packed s4 w/ GPTQ zero (rare path)
             from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
 
             y = groupwise_matmul_packed(

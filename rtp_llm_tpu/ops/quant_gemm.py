@@ -72,14 +72,15 @@ def _decode_nibble(c, code: str, dtype):
 
 
 def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
-               acc_ref, *, code: str, n_k: int, group: int):
+               acc_ref, *, code: str, n_k: int, group: int,
+               stacked: bool = False):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    p = p_ref[...]  # [KPt, Nt] u8
+    p = p_ref[0] if stacked else p_ref[...]  # [KPt, Nt] u8
     kpt, nt = p.shape
     ng = kpt // group
     xdt = x_lo_ref.dtype
@@ -115,11 +116,19 @@ def _pick_tile(total: int, candidates) -> int:
 
 
 def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
-                   code: str, interpret: bool = False):
+                   code: str, interpret: bool = False, layer=None):
     """x2 [M, K] x packed [K/2, N] (+ scale [K/G, N]) -> [M, N] or None
-    when the geometry doesn't tile (caller falls back to XLA)."""
+    when the geometry doesn't tile (caller falls back to XLA).
+
+    STACKED mode (``packed`` [L, K/2, N] + traced ``layer``): the kernel
+    DMAs its weight blocks straight out of the per-layer stack via a
+    scalar-prefetched layer index. Passing a SLICE of the stack instead
+    makes XLA materialize a copy of the whole [K/2, N] operand before every
+    pallas call (xprof: slice_bitcast_fusion, ~40% of the int4 decode
+    step's weight-path time) — slicing must never reach this kernel."""
+    stacked = packed.ndim == 3
     m, k = x2.shape
-    k2, n = packed.shape
+    k2, n = packed.shape[-2:]
     g = scale.shape[0]
     if k != 2 * k2 or k % g:
         return None
@@ -153,6 +162,40 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     s3 = jnp.stack([sr[0], sr[1]], axis=1)  # [n_k, 2, ng, N]
     if ng_pad != ng:
         s3 = jnp.pad(s3, ((0, 0), (0, 0), (0, ng_pad - ng), (0, 0)))
+
+    if stacked:
+        li = jnp.asarray(layer, jnp.int32).reshape(1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mm // mt, n // nt, n_k),
+            in_specs=[
+                pl.BlockSpec((mt, kpt), lambda i, j, kk, li_r: (i, kk)),
+                pl.BlockSpec((mt, kpt),
+                             lambda i, j, kk, li_r, _o=n_k: (i, kk + _o)),
+                pl.BlockSpec((1, kpt, nt),
+                             lambda i, j, kk, li_r: (li_r[0], kk, j)),
+                pl.BlockSpec((1, 2, ng_pad, nt),
+                             lambda i, j, kk, li_r: (kk, 0, 0, j)),
+            ],
+            out_specs=pl.BlockSpec((mt, nt), lambda i, j, kk, li_r: (i, j)),
+            scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+        )
+        def _stacked_body(li_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
+                          acc_ref):
+            # scalar-prefetch operands arrive first; the index maps already
+            # consumed li_ref, the body only needs the block refs
+            _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref,
+                       code=code, n_k=n_k, group=group_k, stacked=True)
+
+        out = pl.pallas_call(
+            _stacked_body,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((mm, n), x2.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(li, x2, x2, packed, s3)
+        return out[:m] if pad_m else out
 
     out = pl.pallas_call(
         functools.partial(_gw_kernel, code=code, n_k=n_k, group=group_k),
@@ -209,24 +252,33 @@ def _use_kernel() -> bool:
 def groupwise_matmul_packed(
     x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray, *,
     code: str = "s4", zero: jnp.ndarray | None = None,
-    interpret: bool = False,
+    interpret: bool = False, layer=None,
 ) -> jnp.ndarray:
     """y = x @ dequant(packed) (+ GPTQ/AWQ asymmetric zero correction).
 
     x [..., K] bf16/f32; packed u8 [..., K/2, N] split-half nibbles;
-    scale f32 [..., K/G, N]. The asymmetric zero term factors out of the
-    contraction exactly as in `quantized_matmul`:
-    y = (x @ q)*s - (sum_over_group x) @ (z*s).
+    scale f32 [..., K/G, N]. With ``layer`` given, ``packed`` may be the
+    FULL per-layer stack [L, K/2, N] — the kernel indexes it in place
+    instead of the caller slicing (which copies; see _kernel_matmul).
+    The asymmetric zero term factors out of the contraction exactly as in
+    `quantized_matmul`: y = (x @ q)*s - (sum_over_group x) @ (z*s).
     """
+    stacked = layer is not None and packed.ndim == 3
     *lead, k2, n = packed.shape
+    if stacked:
+        lead = []
     k = 2 * k2
     y = None
     if not lead and (interpret or _use_kernel()):
         xf = x.reshape(-1, k)
-        y = _kernel_matmul(xf, packed, scale, code, interpret=interpret)
+        y = _kernel_matmul(xf, packed, scale, code, interpret=interpret,
+                           layer=layer if stacked else None)
         if y is not None:
             y = y.reshape(*x.shape[:-1], n)
     if y is None:
+        if stacked:
+            packed = jax.lax.dynamic_index_in_dim(
+                packed, jnp.asarray(layer, jnp.int32), 0, keepdims=False)
         y = _xla_matmul(x, packed, scale, code)
     if zero is not None:
         g = scale.shape[-2]

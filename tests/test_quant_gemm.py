@@ -92,3 +92,26 @@ def test_fallback_when_untileable():
         jnp.asarray(x), jnp.asarray(pack_split_half(q)), jnp.asarray(s),
         code="s4", interpret=True)
     np.testing.assert_allclose(np.asarray(y), ref, rtol=5e-5, atol=5e-5)
+
+
+def test_stacked_kernel_matches_sliced():
+    """Stacked mode (full [L, K/2, N] + layer index, scalar-prefetch DMA —
+    the no-copy path the decode program uses) must match slicing + 2D call
+    for every layer."""
+    import numpy as np
+
+    from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
+
+    rng = np.random.default_rng(0)
+    L, m, k, n, group = 3, 8, 512, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    packed = jnp.asarray(rng.integers(0, 256, (L, k // 2, n)), jnp.uint8)
+    scale = jnp.asarray(rng.uniform(1e-3, 5e-3, (L, k // group, n)),
+                        jnp.float32)
+    for li in range(L):
+        ref = groupwise_matmul_packed(x, packed[li], scale[li],
+                                      interpret=True)
+        got = groupwise_matmul_packed(x, packed, scale[li],
+                                      layer=jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
