@@ -47,20 +47,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def pack_split_half(q: np.ndarray) -> np.ndarray:
-    """int codes [..., K, N] (s4 two's-complement in [-8,7] or e2m1 u4
-    codes 0..15) -> u8 [..., K/2, N], low nibble = row k, high = row k+K/2."""
+def pack_split_half(q: np.ndarray, code: str = "s4") -> np.ndarray:
+    """int codes [..., K, N] -> u8 [..., K/2, N], low nibble = row k, high =
+    row k+K/2.
+
+    "s4" values in [-8, 7] store as OFFSET codes (v + 8, 0..15): decode is
+    then v*s = u*s - 8s — one convert + one FMA on the VPU instead of the
+    xor/sub two's-complement untwist (the kernel is VPU-decode-bound; every
+    per-element op removed is ~2 ms off the 7B int4 decode step).
+    "e2m1" u4 codes pass through unchanged."""
     k = q.shape[-2]
     assert k % 2 == 0, q.shape
-    u = (np.asarray(q).astype(np.int16) & 0xF).astype(np.uint8)
+    qi = np.asarray(q).astype(np.int16)
+    if code == "s4":
+        qi = qi + 8
+        assert qi.min() >= 0 and qi.max() <= 15, (qi.min(), qi.max())
+    u = (qi & 0xF).astype(np.uint8)
     return (u[..., : k // 2, :] | (u[..., k // 2:, :] << 4)).astype(np.uint8)
 
 
 def _decode_nibble(c, code: str, dtype):
     """u8 nibble values (0..15) -> weight values (jnp; kernel- and jit-safe)."""
     c = c.astype(jnp.int32)
-    if code == "s4":
-        return ((c ^ 8) - 8).astype(dtype)
+    if code == "s4":  # OFFSET codes (v + 8) — see pack_split_half
+        return (c - 8).astype(dtype)
     # e2m1: s=(c>>3)&1, e=(c>>1)&3, m=c&1
     s = (c >> 3) & 1
     e = (c >> 1) & 3
@@ -87,6 +97,13 @@ def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
 
     def half(nib, s):
         # s: [ng, Nt] f32 scale rows for this half's k range
+        if code == "s4":
+            # offset codes: v*s = u*s - 8s — convert + FMA, no untwist
+            # (8s is [ng, Nt], negligible next to the [KPt, Nt] elements)
+            uf = nib.astype(jnp.float32)
+            w = (uf.reshape(ng, group, nt) * s[:, None, :]
+                 - (8.0 * s)[:, None, :]).reshape(kpt, nt)
+            return w.astype(xdt)
         w = _decode_nibble(nib, code, jnp.float32)  # [KPt, Nt]
         w = (w.reshape(ng, group, nt) * s[:, None, :]).reshape(kpt, nt)
         return w.astype(xdt)
@@ -135,12 +152,23 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     group_k = k // g  # group size over original k rows
     if k2 % (g // 2 or 1) or g % 2:
         return None
-    # per-half scale rows: kpt k-rows consume kpt/group_k scale rows
-    kpt = _pick_tile(k2, [c for c in (512, 256, 128, 64, 32)
-                          if c % group_k == 0])
+    # per-half scale rows: kpt k-rows consume kpt/group_k scale rows.
+    # Prefer the LARGEST tiles that divide (fewer grid steps = fewer
+    # acc-init/scale-block overheads per byte); cap the packed tile at
+    # ~6 MB of VMEM (measured on v5e: kpt 256 -> whole-k tiles cut the
+    # int4 decode step 22.1 -> 17.9 ms).
+    # nt capped at 512: wider n-tiles push the kernel's f32/bf16 decode
+    # intermediates past the 16 MB scoped-vmem limit at prefill row counts
+    nt = _pick_tile(n, (512, 256, 128))
+    if not nt:
+        return None
+    cap = (4 << 20) // nt  # packed-tile byte budget -> max k rows
+    big = [d for d in range(k2, 0, -256)
+           if k2 % d == 0 and d % group_k == 0 and d <= cap]
+    kpt = _pick_tile(k2, big + [c for c in (512, 256, 128, 64, 32)
+                                if c % group_k == 0])
     if not kpt and group_k <= 512 and k2 % group_k == 0:
         kpt = group_k
-    nt = _pick_tile(n, (512, 256, 128))
     if not kpt or not nt:
         return None
     mt = m if m <= 256 else _pick_tile(m, (256, 128))

@@ -233,7 +233,8 @@ def fp4_quantize_groupwise(
     sign = (scaled < 0).astype(np.uint8)
     code = (_e2m1_encode(np.abs(scaled)) | (sign << 3)).astype(np.uint8)
     code = code.reshape(*lead, k, n)
-    return pack_split_half(code), np.squeeze(scale, axis=-2).astype(np.float32)
+    return (pack_split_half(code, code="e2m1"),
+            np.squeeze(scale, axis=-2).astype(np.float32))
 
 
 def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
@@ -327,9 +328,10 @@ def make_quant_transform(quant: QuantConfig):
 
     # converted-weights cache key (loader ft-dump analog): the transform's
     # output is fully determined by these knobs
-    # "-p2": split-half nibble packing (invalidates pre-kernel dumps)
+    # "-p3": offset-code (v+8) s4 packing (invalidates two's-complement
+    # dumps; see quant_gemm.pack_split_half)
     transform.cache_key = (f"{quant.method.value}-g{quant.group_size}"
-                           f"-b{quant.fp8_block_size}-p2")
+                           f"-b{quant.fp8_block_size}-p3")
     return transform
 
 

@@ -33,10 +33,11 @@ def test_pack_split_half_layout():
     q = np.arange(-8, 8, dtype=np.int8).reshape(8, 2)
     p = pack_split_half(q)
     assert p.shape == (4, 2) and p.dtype == np.uint8
-    # low nibble = row k, high nibble = row k + K/2 (two's complement)
+    # low nibble = row k, high nibble = row k + K/2; s4 values store as
+    # OFFSET codes (v + 8) so the kernel decodes with one FMA
     lo = (p & 0xF).astype(np.int8)
     hi = (p >> 4).astype(np.int8)
-    dec = lambda c: np.where(c >= 8, c - 16, c)
+    dec = lambda c: c.astype(np.int16) - 8
     np.testing.assert_array_equal(dec(lo), q[:4])
     np.testing.assert_array_equal(dec(hi), q[4:])
 
@@ -49,7 +50,7 @@ def test_pack_split_half_layout():
 @pytest.mark.parametrize("path", ["xla", "kernel"])
 def test_parity_vs_dequant(code, K, N, G, path):
     q, s, x, ref = _mk(code, K, N, G, B=8)
-    p, sj = jnp.asarray(pack_split_half(q)), jnp.asarray(s)
+    p, sj = jnp.asarray(pack_split_half(q, code=code)), jnp.asarray(s)
     if path == "xla":
         y = _xla_matmul(jnp.asarray(x), p, sj, code)
     else:
