@@ -434,7 +434,8 @@ class LlamaFamilyModel:
                 # duplicated -> HBM OOM at warmup); loop-invariant operands
                 # read by dynamic-slice stay in place.
                 for k2, v2 in per_layer.items():
-                    if k2 + ".int4p" in weights and k2 + ".zero" not in weights:
+                    if ((k2 + ".int4p" in weights or k2 + ".fp4" in weights)
+                            and k2 + ".zero" not in weights):
                         # packed-s4 stacks stay UNSLICED: the Pallas dequant
                         # kernel indexes the stack in place via __layer_idx
                         # (slicing here copies the whole packed matrix per
@@ -609,7 +610,15 @@ class LlamaFamilyModel:
         sm = w.get(name + ".smoother")
         if sm is not None:
             xq = xq / sm[i].astype(xq.dtype)
-        if name + ".int4p" in w and z is None and w[name].ndim == 3:
+        if name + ".fp4" in w and w[name].ndim == 3:
+            # packed e2m1: same no-copy stacked-kernel path as int4p below
+            from rtp_llm_tpu.quant.weight_only import fp4_matmul
+
+            li = w.get("__layer_idx")
+            y = fp4_matmul(xq, w[name], s[i],
+                           layer=i if li is None else li)
+            W = None
+        elif name + ".int4p" in w and z is None and w[name].ndim == 3:
             # split-half packed s4: the kernel indexes the FULL per-layer
             # stack in place via a (scalar-prefetched) layer index — a
             # sliced operand would make XLA copy the whole [K/2, N] packed

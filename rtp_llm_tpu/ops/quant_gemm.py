@@ -109,8 +109,9 @@ def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
         return w.astype(xdt)
 
     # scale arrives pre-reshaped [n_k, 2, ng_pad, N] (ng rows valid; see
-    # _kernel_matmul); this step's lo/hi rows are one block. Nibble shifts
-    # run in i32 (Mosaic cannot legalize shrui on i8 vectors).
+    # _kernel_matmul); this step's lo/hi rows are one block. Nibble math
+    # runs in i32: Mosaic legalizes neither i8 shifts nor u8->f32 casts
+    # (both tried; compile errors), so the one convert is unavoidable.
     c = p.astype(jnp.int32)
     w_lo = half(c & 0xF, s_ref[0, 0, :ng, :])
     w_hi = half((c >> 4) & 0xF, s_ref[0, 1, :ng, :])

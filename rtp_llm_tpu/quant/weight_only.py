@@ -252,13 +252,16 @@ def _e2m1_decode(code: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def fp4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
-               scale: jnp.ndarray) -> jnp.ndarray:
+               scale: jnp.ndarray, layer=None) -> jnp.ndarray:
     """y = x @ dequant(packed e2m1). packed u8 [in/2, out] split-half rows
-    (quant_gemm.pack_split_half), scale [in/G, out]. Pallas dequant-GEMM on
+    (quant_gemm.pack_split_half) — or the full [L, in/2, out] stack with a
+    ``layer`` index (no-copy scalar-prefetch path, see
+    quant_gemm._kernel_matmul). scale [in/G, out]. Pallas dequant-GEMM on
     single-device TPU; grouped-2-step XLA fallback elsewhere."""
     from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
 
-    return groupwise_matmul_packed(x, packed, scale, code="e2m1")
+    return groupwise_matmul_packed(x, packed, scale, code="e2m1",
+                                   layer=layer)
 
 
 def make_quant_transform(quant: QuantConfig):
