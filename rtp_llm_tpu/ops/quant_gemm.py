@@ -98,8 +98,10 @@ def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
     def half(nib, s):
         # s: [ng, Nt] f32 scale rows for this half's k range
         if code == "s4":
-            # offset codes: v*s = u*s - 8s — convert + FMA, no untwist
-            # (8s is [ng, Nt], negligible next to the [KPt, Nt] elements)
+            # offset codes: v*s = u*s - 8s — convert + f32 FMA, no untwist.
+            # (Tried and slower/unsupported: bf16 FMA decode (22.6 vs 16.9
+            # ms e2e — i32->bf16 converts don't pack on this VPU), u8/i8/i16
+            # narrow arithmetic (Mosaic compile errors).)
             uf = nib.astype(jnp.float32)
             w = (uf.reshape(ng, group, nt) * s[:, None, :]
                  - (8.0 * s)[:, None, :]).reshape(kpt, nt)
