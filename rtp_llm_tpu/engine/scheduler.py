@@ -52,23 +52,27 @@ class FIFOScheduler:
     # ---- enqueue / cancel ----
 
     def projected_wait_s(self) -> float:
-        """Estimated queue wait for a NEW request: waiting depth over the
-        recent admission rate (30 s window). The dominant TTFT term at
-        saturation is queue wait, not the request's own prefill."""
+        """Estimated queue wait for a NEW request: queued PROMPT TOKENS
+        ahead of it over the observed admission token rate (30 s window) —
+        prefill service time is what the queue actually serializes on, so
+        token-weighting tracks long-prompt backlogs that a depth-only
+        estimate understates."""
         import time as _time
 
         now = _time.time()
-        while self._admit_events and now - self._admit_events[0] > 30.0:
+        while self._admit_events and now - self._admit_events[0][0] > 30.0:
             self._admit_events.popleft()
         depth = len(self.waiting)
         if depth == 0:
             return 0.0
-        rate = len(self._admit_events) / 30.0
-        if rate <= 0.0:
+        tok_rate = sum(n for _, n in self._admit_events) / 30.0
+        if tok_rate <= 0.0:
             # no drain observed: only call it overload once the queue
             # exceeds a full batch (cold start / brief stall tolerance)
             return float("inf") if depth > self.config.max_batch_size else 0.0
-        return depth / rate
+        queued_tokens = sum(
+            max(s.prompt_len, 1) for s in self.waiting)
+        return queued_tokens / tok_rate
 
     def enqueue(self, stream: GenerateStream) -> bool:
         if len(self.waiting) >= self.config.max_queue_size:
@@ -176,7 +180,8 @@ class FIFOScheduler:
             import time as _time
 
             now = _time.time()
-            self._admit_events.extend([now] * len(new_streams))
+            self._admit_events.extend(
+                (now, max(s.prompt_len, 1)) for s in new_streams)
         else:
             self._steps_since_prefill += 1
         self.running.extend(new_streams)
