@@ -100,6 +100,10 @@ def device_probe(timeout_s: int, retries: int = 1, backoff_s: int = 30):
             err = (f"device_unreachable: probe child exited "
                    f"rc={child.exitcode} (attempt {attempt + 1}/{retries + 1})")
         else:
+            # record probe latency: the shared device's responsiveness
+            # varies across session windows (PERF_NOTES: same-commit step
+            # times spread 11.1-14.9 ms) — this contextualizes the run
+            _HB_STATE["probe_s"] = round(time.time() - t0, 1)
             _hb(f"device_probe ok ({time.time() - t0:.1f}s)")
             return None
         print(f"[bench-hb] {err}", file=sys.stderr, flush=True)
@@ -385,6 +389,7 @@ def main():
             "warmup_s": round(t_warmup, 1),
             "roofline_tps": round(ideal_tps, 1),
             "device": str(jax.devices()[0]),
+            "probe_s": _HB_STATE.get("probe_s"),
         },
     }
     print(json.dumps(result))
