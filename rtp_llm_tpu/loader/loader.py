@@ -53,11 +53,23 @@ class _TensorSource:
     * pytorch_model.bin / *.bin (torch, cpu)
     """
 
-    def __init__(self, model_path: str):
+    def __init__(self, model_path: str, model_config=None):
         self.model_path = model_path
         self._name_to_file: dict[str, str] = {}
         self._open_files: dict[str, object] = {}
         self._torch_state: Optional[dict] = None
+
+        # Megatron-LM dump (iter_XXXXXXX/mp_rank_00/*.pt): translate names
+        # to HF conventions up front so the whole downstream pipeline
+        # (weight maps, quant transforms, cache) is format-agnostic
+        from rtp_llm_tpu.loader.megatron import (
+            find_megatron_checkpoint, load_megatron_as_hf,
+        )
+
+        mg = find_megatron_checkpoint(model_path)
+        if mg is not None and model_config is not None:
+            self._torch_state = load_megatron_as_hf(mg, model_config)
+            return
 
         index_path = os.path.join(model_path, "model.safetensors.index.json")
         st_files = sorted(
@@ -188,7 +200,7 @@ class CheckpointLoader:
                     "loaded %d converted tensors from cache %s in %.1fs",
                     len(cached), cache_dir, time.time() - t0)
                 return cached
-        src = _TensorSource(model_path)
+        src = _TensorSource(model_path, model_config=self.cfg)
         try:
             weights = self._load_from_source(src)
         finally:
