@@ -71,14 +71,19 @@ def _decode_nibble(c, code: str, dtype):
     c = c.astype(jnp.int32)
     if code == "s4":  # OFFSET codes (v + 8) — see pack_split_half
         return (c - 8).astype(dtype)
-    # e2m1: s=(c>>3)&1, e=(c>>1)&3, m=c&1
+    # e2m1 (s=(c>>3)&1, e=(c>>1)&3, m=c&1): CONSTRUCT the f32 bit pattern
+    # directly — value = (-1)^s * 2^(e-1) * (1 + m/2), and the two e==0
+    # codes (0, 0.5) are normal f32s too, so no exp2/transcendental and no
+    # float arithmetic is needed, just integer field packing + one bitcast.
     s = (c >> 3) & 1
     e = (c >> 1) & 3
-    m = (c & 1).astype(jnp.float32)
-    mag = jnp.where(
-        e == 0, 0.5 * m,
-        jnp.exp2((e - 1).astype(jnp.float32)) * (1.0 + 0.5 * m))
-    return jnp.where(s == 1, -mag, mag).astype(dtype)
+    m = c & 1
+    bits = jnp.where(
+        e > 0, ((e + 126) << 23) | (m << 22),
+        m * (126 << 23),  # e==0: m ? 0.5 : +0.0
+    ) | (s << 31)
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.int32), jnp.float32).astype(dtype)
 
 
 def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
