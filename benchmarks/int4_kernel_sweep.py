@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Sweep int4 dequant-GEMM kernel variants on the live chip.
 
+CAVEAT (measured): single-matmul timings on this platform read impossibly
+fast even with chained iterations + scalar-fetch sync — compare variants
+with benchmarks/int4_chain_bench.py (28-layer chain), which reproduces the
+e2e bench. This file is kept for the variant kernel BODIES it defines and
+for interpret-mode correctness checks.
+
 The fused int4 path measures 0.30x of its 0.5 B/elem roofline (bench.py
 --quant int4), with the Pallas kernel ~7x off its packed-read floor — the
 judge's hypothesis is VPU-bound nibble dequant. This harness times isolated

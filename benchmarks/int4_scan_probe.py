@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""Isolate why the e2e int4 decode step costs ~3.3x its roofline while the
+"""[SUPERSEDED by int4_chain_bench.py — this probe predates the
+scalar-fetch sync rule and under-counts; see PERF_NOTES measurement
+rules.] Isolate why the e2e int4 decode step costs ~3.3x its roofline while the
 dequant kernels measure near-floor in isolation.
 
 Emulates the decode weight-matmul chain (28 layers x 4 projections at
