@@ -226,3 +226,58 @@ def test_eplb_threshold_skips_balanced_load(tmp_path):
     skew = np.full(E, 1.0)
     skew[0] = 100.0
     assert eng.apply_expert_balance({0: skew}, num_shards=2) is not None
+
+
+def test_redundant_experts_under_tp_mesh(tmp_path):
+    """Replicated EPLB composes with a TP mesh (8-virtual-device CPU): the
+    expanded E+R stacks shard over tp, outputs match the unsharded engine,
+    and a live rebalance keeps them unchanged."""
+    from rtp_llm_tpu.config.engine_config import (
+        CacheConfig, EngineConfig, ParallelConfig, SchedulerConfig,
+    )
+    from rtp_llm_tpu.config.generate_config import GenerateConfig
+    from rtp_llm_tpu.engine import LlmEngine
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.parallel import make_mesh, make_weight_shard_fn
+
+    cfg = tiny_config("qwen2_moe")
+    cfg.dtype = "float32"
+    ckpt = write_fake_checkpoint(str(tmp_path / "m"), cfg)
+
+    def eng(mesh, redundant):
+        c = tiny_config("qwen2_moe")
+        c.dtype = "float32"
+        shard_fn = make_weight_shard_fn(mesh, c) if mesh is not None else None
+        weights = CheckpointLoader(c, shard_fn=shard_fn).load(ckpt)
+        econf = EngineConfig(
+            parallel=ParallelConfig(eplb_redundant=redundant,
+                                    tp_size=2 if mesh is not None else 1),
+            cache=CacheConfig(block_size=4, test_num_blocks=64),
+            scheduler=SchedulerConfig(max_batch_size=2, max_seq_len=64,
+                                      prefill_buckets=(16,)),
+        )
+        econf.quant.kv_cache_dtype = "float32"
+        return LlmEngine(create_model(c), weights, econf, mesh=mesh)
+
+    gc = lambda: GenerateConfig(max_new_tokens=6, do_sample=False,
+                                ignore_eos=True)
+    prompt = [1, 5, 9, 42, 7]
+    base = eng(None, 0).generate(prompt, gc()).output_token_ids
+
+    mesh = make_mesh(ParallelConfig(tp_size=2, dp_size=1))
+    e = eng(mesh, 2)  # (4 logical + 2 redundant) % tp2 == 0
+    assert e.weights["moe_gate"].shape[1] == 6
+    got = e.generate(prompt, gc()).output_token_ids
+    assert got == base
+
+    E = tiny_config("qwen2_moe").num_experts
+    load = np.full(E, 5.0)
+    load[0] = 5.0 * (E + 3)
+    plan = e.apply_expert_balance({0: load}, num_shards=2)
+    assert plan is not None
+    after = e.generate(prompt, gc()).output_token_ids
+    assert after == base
