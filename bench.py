@@ -130,6 +130,16 @@ MODELS = {
         num_attention_heads=4, num_kv_heads=2, head_dim=128,
         vocab_size=1024, attention_bias=True,
     ),
+    # MoE decode path (capacity dispatch + per-expert quantized GEMMs,
+    # parallel/ep_moe.py): 16 experts top-2 + shared expert, sized to fit
+    # one v5e chip at int8 (~4.3 GB experts + attn)
+    "qwen2-moe-16e": dict(
+        model_type="qwen2_moe",
+        hidden_size=2048, intermediate_size=5632, num_layers=24,
+        num_attention_heads=16, num_kv_heads=4, head_dim=128,
+        vocab_size=151936, attention_bias=True,
+        num_experts=16, num_experts_per_tok=2, moe_intermediate_size=1408,
+    ),
 }
 
 HBM_GBPS = {"v5e": 819.0, "v5p": 2765.0, "v4": 1228.0, "v6e": 1640.0}
@@ -289,7 +299,9 @@ def main():
     from rtp_llm_tpu.engine import LlmEngine
     from rtp_llm_tpu.models import create_model
 
-    mc = ModelConfig(model_type="qwen2", **MODELS[args.model])
+    geom = dict(MODELS[args.model])
+    mtype = geom.pop("model_type", "qwen2")
+    mc = ModelConfig(model_type=mtype, **geom)
     model = create_model(mc)
     _hb("weights")
     t0 = time.time()
@@ -360,17 +372,21 @@ def main():
     n_tok_steps = n_disp * k
     decode_tps = args.batch * n_tok_steps / decode_time
 
-    # roofline for vs_baseline
-    bpe = {"int8": 1.0, "int4": 0.5, "fp4": 0.5, "bf16": 2.0,
-           "w8a8": 1.0, "w4a8": 0.5}[args.quant]
-    h, inter, L = mc.hidden_size, mc.intermediate_size, mc.num_layers
-    attn_bytes = (h * (mc.num_attention_heads + 2 * mc.num_kv_heads)
-                  * mc.head_dim + mc.num_attention_heads * mc.head_dim * h) * bpe
-    mlp_bytes = 3 * h * inter * bpe
-    lm_head_bytes = mc.vocab_size * h * 2
+    # roofline for vs_baseline: a decode step reads EVERY weight byte as
+    # stored (int8 = 1 B/elem, packed int4/fp4 = 0.5 B + scales, every
+    # expert of a MoE layer — capacity dispatch touches all expert stacks)
+    # except the token embedding (gathered: b rows), plus the live KV rows.
+    import jax as _jax
+
+    wbytes = sum(getattr(w, "nbytes", 0)
+                 for w in _jax.tree.leaves(engine.weights))
+    emb = engine.weights.get("embed_tokens")
+    if emb is not None:
+        wbytes -= emb.nbytes
+        wbytes += args.batch * mc.hidden_size * 2
     kv_bytes = (args.batch * (args.prompt_len + n_tok_steps / 2)
-                * 2 * mc.num_kv_heads * mc.head_dim * 2 * L)
-    step_bytes = L * (attn_bytes + mlp_bytes) + lm_head_bytes + kv_bytes
+                * 2 * mc.num_kv_heads * mc.head_dim * 2 * mc.num_layers)
+    step_bytes = wbytes + kv_bytes
     ideal_step = step_bytes / (HBM_GBPS[args.hbm] * 1e9)
     ideal_tps = args.batch / ideal_step
 
