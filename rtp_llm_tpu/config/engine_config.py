@@ -264,6 +264,12 @@ class KernelConfig:
         default_factory=_rf("weights_cache_dir"))
     # multimodal embedding cache budget
     mm_cache_mb: int = dataclasses.field(default_factory=_rf("mm_cache_mb"))
+    # operator opt-in for client-requested gen_timeline traces; trace output
+    # is always confined under timeline_root (client timeline_dir outside the
+    # root is ignored)
+    allow_client_timeline: bool = dataclasses.field(
+        default_factory=_rf("allow_client_timeline"))
+    timeline_root: str = dataclasses.field(default_factory=_rf("timeline_root"))
 
 
 @dataclasses.dataclass

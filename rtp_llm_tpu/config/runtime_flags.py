@@ -33,6 +33,11 @@ _DEFS = {
     "compile_cache_dir": ("RTP_COMPILE_CACHE_DIR", str, ""),
     "weights_cache_dir": ("RTP_WEIGHTS_CACHE_DIR", str, ""),
     "mm_cache_mb": ("RTP_MM_CACHE_MB", int, 256),
+    # per-request gen_timeline profiling: operator opt-in (an unauthenticated
+    # client could otherwise start engine-wide trace windows and write to
+    # arbitrary server paths — ADVICE r4 medium)
+    "allow_client_timeline": ("RTP_ALLOW_CLIENT_TIMELINE", bool, False),
+    "timeline_root": ("RTP_TIMELINE_ROOT", str, "/tmp/rtp_llm_timeline"),
 }
 
 
@@ -110,6 +115,8 @@ def apply_engine_config(cfg) -> None:
         ("compile_cache_dir", k.compile_cache_dir),
         ("weights_cache_dir", k.weights_cache_dir),
         ("mm_cache_mb", k.mm_cache_mb),
+        ("allow_client_timeline", k.allow_client_timeline),
+        ("timeline_root", k.timeline_root),
     ):
         if value != _from_env(name):
             set_flag(name, value)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import re
 import time
 from functools import partial
 from typing import List, Optional
@@ -1733,12 +1734,25 @@ class LlmEngine:
                             t["rid"], t["dir"])
                 self._timeline = None
             return
+        if not runtime_flags.get("allow_client_timeline"):
+            # operator opt-in only: an unauthenticated client must not be
+            # able to open engine-wide trace windows (ADVICE r4)
+            return
+        root = os.path.realpath(runtime_flags.get("timeline_root")
+                                or "/tmp/rtp_llm_timeline")
         for s in active:
             g = int(getattr(s.config, "gen_timeline", 0) or 0)
             if g > 0 and not getattr(s, "_timeline_done", False):
                 s._timeline_done = True
-                d = (s.config.timeline_dir
-                     or f"/tmp/rtp_llm_timeline/{s.request_id}")
+                # confine trace output to the server-configured root; a
+                # client dir outside it is ignored
+                d = s.config.timeline_dir
+                if d and not (os.path.realpath(d) + os.sep
+                              ).startswith(root + os.sep):
+                    d = ""
+                if not d:
+                    rid = re.sub(r"[^A-Za-z0-9._-]", "_", str(s.request_id))
+                    d = os.path.join(root, rid)
                 try:
                     jax.profiler.start_trace(d)
                 except RuntimeError:

@@ -65,7 +65,14 @@ class FIFOScheduler:
         depth = len(self.waiting)
         if depth == 0:
             return 0.0
-        tok_rate = sum(n for _, n in self._admit_events) / 30.0
+        # divide by the ACTUAL observation span, not a fixed 30 s: during
+        # the first seconds of a burst a fixed divisor underestimates the
+        # drain rate up to ~30x and sheds requests that would have met the
+        # SLO (ADVICE r4)
+        span = 30.0
+        if self._admit_events:
+            span = min(30.0, max(1.0, now - self._admit_events[0][0]))
+        tok_rate = sum(n for _, n in self._admit_events) / span
         if tok_rate <= 0.0:
             # no drain observed: only call it overload once the queue
             # exceeds a full batch (cold start / brief stall tolerance)

@@ -128,7 +128,12 @@ class OpenAIApp:
             for i in range(n):
                 s = self.runner.enqueue(token_ids, cfg,
                                         stop_token_sequences=stop_seqs)
-                self._check_admitted(s)
+                try:
+                    self._check_admitted(s)
+                except web.HTTPTooManyRequests:
+                    for prev in streams:
+                        prev.abort("overloaded: sibling stream shed")
+                    raise
                 streams.append(s)
                 detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
 
@@ -367,7 +372,15 @@ class OpenAIApp:
                     s = self.runner.enqueue(
                         token_ids, cfg, stop_token_sequences=stop_seqs
                     )
-                    self._check_admitted(s)
+                    try:
+                        self._check_admitted(s)
+                    except web.HTTPTooManyRequests:
+                        # shed mid-loop: release already-enqueued siblings so
+                        # they stop consuming capacity exactly when the
+                        # server is overloaded (ADVICE r4)
+                        for prev in streams:
+                            prev.abort("overloaded: sibling stream shed")
+                        raise
                     streams.append(s)
                     detoks.append(IncrementalDetokenizer(self.tok, cfg.stop_words))
                 for s, d in zip(streams, detoks):

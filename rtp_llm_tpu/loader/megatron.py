@@ -54,10 +54,15 @@ def find_megatron_checkpoint(model_path: str) -> Optional[str]:
         tag = open(tracker).read().strip()
         sub = tag if tag == "release" else f"iter_{int(tag):07d}"
     else:
-        for cand in sorted(os.listdir(root) if os.path.isdir(root) else []):
-            if cand == "release" or cand.startswith("iter_"):
-                sub = cand
-                break
+        # no tracker: prefer "release", else the LATEST iter_* (Megatron's
+        # convention — picking the first sorted entry would load the OLDEST
+        # checkpoint, ADVICE r4)
+        cands = [c for c in (os.listdir(root) if os.path.isdir(root) else [])
+                 if c == "release" or c.startswith("iter_")]
+        if "release" in cands:
+            sub = "release"
+        elif cands:
+            sub = sorted(cands)[-1]
     if sub is None:
         return None
     rank_dir = os.path.join(root, sub, "mp_rank_00")

@@ -101,6 +101,17 @@ class EngineRunner:
         ):
             new_weights = eng.model.fuse_weights(new_weights)
         new_weights = eng._inject_aux_weights(new_weights)
+        if eng.config.parallel.eplb_redundant > 0:
+            # mirror LlmEngine.__init__: without re-expansion a live update
+            # would swap in [L,E,...] stacks missing eplb_log2phy /
+            # eplb_rep_count — dropping the replicated tier and invalidating
+            # every warmed E+R-shaped program (ADVICE r4)
+            from rtp_llm_tpu.parallel import eplb as _eplb
+
+            shards = (eng.mesh.shape.get("tp", 1)
+                      if eng.mesh is not None else 1)
+            new_weights = _eplb.expand_expert_stacks(
+                new_weights, eng.config.parallel.eplb_redundant, shards)
         with eng.device_lock:
             eng.weights = new_weights
         logger.info("weights updated from %s", model_path)

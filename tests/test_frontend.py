@@ -4,6 +4,7 @@ smoke test of the OpenAI app over a real engine on a fake checkpoint
 
 import asyncio
 import json
+import os
 
 import pytest
 
@@ -540,12 +541,28 @@ async def _metrics_and_timeline(fake_dir, tmp_path):
         client = TestClient(TestServer(api.build_app()))
         await client.start_server()
         try:
+            from rtp_llm_tpu.config import runtime_flags
+
+            # gen_timeline is operator-gated (ADVICE r4): without the opt-in
+            # flag the request succeeds but no trace window opens
             tdir = str(tmp_path / "timeline")
             r = await client.post("/v1/completions", json={
-                "prompt": "w1 w2 w3", "max_tokens": 6,
+                "prompt": "w0 w1", "max_tokens": 4,
                 "extra_configs": {"gen_timeline": 2, "timeline_dir": tdir},
             })
             assert r.status == 200
+            assert not os.path.isdir(tdir), "trace ran without operator opt-in"
+
+            runtime_flags.set_flag("allow_client_timeline", True)
+            runtime_flags.set_flag("timeline_root", str(tmp_path))
+            try:
+                r = await client.post("/v1/completions", json={
+                    "prompt": "w1 w2 w3", "max_tokens": 6,
+                    "extra_configs": {"gen_timeline": 2, "timeline_dir": tdir},
+                })
+                assert r.status == 200
+            finally:
+                runtime_flags.set_flag("allow_client_timeline", False)
 
             r = await client.get("/metrics")
             assert r.status == 200
@@ -563,7 +580,6 @@ async def _metrics_and_timeline(fake_dir, tmp_path):
             assert "histograms" in snap and "counters" in snap
 
             # the per-request trace window must have produced a profile
-            import os
             found = []
             for root, _dirs, files in os.walk(tdir):
                 found += [f for f in files if f.endswith((".pb", ".json.gz",
