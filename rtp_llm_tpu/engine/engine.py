@@ -1359,9 +1359,19 @@ class LlmEngine:
 
     def _run_prefills_packed(self, streams):
         """Pack short new streams into one batched prefill program call
-        (reference analog: the executor's combined context batch). Streams
-        whose non-reused prompt exceeds the largest bucket fall back to the
-        chunked single-stream path."""
+        (reference analog: the executor's combined context batch,
+        cpp/normal_engine/NormalExecutor.cc:132-221). Streams whose
+        non-reused prompt exceeds the largest bucket fall back to the
+        chunked single-stream path.
+
+        Groups are PIPELINED: every group's prefill + first-token-sample
+        programs are dispatched back-to-back (JAX dispatch is async; the
+        device executes them in order), and token fetch + decode-slot
+        insertion happen in a second pass. Host-side prep of group N+1 then
+        overlaps with the device running group N, and the per-group
+        device round trip is paid once at the drain instead of serializing
+        every group (round-4 serving bottleneck: ~227 ms host overhead per
+        68-202 ms prefill program)."""
         max_bucket = self.config.scheduler.prefill_buckets[-1]
         if self.is_hybrid or self.swa_split or self.mtp is not None:
             # per-slot state (hybrid/SWA rings) / per-stream hidden seeding
@@ -1379,16 +1389,19 @@ class LlmEngine:
         if len(packable) == 1:
             self._run_prefill(packable[0])
             return
+        pending = []
         i = 0
         while i < len(packable):
             group = packable[i : i + self.PREFILL_PACK]
             i += self.PREFILL_PACK
-            if len(group) == 1:
-                self._run_prefill(group[0])
-            else:
-                self._run_prefill_group(group)
+            pending.append(self._dispatch_prefill_group(group))
+        for ctx in pending:
+            self._finish_prefill_group(ctx)
 
     def _run_prefill_group(self, group):
+        self._finish_prefill_group(self._dispatch_prefill_group(group))
+
+    def _dispatch_prefill_group(self, group):
         # pad to the smallest compiled pack width: a pair runs the [2,T]
         # program at ~half the [4,T] cost (the matmuls are token-count
         # bound at T>=512) — matters under max_prefill_tokens_per_step,
@@ -1477,8 +1490,16 @@ class LlmEngine:
             logits, params, pmask_j, self.state.rng, need_sampling, **ban_kw,
         )
         self.state = self.state._replace(rng=rng)
-        tokens_h = np.asarray(tokens)
-        logprobs_h = np.asarray(logprobs)
+        return dict(group=group, tokens=tokens, logprobs=logprobs, rows=rows,
+                    n_pad=n_pad, pmask_j=pmask_j, bias_rows=bias_rows, bt=bt,
+                    block_rows=block_rows, aids=aids)
+
+    def _finish_prefill_group(self, ctx):
+        group, rows = ctx["group"], ctx["rows"]
+        bt, block_rows, aids = ctx["bt"], ctx["block_rows"], ctx["aids"]
+        pmask_j, bias_rows = ctx["pmask_j"], ctx["bias_rows"]
+        tokens_h = np.asarray(ctx["tokens"])
+        logprobs_h = np.asarray(ctx["logprobs"])
 
         if self.draft is not None:
             for r, s in enumerate(group):
@@ -2236,11 +2257,14 @@ class LlmEngine:
             for bucket in self.config.scheduler.prefill_buckets:
                 fn = self._get_prefill_fn(bucket)
                 for rows in (1, 2, self.PREFILL_PACK):
+                    # must match serving's call signature exactly (incl.
+                    # adapter_ids) — see the eager warmup pass
                     thunks.append((fn, (
                         self.weights, self.kv,
                         jnp.zeros((rows, bucket), jnp.int32),
                         jnp.zeros((rows, bucket), jnp.int32),
                         jnp.zeros((rows, mb), jnp.int32),
+                        jnp.zeros((rows,), jnp.int32),
                         jnp.zeros((rows,), jnp.int32),
                         jnp.zeros((rows,), jnp.int32),
                     ), {}))
@@ -2305,6 +2329,15 @@ class LlmEngine:
         )
         self._warmup_bg_thread.start()
 
+    def wait_warmup_complete(self, timeout: Optional[float] = None):
+        """Join the background stats-tail compile thread. Benchmarks call
+        this before timing: the bg thread's tracing/lowering competes for
+        the single host core (and the remote compile service) and was
+        measured perturbing early timed windows by ~1.45x (round-5)."""
+        t = self._warmup_bg_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
     def warmup(self):
         """Compile every device program ahead of serving (reference:
         NormalEngine::warmUp, NormalEngine.cc:208): all prefill buckets, the
@@ -2329,7 +2362,12 @@ class LlmEngine:
                 fn = self._get_prefill_fn(bucket)
                 for rows in (1, 2, self.PREFILL_PACK):
                     # rows=PACK: the packed continuous-batching prefill
-                    # program (serving admits several streams per cycle)
+                    # program (serving admits several streams per cycle).
+                    # The adapter_ids arg MUST be passed exactly as serving
+                    # does (an array, not the None default): an arg-signature
+                    # mismatch makes the first serving prefill RECOMPILE the
+                    # program it thought was warm (~10 s mid-serving stall,
+                    # found by the round-5 packed-prefill bench).
                     self.kv, _ = fn(
                         self.weights, self.kv,
                         jnp.zeros((rows, bucket), jnp.int32),
@@ -2337,7 +2375,31 @@ class LlmEngine:
                         jnp.zeros((rows, mb), jnp.int32),
                         jnp.zeros((rows,), jnp.int32),
                         jnp.zeros((rows,), jnp.int32),
+                        jnp.zeros((rows,), jnp.int32),
                     )
+            # EXECUTION RAMP (round-5 hardware finding): on the tunneled
+            # runtime the first ~dozen executions of a program run ~2.3x
+            # slower than steady state (measured: 461 -> 188 ms/group for
+            # the packed [4,512] prefill after ~25 executions; one warmup
+            # execution is not enough). Re-executing the hot serving
+            # prefill program here moves that ramp out of the first
+            # requests' TTFT.
+            ramp = int(os.environ.get("RTP_WARMUP_RAMP", "8"))
+            if ramp > 0 and self.config.scheduler.prefill_buckets:
+                bucket = self.config.scheduler.prefill_buckets[-1]
+                fn = self._get_prefill_fn(bucket)
+                rows = self.PREFILL_PACK
+                rargs = (jnp.zeros((rows, bucket), jnp.int32),
+                         jnp.zeros((rows, bucket), jnp.int32),
+                         jnp.zeros((rows, mb), jnp.int32),
+                         jnp.zeros((rows,), jnp.int32),
+                         jnp.zeros((rows,), jnp.int32),
+                         jnp.zeros((rows,), jnp.int32))
+                for _ in range(ramp):
+                    self.kv, _ramp_logits = fn(self.weights, self.kv, *rargs)
+                # concrete scalar fetch: the ramp executions must COMPLETE
+                # (block_until_ready does not sync on the relay)
+                float(_ramp_logits[0, 0])
             # EVERY kv bucket must be compiled before serving: a miss at
             # serving time is a multi-second (remote) compile holding the
             # device lock — measured as a ~90 s TTFT cliff under load.
@@ -2381,11 +2443,14 @@ class LlmEngine:
                         jnp.zeros((rows, v), jnp.float32), params_r,
                         jnp.zeros((rows, v), bool), self.state.rng, need,
                     )
+            # serving always passes adapter_id/pos_delta (and None biases):
+            # warm the exact signature so the first insert doesn't retrace
             self.state = self._insert_jit(
                 self.state, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                 jnp.zeros((mb,), jnp.int32), jnp.zeros((v,), bool),
                 np.float32(1.0), np.int32(0), np.float32(1.0), False,
                 np.float32(1.0), np.float32(0.0), np.float32(0.0), False,
+                np.int32(0), np.int32(0), None, None,
             )
             self.state = self._clear_jit(self.state, jnp.int32(0))
             self.state = self._set_blocks_jit(
