@@ -166,7 +166,11 @@ class SchedulerConfig:
     # benchmarks and pure-prefill roles are unaffected. At least one
     # stream is always admitted. 0 = unlimited. (reference:
     # RuntimeConfig max_context_batch_size / PDFusionRatioScheduler.)
-    max_prefill_tokens_per_step: int = 1024
+    # Default 2048 = one full PREFILL_PACK group per dispatch: the packed
+    # [4,512] program is the execution-ramped fast path (~190 ms steady),
+    # and admission throughput roughly doubles vs 1024 for ~13% TPOT p50
+    # cost (round-5 serve_bench A/B).
+    max_prefill_tokens_per_step: int = 2048
     # SLA admission guard (reference: FlexLB QueueManager shedding):
     # reject (HTTP 429) instead of queueing when the projected queue wait
     # exceeds this bound — at saturation an unbounded FIFO just converts

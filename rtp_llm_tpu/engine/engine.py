@@ -367,6 +367,11 @@ class LlmEngine:
         # N's tokens are read back (reference analog: C++ engine async exec)
         self.async_decode = sc.async_decode
         self._pending = None  # (tokens_dev, logprobs_dev, streams)
+        # prefill groups dispatched but not yet finished (first-token fetch +
+        # slot insertion deferred one engine step so the ~60 ms relay round
+        # trip overlaps the NEXT group's device execution — round-5 serving
+        # throughput fix)
+        self._prefill_pending = []
         self._timeline = None  # active gen_timeline window (dict) or None
         self._warmup_bg_thread = None  # stats-tail background compile
         self._inputs_logger = None
@@ -1386,15 +1391,26 @@ class LlmEngine:
              and s.tree_state is None else chunked).append(s)
         for s in chunked:
             self._run_prefill(s)
-        if len(packable) == 1:
+        prev, self._prefill_pending = self._prefill_pending, []
+        i = 0
+        if len(packable) == 1 and not prev:
             self._run_prefill(packable[0])
             return
-        pending = []
-        i = 0
         while i < len(packable):
             group = packable[i : i + self.PREFILL_PACK]
             i += self.PREFILL_PACK
-            pending.append(self._dispatch_prefill_group(group))
+            self._prefill_pending.append(self._dispatch_prefill_group(group))
+        # finish LAST step's groups now — their first-token fetch round trip
+        # overlaps the device executing the groups just dispatched. This
+        # step's groups stay pending until the next step (or flush).
+        for ctx in prev:
+            self._finish_prefill_group(ctx)
+
+    def _flush_prefill_pending(self):
+        """Finish every dispatched-but-unfinished prefill group (decode-slot
+        insertion + first-token delivery). Called each engine step after the
+        prefill section, and anywhere that needs fully-inserted streams."""
+        pending, self._prefill_pending = self._prefill_pending, []
         for ctx in pending:
             self._finish_prefill_group(ctx)
 
@@ -1501,10 +1517,21 @@ class LlmEngine:
         tokens_h = np.asarray(ctx["tokens"])
         logprobs_h = np.asarray(ctx["logprobs"])
 
+        def _still_live(s):
+            # a stream can be preempted (alloc freed, requeued) or aborted
+            # between dispatch and deferred finish: skip insertion — a
+            # preempted stream recomputes from scratch, an aborted one is
+            # released by the step-top sweep
+            return (s.alloc is not None and not s.is_finished()
+                    and s.state != StreamState.WAITING)
+
         if self.draft is not None:
             for r, s in enumerate(group):
-                self.draft.prefill(s.prompt_token_ids, np.asarray(bt[r]))
+                if _still_live(s):
+                    self.draft.prefill(s.prompt_token_ids, np.asarray(bt[r]))
         for r, s in enumerate(group):
+            if not _still_live(s):
+                continue
             token = int(tokens_h[r])
             ban = rows[r]["ban_eos"]
             # sliding recycling: drop prefill blocks below the window before
@@ -1861,6 +1888,10 @@ class LlmEngine:
         if normal_new:
             with timed("engine.prefill_ms"):
                 self._run_prefills_packed(normal_new)
+        elif self._prefill_pending:
+            # no new prefills this step: drain last step's deferred groups
+            with timed("engine.prefill_ms"):
+                self._flush_prefill_pending()
 
         for group in list(self._beam_groups):
             with timed("engine.beam_step_ms"):
@@ -2388,15 +2419,19 @@ class LlmEngine:
             if ramp > 0 and self.config.scheduler.prefill_buckets:
                 bucket = self.config.scheduler.prefill_buckets[-1]
                 fn = self._get_prefill_fn(bucket)
-                rows = self.PREFILL_PACK
-                rargs = (jnp.zeros((rows, bucket), jnp.int32),
-                         jnp.zeros((rows, bucket), jnp.int32),
-                         jnp.zeros((rows, mb), jnp.int32),
-                         jnp.zeros((rows,), jnp.int32),
-                         jnp.zeros((rows,), jnp.int32),
-                         jnp.zeros((rows,), jnp.int32))
-                for _ in range(ramp):
-                    self.kv, _ramp_logits = fn(self.weights, self.kv, *rargs)
+                _ramp_logits = None
+                for rows, n_ramp in ((1, max(2, ramp // 2)),
+                                     (2, max(2, ramp // 2)),
+                                     (self.PREFILL_PACK, ramp)):
+                    rargs = (jnp.zeros((rows, bucket), jnp.int32),
+                             jnp.zeros((rows, bucket), jnp.int32),
+                             jnp.zeros((rows, mb), jnp.int32),
+                             jnp.zeros((rows,), jnp.int32),
+                             jnp.zeros((rows,), jnp.int32),
+                             jnp.zeros((rows,), jnp.int32))
+                    for _ in range(n_ramp):
+                        self.kv, _ramp_logits = fn(self.weights, self.kv,
+                                                   *rargs)
                 # concrete scalar fetch: the ramp executions must COMPLETE
                 # (block_until_ready does not sync on the relay)
                 float(_ramp_logits[0, 0])
@@ -2506,7 +2541,8 @@ class LlmEngine:
         return stream
 
     def has_work(self) -> bool:
-        return self.scheduler.has_work() or self._pending is not None
+        return (self.scheduler.has_work() or self._pending is not None
+                or bool(self._prefill_pending))
 
     def generate(
         self,
