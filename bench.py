@@ -280,6 +280,63 @@ def build_device_weights(cfg, quant, mesh=None):
     return mk_all()
 
 
+def load_weights_from_disk(mc, args):
+    """Exercise the REAL product load path at full model scale: on-disk
+    sharded HF safetensors -> CheckpointLoader (name mapping, stacking,
+    quant transform) -> device transfer. Returns (device_weights, detail).
+    (VERDICT r4 weak #4; reference: ModelLoader, model_loader/loader.py:87.)
+    """
+    import resource
+
+    import jax
+
+    from rtp_llm_tpu.config.engine_config import QuantConfig
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        write_fake_checkpoint_sharded,
+    )
+    from rtp_llm_tpu.quant import make_quant_transform
+
+    ckpt = os.path.join(args.ckpt_dir, f"{args.model}-f16")
+    if not os.path.exists(os.path.join(ckpt,
+                                       "model.safetensors.index.json")):
+        _hb("write_disk_checkpoint (one-time)")
+        t0 = time.time()
+        write_fake_checkpoint_sharded(ckpt, mc)
+        print(f"[bench-hb] wrote {ckpt} in {time.time() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+    _hb("load_from_disk")
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.time()
+    transform = (make_quant_transform(QuantConfig(method=args.quant))
+                 if args.quant != "bf16" else None)
+    host_weights = CheckpointLoader(mc, transform=transform).load(ckpt)
+    load_s = time.time() - t0
+    _hb("host_to_device")
+    t0 = time.time()
+    weights = jax.device_put(host_weights)
+    jax.block_until_ready(weights)
+    # concrete fetch: block_until_ready does not sync on the relay
+    for v in weights.values():
+        if hasattr(v, "ravel") and getattr(v, "size", 0):
+            np.asarray(jax.device_get(v.ravel()[:1]))
+            break
+    h2d_s = time.time() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    del host_weights
+    ck_bytes = sum(
+        os.path.getsize(os.path.join(ckpt, f)) for f in os.listdir(ckpt)
+        if f.endswith(".safetensors"))
+    return weights, {
+        "load_s": round(load_s, 1),
+        "h2d_s": round(h2d_s, 1),
+        "checkpoint_gb": round(ck_bytes / 1e9, 2),
+        "peak_host_rss_gb": round(rss_gb, 2),
+        "rss_before_gb": round(rss0 / 1e6, 2),
+    }
+
+
 def _prefill_device_probe(engine, args, mc, tag):
     """Diagnostic: device-side cost of the packed prefill program chain,
     isolated from sampling/insertion/host prep (warmup-style null-block
@@ -361,6 +418,19 @@ def _parse_args():
     p.add_argument("--hbm-probe-mb", type=int, default=256,
                    help="buffer MiB for the in-window achieved-bandwidth "
                         "probe (0 = skip)")
+    p.add_argument("--spec", default="none", choices=["none", "prompt_lookup"],
+                   help="speculative decoding method for the verify-cost "
+                        "curve (random weights -> accept ~= 0: measures the "
+                        "T=K+1 verify program's overhead vs plain decode)")
+    p.add_argument("--spec-k", type=int, default=4,
+                   help="draft tokens per speculative step")
+    p.add_argument("--from-disk", action="store_true",
+                   help="load weights through the REAL loader from a "
+                        "full-size on-disk sharded HF checkpoint (written "
+                        "once to --ckpt-dir): times disk->host->transform->"
+                        "device and records peak host RSS")
+    p.add_argument("--ckpt-dir", default="/tmp/rtp_bench_ckpt",
+                   help="root for the on-disk checkpoints (per model)")
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
     p.add_argument("--watchdog", type=int, default=1500,
@@ -414,8 +484,12 @@ def main():
     mc = ModelConfig(model_type=mtype, **geom)
     model = create_model(mc)
     _hb("weights")
+    load_detail = None
     t0 = time.time()
-    weights = build_device_weights(mc, args.quant)
+    if args.from_disk:
+        weights, load_detail = load_weights_from_disk(mc, args)
+    else:
+        weights = build_device_weights(mc, args.quant)
     jax.block_until_ready(weights)
     t_weights = time.time() - t0
 
@@ -426,6 +500,14 @@ def main():
                    + args.decode_steps * max(1, args.windows))
     max_seq = args.prompt_len + total_steps + 8
     blocks_needed = args.batch * math.ceil(max_seq / args.block_size) + 8
+    from rtp_llm_tpu.config.engine_config import SpeculativeConfig
+
+    spec_on = args.spec != "none"
+    if spec_on:
+        # each spec step can emit up to K+1 tokens per stream
+        total_steps *= args.spec_k + 1
+        max_seq = args.prompt_len + total_steps + 8
+        blocks_needed = args.batch * math.ceil(max_seq / args.block_size) + 8
     econf = EngineConfig(
         cache=CacheConfig(block_size=args.block_size,
                           test_num_blocks=blocks_needed,
@@ -440,6 +522,8 @@ def main():
         quant=QuantConfig(method=args.quant if args.quant != "bf16" else "none",
                           kv_cache_dtype=("int8" if args.kv == "int8"
                                           else "bfloat16")),
+        speculative=SpeculativeConfig(method=args.spec,
+                                      draft_tokens=args.spec_k),
     )
     _hb("engine_build")
     engine = LlmEngine(model, weights, econf)
@@ -531,22 +615,26 @@ def main():
     # by the bandwidth the device actually sustained in this session.
     _hb("decode_timed")
     n_disp = max(1, args.decode_steps // k)
-    windows = []
+
+    def _emitted():
+        return sum(len(s.output_token_ids) for s in streams)
+
+    windows = []  # (seconds, tokens emitted): spec emits a variable count
     for w in range(max(1, args.windows)):
-        t0 = time.time()
+        t0, n0 = time.time(), _emitted()
         for _ in range(n_disp):
             # resolves dispatch n-1 (waits for its execution), enqueues n;
             # the window covers exactly n_disp dispatch executions
             engine.step()
-        dt = time.time() - t0
-        windows.append(dt)
-        _hb(f"decode_window_{w} ({dt:.2f}s)")
+        dt, dn = time.time() - t0, _emitted() - n0
+        windows.append((dt, dn))
+        _hb(f"decode_window_{w} ({dt:.2f}s, {dn} tok)")
     engine._resolve_pending()  # drain the final in-flight dispatch (untimed)
-    n_tok_steps = n_disp * k
     assert all(not s.is_finished() for s in streams), \
         "streams finished mid-window: token budget too small, times invalid"
-    decode_time = min(windows)  # best window = least-perturbed sample
-    decode_tps = args.batch * n_tok_steps / decode_time
+    decode_time, win_tok = max(windows, key=lambda x: x[1] / x[0])
+    n_tok_steps = max(1, win_tok // args.batch)
+    decode_tps = win_tok / decode_time
 
     # in-window achieved-bandwidth probe (same session window as the timed
     # decode, so the measured roofline reflects the device state the decode
@@ -586,8 +674,9 @@ def main():
         "vs_baseline": round(decode_tps / ideal_tps, 4),
         "detail": {
             "step_ms_p50": round(decode_time / n_tok_steps * 1e3, 2),
-            "step_ms_windows": [round(w / n_tok_steps * 1e3, 2)
-                                for w in windows],
+            "step_ms_windows": [
+                round(dt / max(1, dn // args.batch) * 1e3, 2)
+                for dt, dn in windows],
             "ideal_step_ms": round(ideal_step * 1e3, 2),
             # achieved HBM bandwidth in this window + tok/s roofline built
             # from it: decide "code regressed" vs "slow device window"
@@ -610,6 +699,20 @@ def main():
             "probe_s": _HB_STATE.get("probe_s"),
         },
     }
+    if load_detail is not None:
+        result["detail"]["load"] = load_detail
+    if spec_on:
+        from rtp_llm_tpu.utils.metrics import METRICS
+
+        snap = METRICS.snapshot().get("histograms", {})
+        acc = snap.get("engine.spec_accepted", {})
+        result["detail"]["spec"] = {
+            "method": args.spec, "k": args.spec_k,
+            # mean extra accepted tokens per stream per verify step
+            # (0 = every draft rejected; k = all accepted)
+            "accepted_avg": round(float(acc.get("avg", 0.0)), 3),
+            "verify_step_ms": result["detail"]["step_ms_p50"],
+        }
     print(json.dumps(result))
 
 

@@ -44,7 +44,11 @@ class OpenAIApp:
         pd_forwarder=None,  # PrefillForwarder when this app is a prefill role
         model_path: str = "",  # for downstream head discovery (_heads)
         vit_endpoint: str = "",  # remote VIT worker (VIT role)
+        role: str = "fusion",  # PD role, reported via /worker_status
+        decode_entrance: bool = False,
     ):
+        self.role = role
+        self.decode_entrance = decode_entrance
         self.vit_endpoint = vit_endpoint
         self.model_path = model_path
         self.pd_forwarder = pd_forwarder
@@ -590,11 +594,14 @@ class OpenAIApp:
         detok = IncrementalDetokenizer(self.tok, cfg.stop_words)
         n_tokens = 0
         finish = "stop"
+        # router-selected PD pair: the peer for THIS request (decode peer on
+        # a prefill entrance; prefill peer on a decode entrance)
+        pd_peer = request.headers.get("X-RTP-PD-Peer")
         if not stream_mode:
             text = ""
             async with self.sem:
                 async for toks, finished, reason in self.pd_forwarder.generate(
-                    token_ids, cfg
+                    token_ids, cfg, peer=pd_peer
                 ):
                     out, _hit = detok.push(toks)
                     text += out
@@ -646,7 +653,7 @@ class OpenAIApp:
             await resp.write(chunk({"role": "assistant", "content": ""}))
         async with self.sem:
             async for toks, finished, reason in self.pd_forwarder.generate(
-                token_ids, cfg
+                token_ids, cfg, peer=pd_peer
             ):
                 text, _hit = detok.push(toks)
                 if finished:
@@ -961,6 +968,12 @@ class OpenAIApp:
             "kv_free_blocks": eng.cache_mgr.pool.free_blocks,
             "kv_total_blocks": eng.cache_mgr.pool.num_blocks,
             "kv_cache_available": eng.cache_mgr.free_blocks,
+            # PD-aware routing inputs (reference: FlexLB WorkerStatus +
+            # ShortestTTFTStrategy queue-time term)
+            "role": self.role,
+            "decode_entrance": self.decode_entrance,
+            "waiting_tokens": sum(
+                s.prompt_len for s in eng.scheduler.waiting),
             "alive": True,
         })
 

@@ -157,15 +157,17 @@ class DecodeEntranceBackend:
             self._session = aiohttp.ClientSession()
         return self._session
 
-    async def generate(self, token_ids, config: GenerateConfig):
+    async def generate(self, token_ids, config: GenerateConfig, peer=None):
         """Async generator of (new_tokens, finished, finish_reason) — the
         same contract as PrefillForwarder.generate, so the OpenAI frontend
-        works unchanged in either entrance."""
+        works unchanged in either entrance. ``peer`` overrides the prefill
+        peer for this request (router PD pair selection)."""
         import dataclasses
 
+        peer = peer or self.peer
         sess = await self._sess()
         async with sess.post(
-            f"http://{self.peer}/prefill_kv",
+            f"http://{peer}/prefill_kv",
             json={"token_ids": list(map(int, token_ids)),
                   "config": dataclasses.asdict(config)},
             timeout=aiohttp.ClientTimeout(total=600),
@@ -205,15 +207,21 @@ class PrefillForwarder:
             self._session = aiohttp.ClientSession()
         return self._session
 
-    async def generate(self, token_ids, config: GenerateConfig):
-        """Async generator of (new_tokens, finished, finish_reason)."""
+    async def generate(self, token_ids, config: GenerateConfig, peer=None):
+        """Async generator of (new_tokens, finished, finish_reason).
+
+        ``peer`` overrides the configured decode peer for THIS request —
+        the cluster router's PD pair selection rides in on a header
+        (reference: FlexLB RequestScheduler picks the prefill/decode pair
+        per request, flexlb/.../scheduler/RequestScheduler.java:28)."""
+        peer = peer or self.peer
         loop = asyncio.get_running_loop()
         tok, lp, kv_rows = await loop.run_in_executor(
             None, self.engine.prefill_only, token_ids, config,
         )
         import dataclasses
 
-        if self.grpc_peer:
+        if self.grpc_peer and peer == self.peer:
             # binary KV over the gRPC plane (reference: cache-store transfer
             # between PrefillRpcServer and DecodeRpcServer); the blocking
             # stream is pumped from an executor thread into this event loop
@@ -256,7 +264,7 @@ class PrefillForwarder:
         }, kv_rows)
         sess = await self._sess()
         async with sess.post(
-            f"http://{self.peer}/remote_generate",
+            f"http://{peer}/remote_generate",
             data=payload,
             timeout=aiohttp.ClientTimeout(total=600),
         ) as resp:

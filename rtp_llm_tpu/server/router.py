@@ -41,13 +41,28 @@ class WorkerState:
         self.cache_hashes: set = set()
         self.cache_version = 0
         self.block_size = 0
+        # PD role awareness (reference: FlexLB RoleType-aware worker sets)
+        self.role = "fusion"  # fusion | prefill | decode
+        self.decode_entrance = False
+        self.waiting_tokens = 0
+
+    @property
+    def is_entrance(self) -> bool:
+        """Can this worker be the request's entry point? Fusion and prefill
+        instances always; a decode instance only under entrance inversion."""
+        return (self.role in ("fusion", "prefill")
+                or (self.role == "decode" and self.decode_entrance))
 
 
 class Router:
     def __init__(self, workers: List[str], poll_interval: float = 1.0,
                  tokenizer_path: str = "", cache_weight: float = 4.0,
                  self_address: str = "", peers: Optional[List[str]] = None,
-                 max_queue: int = 256, queue_timeout: float = 120.0):
+                 max_queue: int = 256, queue_timeout: float = 120.0,
+                 prefill_ms_per_token: float = 0.2):
+        # per-token prefill cost for the TTFT model (v5e 7B int8 measures
+        # 0.09 ms/tok packed .. 0.37 single-row; 0.2 is a serving-mix mean)
+        self.prefill_ms_per_token = prefill_ms_per_token
         self.workers: Dict[str, WorkerState] = {
             w: WorkerState(w) for w in workers
         }
@@ -149,6 +164,9 @@ class Router:
                 w.available_concurrency = int(st.get("available_concurrency", 0))
                 w.running = int(st.get("running_query_len", 0))
                 w.waiting = int(st.get("waiting_query_len", 0))
+                w.role = str(st.get("role", "fusion"))
+                w.decode_entrance = bool(st.get("decode_entrance", False))
+                w.waiting_tokens = int(st.get("waiting_tokens", 0))
                 w.last_seen = time.time()
         except Exception:
             w.alive = False
@@ -170,9 +188,10 @@ class Router:
         except Exception:
             pass  # cache-status optional: plain least-loaded routing
 
-    def _prompt_hashes(self, body: bytes, path: str) -> list:
-        """Chain hashes of the request prompt (same function the KV manager
-        uses), or [] when the prompt cannot be tokenized router-side."""
+    def _prompt_info(self, body: bytes, path: str):
+        """(chain hashes, token count) of the request prompt (same hash
+        function the KV manager uses), or ([], 0) when the prompt cannot be
+        tokenized router-side."""
         try:
             import json as _json
 
@@ -181,8 +200,6 @@ class Router:
             d = _json.loads(body)
             bs = max((w.block_size for w in self.workers.values()
                       if w.block_size), default=0)
-            if not bs:
-                return []
             ids = None
             prompt = d.get("prompt")
             if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
@@ -197,10 +214,15 @@ class Router:
                 elif isinstance(prompt, str):
                     ids = self._tok.encode(prompt)
             if not ids:
-                return []
-            return chain_hashes(ids[: 64 * bs], bs)
+                return [], 0
+            if not bs:
+                return [], len(ids)
+            return chain_hashes(ids[: 64 * bs], bs), len(ids)
         except Exception:
-            return []
+            return [], 0
+
+    def _prompt_hashes(self, body: bytes, path: str) -> list:
+        return self._prompt_info(body, path)[0]
 
     def _cache_score(self, w: WorkerState, hashes: list) -> int:
         """Consecutive prefix blocks this worker already holds."""
@@ -212,19 +234,43 @@ class Router:
                 break
         return n
 
+    def projected_ttft_ms(self, w: WorkerState, n_tokens: int,
+                          hashes: list) -> float:
+        """FlexLB ShortestTTFTStrategy's estimate (flexlb/.../balance/
+        strategy/ShortestTTFTStrategy.java:92,192-194): TTFT = prefill time
+        of the UNCACHED prompt tokens + projected queue wait, both from a
+        per-token prefill cost. Router-side inflight requests (status not
+        yet refreshed) are charged at this request's size."""
+        cached = self._cache_score(w, hashes) * max(w.block_size, 1)
+        uncached = max(0, (n_tokens or 1) - cached)
+        queued = w.waiting_tokens + w.inflight * max(n_tokens, 1)
+        return (uncached + queued) * self.prefill_ms_per_token
+
     def pick(self, prompt_hashes: Optional[list] = None,
-             require_capacity: bool = False) -> Optional[WorkerState]:
-        """Cache-aware least-loaded pick (reference: FlexLB RequestScheduler:
-        prefix-cache overlap weighted against load). With
-        ``require_capacity`` only workers with spare concurrency qualify
-        (None => queue the request)."""
+             require_capacity: bool = False,
+             n_tokens: int = 0) -> Optional[WorkerState]:
+        """Entrance-role-aware pick. A homogeneous fusion fleet keeps the
+        cache-aware least-loaded score; a PD fleet (any non-fusion role
+        visible) selects the entrance worker with the LOWEST projected TTFT
+        (reference: FlexLB ShortestTTFTStrategy). With ``require_capacity``
+        only workers with spare concurrency qualify (None => queue)."""
         alive = [w for w in self.workers.values() if w.alive]
+        pd_fleet = any(w.role != "fusion" for w in alive)
+        if pd_fleet:
+            # requests enter only through entrance-capable workers
+            alive = [w for w in alive if w.is_entrance]
         if require_capacity:
             alive = [w for w in alive
                      if w.available_concurrency - w.inflight > 0]
         if not alive:
             return None
         hashes = prompt_hashes or []
+        if pd_fleet:
+            return min(
+                alive,
+                key=lambda w: (self.projected_ttft_ms(w, n_tokens, hashes),
+                               -self._cache_score(w, hashes)),
+            )
         return max(
             alive,
             key=lambda w: (
@@ -234,13 +280,32 @@ class Router:
             ),
         )
 
-    async def _acquire_worker(self, hashes: list) -> Optional[WorkerState]:
+    def pick_pd_peer(self, entrance: WorkerState) -> Optional[WorkerState]:
+        """Per-request PD pair selection (reference: FlexLB
+        RequestScheduler.java:28 pairs roles per request): a prefill
+        entrance is paired with the least-loaded plain decode worker; a
+        decode entrance (entrance inversion) with the least-loaded prefill
+        worker."""
+        if entrance.role == "prefill":
+            pool = [w for w in self.workers.values()
+                    if w.alive and w.role == "decode" and not w.decode_entrance]
+        elif entrance.role == "decode":
+            pool = [w for w in self.workers.values()
+                    if w.alive and w.role == "prefill" and w is not entrance]
+        else:
+            return None
+        if not pool:
+            return None
+        return min(pool, key=lambda w: (w.inflight + w.running + w.waiting))
+
+    async def _acquire_worker(self, hashes: list,
+                              n_tokens: int = 0) -> Optional[WorkerState]:
         """Pick a worker, waiting in the LB queue while all are saturated
         (reference: FlexLB QueueManager). Returns None when no worker is
         alive; raises 503 when the queue is full or the wait times out."""
         if self.max_queue <= 0:
-            return self.pick(hashes)
-        w = self.pick(hashes, require_capacity=True)
+            return self.pick(hashes, n_tokens=n_tokens)
+        w = self.pick(hashes, require_capacity=True, n_tokens=n_tokens)
         if w is not None:
             return w
         if not any(x.alive for x in self.workers.values()):
@@ -252,7 +317,8 @@ class Router:
         try:
             async with self._capacity:
                 while True:
-                    w = self.pick(hashes, require_capacity=True)
+                    w = self.pick(hashes, require_capacity=True,
+                                  n_tokens=n_tokens)
                     if w is not None:
                         return w
                     if not any(x.alive for x in self.workers.values()):
@@ -292,20 +358,28 @@ class Router:
                 return await self._forward_to_master(request, body)
             except Exception:
                 self.peers[self.master_address] = False  # failover now
-        hashes = (
-            self._prompt_hashes(body, request.path)
-            if request.path.endswith("completions") else []
+        hashes, n_tokens = (
+            self._prompt_info(body, request.path)
+            if request.path.endswith("completions") else ([], 0)
         )
-        w = await self._acquire_worker(hashes)
+        w = await self._acquire_worker(hashes, n_tokens)
         if w is None:
             raise web.HTTPServiceUnavailable(text="no alive workers")
+        headers = {"Content-Type": request.content_type or "application/json"}
+        pair = self.pick_pd_peer(w)
+        if pair is not None:
+            # per-request PD pair: the entrance worker forwards KV to / pulls
+            # KV from this peer (honored by PrefillForwarder /
+            # DecodeEntranceBackend via the X-RTP-PD-Peer header)
+            headers["X-RTP-PD-Peer"] = pair.address
+            pair.inflight += 1
         w.inflight += 1
         try:
             async with self._session.request(
                 request.method,
                 f"http://{w.address}{request.path_qs}",
                 data=body,
-                headers={"Content-Type": request.content_type or "application/json"},
+                headers=headers,
                 timeout=aiohttp.ClientTimeout(total=600),
             ) as upstream:
                 resp = web.StreamResponse(
@@ -318,6 +392,8 @@ class Router:
                 return resp
         finally:
             w.inflight -= 1
+            if pair is not None:
+                pair.inflight -= 1
             async with self._capacity:
                 self._capacity.notify(1)  # a slot freed: admit one queued
 
@@ -392,6 +468,8 @@ def main():
                    help="LB-side queued requests while workers saturated "
                         "(0 disables queueing)")
     p.add_argument("--queue-timeout", type=float, default=120.0)
+    p.add_argument("--prefill-ms-per-token", type=float, default=0.2,
+                   help="per-token prefill cost for the PD TTFT model")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
     router = Router(args.workers.split(","), tokenizer_path=args.tokenizer_path,
@@ -399,7 +477,8 @@ def main():
                     self_address=args.self_address,
                     peers=[p for p in args.peers.split(",") if p],
                     max_queue=args.max_queue,
-                    queue_timeout=args.queue_timeout)
+                    queue_timeout=args.queue_timeout,
+                    prefill_ms_per_token=args.prefill_ms_per_token)
     web.run_app(router.build_app(), host=args.host, port=args.port, print=None)
 
 

@@ -155,6 +155,8 @@ def serve(config: EngineConfig):
         pd_forwarder=pd_forwarder,
         model_path=config.server.model_path,
         vit_endpoint=config.server.vit_endpoint,
+        role=config.server.role,
+        decode_entrance=bool(config.server.decode_entrance),
     )
     app = api.build_app()
     grpc_srv = None

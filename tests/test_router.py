@@ -443,3 +443,101 @@ async def _run_kill_master():
                 pass
         for srv in (b1, b2):
             await srv.close()
+
+
+# ---- PD-aware routing (reference: FlexLB ShortestTTFTStrategy +
+# RequestScheduler role pairing) ----
+
+def _pd_backend(name: str, role: str, waiting_tokens: int = 0,
+                available: int = 8, decode_entrance: bool = False,
+                cache_hashes=(), block_size: int = 4, seen=None):
+    async def worker_status(request):
+        return web.json_response({
+            "alive": True, "available_concurrency": available,
+            "running_query_len": 0, "waiting_query_len": 0,
+            "role": role, "decode_entrance": decode_entrance,
+            "waiting_tokens": waiting_tokens,
+        })
+
+    async def cache_status(request):
+        return web.json_response({
+            "version": 1, "base": True, "added": list(cache_hashes),
+            "removed": [], "block_size": block_size,
+        })
+
+    async def echo(request):
+        if seen is not None:
+            seen.append({"name": name,
+                         "pd_peer": request.headers.get("X-RTP-PD-Peer")})
+        return web.json_response({"served_by": name})
+
+    app = web.Application()
+    app.router.add_get("/worker_status", worker_status)
+    app.router.add_get("/cache_status", cache_status)
+    app.router.add_post("/v1/completions", echo)
+    return app
+
+
+def test_pd_ttft_routing_and_pair_selection():
+    asyncio.run(_run_pd())
+
+
+async def _run_pd():
+    """Mixed-role fleet: requests must enter through the prefill worker with
+    the lowest PROJECTED TTFT (uncached prompt tokens + queued tokens, per
+    FlexLB's ShortestTTFTStrategy) and carry a decode-pair header; decode
+    workers never receive the request directly."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.cache.prefix_cache import chain_hashes
+    from rtp_llm_tpu.server.router import Router
+
+    prompt = list(range(1, 17))  # 16 tokens, block_size 4 -> 4 blocks
+    hashes = chain_hashes(prompt, 4)
+
+    seen = []
+    # p_busy: idle cache-cold; p_queued: has 1000 queued prompt tokens;
+    # p_cached: holds the whole prompt prefix -> lowest projected TTFT
+    p_cold = TestServer(_pd_backend("p_cold", "prefill", seen=seen))
+    p_queued = TestServer(_pd_backend("p_queued", "prefill",
+                                      waiting_tokens=1000, seen=seen))
+    p_cached = TestServer(_pd_backend("p_cached", "prefill",
+                                      cache_hashes=hashes, seen=seen))
+    d1 = TestServer(_pd_backend("d1", "decode", seen=seen))
+    d2 = TestServer(_pd_backend("d2", "decode", seen=seen))
+    servers = [p_cold, p_queued, p_cached, d1, d2]
+    for s in servers:
+        await s.start_server()
+    try:
+        addrs = {s: f"{s.host}:{s.port}" for s in servers}
+        router = Router(list(addrs.values()), poll_interval=0.1)
+        client = TestClient(TestServer(router.build_app()))
+        await client.start_server()
+        try:
+            await asyncio.sleep(0.5)  # poll loop
+            r = await client.post("/v1/completions",
+                                  json={"prompt": prompt, "max_tokens": 4})
+            assert r.status == 200
+            body = await r.json()
+            # lowest projected TTFT: fully cached prefix beats cold beats
+            # queued
+            assert body["served_by"] == "p_cached", body
+            # the request carried a decode-pair header naming a decode worker
+            assert seen and seen[-1]["name"] == "p_cached"
+            assert seen[-1]["pd_peer"] in (addrs[d1], addrs[d2])
+            # decode workers are never the entrance
+            for _ in range(3):
+                r = await client.post("/v1/completions",
+                                      json={"prompt": [99], "max_tokens": 4})
+                assert (await r.json())["served_by"].startswith("p_")
+            # knock out the cached worker's edge: a much longer uncached
+            # prompt makes the queued-tokens term dominate -> still never
+            # p_queued
+            r = await client.post("/v1/completions",
+                                  json={"prompt": list(range(1, 301))})
+            assert (await r.json())["served_by"] != "p_queued"
+        finally:
+            await client.close()
+    finally:
+        for s in servers:
+            await s.close()
