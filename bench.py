@@ -207,7 +207,7 @@ def build_device_weights(cfg, quant, mesh=None):
     from rtp_llm_tpu.loader.weight_maps import get_weight_specs
     from rtp_llm_tpu.quant.marker import MARKER
 
-    quantize_int8 = quant in ("int8", "int4", "fp4", "w8a8", "w4a8")
+    quantize_int8 = quant in ("int8", "int4", "fp4", "w8a8", "w4a8", "fp8")
     group = 128  # int4 groupwise scale granularity
     fp4_group = 32  # e2m1 group granularity (quant/weight_only.FP4_GROUP)
     plan = []  # (name, full_shape, kind)
@@ -264,6 +264,16 @@ def build_device_weights(cfg, quant, mesh=None):
                     jnp.float32)
                 if quant == "w4a8" and axis != "expert":
                     out[name + ".w4a8"] = MARKER
+            elif kind == "int8" and quant == "fp8" and axis != "expert":
+                # e4m3 weights + per-128-block scales (reference:
+                # per_block_fp8_quant_weight.py); 1 B/elem HBM reads like
+                # int8, decode consumes them through the same convert-fused
+                # dot (quant/weight_only.quantized_matmul)
+                out[name] = (jax.random.normal(sub, full, jnp.float32)
+                             * 16.0).astype(jnp.float8_e4m3fn)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-2] // 128, full[-1]), 1.5e-3,
+                    jnp.float32)
             elif kind == "int8":
                 out[name] = jax.random.randint(sub, full, -127, 128, jnp.int8)
                 out[name + ".scale"] = jnp.full(
@@ -392,7 +402,8 @@ def _parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8",
-                   choices=["int8", "int4", "fp4", "bf16", "w8a8", "w4a8"])
+                   choices=["int8", "int4", "fp4", "bf16", "w8a8", "w4a8",
+                            "fp8"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
@@ -504,8 +515,12 @@ def main():
 
     spec_on = args.spec != "none"
     if spec_on:
-        # each spec step can emit up to K+1 tokens per stream
-        total_steps *= args.spec_k + 1
+        # spec mode runs ONE verify round per engine.step() (multi-step
+        # fusion is bypassed), each emitting at most K+1 tokens per stream
+        n_engine_steps = (max(2, args.warmup_steps // max(1, args.multi_steps))
+                          + 1 + (args.decode_steps // max(1, args.multi_steps)
+                                 or 1) * max(1, args.windows))
+        total_steps = n_engine_steps * (args.spec_k + 1) + 16
         max_seq = args.prompt_len + total_steps + 8
         blocks_needed = args.batch * math.ceil(max_seq / args.block_size) + 8
     econf = EngineConfig(

@@ -214,3 +214,83 @@ def test_packed_checkpoint_forward(tmp_path, method):
     np.testing.assert_allclose(
         np.asarray(out_q.logits), np.asarray(out_d.logits), rtol=2e-3, atol=2e-3
     )
+
+
+def test_gptq_export_roundtrip():
+    """export (RTN asym, act-order) -> ingest -> dequant recovers W within
+    one quantization step; act_perm de-permutes correctly."""
+    from rtp_llm_tpu.loader.gptq_export import quantize_gptq_tensor
+    from rtp_llm_tpu.quant.gptq_awq import gptq_to_canonical
+
+    rng = np.random.default_rng(0)
+    g = 16
+    w = rng.standard_normal((24, 64)).astype(np.float32)  # [out, in]
+    t = quantize_gptq_tensor(w, group_size=g, act_order=True)
+    v, s, z, perm = gptq_to_canonical(
+        t["qweight"], t["qzeros"], t["scales"], t["g_idx"])
+    assert perm is not None  # act-order produced a non-monotonic g_idx
+    k = w.shape[1]
+    gi = np.arange(k) // g
+    deq_sorted = (v.astype(np.float32) - z[gi]) * s[gi]  # [in, out] sorted
+    # y = x[:, perm] @ W_sorted must equal x @ W.T: W.T[perm] == deq_sorted
+    err = np.abs(w.T[perm] - deq_sorted)
+    step = (s[gi] / 1.9)[np.argsort(perm)]  # half a quant step tolerance
+    assert float(np.median(err)) < float(np.median(s)) * 0.6
+    assert float(err.max()) <= float(s.max()) * 1.01
+
+
+def test_gptq_export_e2e_forward(tmp_path):
+    """Full path: trained-format checkpoint -> GPTQ export -> ModelConfig
+    detects quantization_config -> CheckpointLoader packed path -> forward
+    agrees with the bf16 model within int4 tolerance."""
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.config.model_config import ModelConfig
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader.gptq_export import export_gptq_checkpoint
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.models.batch import ModelInputs
+
+    cfg = tiny_config("qwen2", hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_attention_heads=4, num_kv_heads=2,
+                      head_dim=32, vocab_size=256)
+    cfg.dtype = "float32"
+    src = str(tmp_path / "src")
+    write_fake_checkpoint(src, cfg, seed=5, scale=0.05)
+    dst = str(tmp_path / "gptq")
+    export_gptq_checkpoint(src, dst, cfg, group_size=32, act_order=True)
+
+    qcfg = ModelConfig.from_pretrained(dst)
+    assert qcfg.quantization and qcfg.quantization["method"] == "gptq"
+    qcfg.dtype = "float32"
+
+    def fwd(c, path):
+        model = create_model(c)
+        weights = CheckpointLoader(c).load(path)
+        toks = jnp.arange(8, dtype=jnp.int32)[None, :] + 3
+        cache = model.init_cache(4, 8, jnp.float32)
+        inputs = ModelInputs(
+            tokens=toks, positions=jnp.arange(8, dtype=jnp.int32)[None, :],
+            block_tables=jnp.arange(2, dtype=jnp.int32)[None, :] + 1,
+            kv_lens=jnp.asarray([8], jnp.int32),
+            q_offsets=jnp.asarray([0], jnp.int32),
+        )
+        out, _ = model.forward(weights, cache, inputs)
+        return np.asarray(out.logits, np.float32)
+
+    cfg2 = tiny_config("qwen2", hidden_size=128, intermediate_size=256,
+                       num_layers=2, num_attention_heads=4, num_kv_heads=2,
+                       head_dim=32, vocab_size=256)
+    cfg2.dtype = "float32"
+    ref = fwd(cfg2, src)
+    got = fwd(qcfg, dst)
+    # int4 RTN on random weights: strong logit correlation and bounded
+    # relative drift (argmax is meaningless here — random-weight logits are
+    # nearly flat, see train_tiny_lm.py's rationale)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.95, corr
+    rel = float(np.mean(np.abs(ref - got)) / np.mean(np.abs(ref)))
+    assert rel < 0.35, rel
