@@ -265,15 +265,20 @@ def build_device_weights(cfg, quant, mesh=None):
                 if quant == "w4a8" and axis != "expert":
                     out[name + ".w4a8"] = MARKER
             elif kind == "int8" and quant == "fp8" and axis != "expert":
-                # e4m3 weights + per-128-block scales (reference:
-                # per_block_fp8_quant_weight.py); 1 B/elem HBM reads like
-                # int8, decode consumes them through the same convert-fused
-                # dot (quant/weight_only.quantized_matmul)
+                # e4m3 weights + per-out-channel scales (the serving
+                # layout, quant/weight_only.fp8_quantize block=-1): 1 B/elem
+                # HBM reads through the same convert-fused dot as int8.
+                # BENCH_FP8_BLOCK=1 benches the per-128-block layout instead
+                # (groupwise matmul path — measured 2x slower at decode).
                 out[name] = (jax.random.normal(sub, full, jnp.float32)
                              * 16.0).astype(jnp.float8_e4m3fn)
-                out[name + ".scale"] = jnp.full(
-                    full[:-2] + (full[-2] // 128, full[-1]), 1.5e-3,
-                    jnp.float32)
+                if os.environ.get("BENCH_FP8_BLOCK"):
+                    out[name + ".scale"] = jnp.full(
+                        full[:-2] + (full[-2] // 128, full[-1]), 1.5e-3,
+                        jnp.float32)
+                else:
+                    out[name + ".scale"] = jnp.full(
+                        full[:-2] + (full[-1],), 1.5e-3, jnp.float32)
             elif kind == "int8":
                 out[name] = jax.random.randint(sub, full, -127, 128, jnp.int8)
                 out[name + ".scale"] = jnp.full(

@@ -35,7 +35,7 @@ class QuantMethod(str, enum.Enum):
 class QuantConfig:
     method: QuantMethod = QuantMethod.NONE
     group_size: int = 128  # for int4 groupwise
-    fp8_block_size: int = 128  # fp8 per-block scale granularity; 0=per-tensor
+    fp8_block_size: int = 128  # fp8 scales: >0 per-block, 0 per-tensor, -1 per-out-channel (fast decode layout)
     kv_cache_dtype: str = "bfloat16"  # bfloat16 | int8 | fp8
 
     def __post_init__(self):

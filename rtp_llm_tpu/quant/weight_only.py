@@ -63,6 +63,11 @@ def fp8_quantize(w: np.ndarray, block: int = 0):
     per-block fp8, model_loader/per_block_fp8_quant_weight.py).
 
     block == 0: per-tensor scale (scalar).
+    block == -1: per-out-channel scale [out] — the FAST serving layout: it
+    rides the same convert-fused per-channel matmul branch as int8 (one
+    multiply on the [.., out] result), measured 2x faster at decode than
+    the groupwise path the per-block layout requires (round-5 hardware:
+    17.9 vs 37.1 ms/step on the 7B).
     block > 0 : per-(in-block, out-block) scales, stored pre-expanded to
     [in/block, out] so the groupwise dequant-matmul path applies unchanged
     (the per-out-block structure is a repeat along out columns).
@@ -70,6 +75,12 @@ def fp8_quantize(w: np.ndarray, block: int = 0):
     import jax.numpy as jnp  # noqa: F811 (module alias for dtype only)
 
     wf = np.asarray(w, np.float32)
+    if block == -1:
+        amax = np.maximum(np.abs(wf).max(axis=-2), 1e-8)  # [..., out]
+        scale = (amax / FP8_MAX).astype(np.float32)
+        q = np.asarray(jnp.asarray(wf / scale[..., None, :])
+                       .astype(jnp.float8_e4m3fn))
+        return q, scale
     if block <= 0:
         amax = float(np.max(np.abs(wf))) or 1e-8
         scale = np.float32(amax / FP8_MAX)
