@@ -247,6 +247,9 @@ class KernelConfig:
     fullrow_nb: int = dataclasses.field(default_factory=_rf("fullrow_nb"))
     # int4 weight layout: packed 2/byte (Pallas dequant GEMM) vs unpacked s8
     int4_packed: bool = dataclasses.field(default_factory=_rf("int4_packed"))
+    # skewed VPU-decode / MXU-dot pipeline in the dequant-GEMM kernel
+    int4_pipeline: bool = dataclasses.field(
+        default_factory=_rf("int4_pipeline"))
     # disable the scan-over-layers compile-time optimization
     no_scan_layers: bool = dataclasses.field(
         default_factory=_rf("no_scan_layers"))

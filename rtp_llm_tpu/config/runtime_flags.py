@@ -25,6 +25,8 @@ _DEFS = {
     "fullrow_vmem_mb": ("RTP_FULLROW_VMEM_MB", int, 12),
     "fullrow_nb": ("RTP_FULLROW_NB", int, 0),  # 0 = auto
     "int4_packed": ("RTP_INT4_UNPACKED", "inv_bool", True),
+    # skewed decode/dot pipeline in the int4/fp4 dequant-GEMM kernel
+    "int4_pipeline": ("RTP_INT4_PIPELINE", bool, False),
     "no_scan_layers": ("RTP_NO_SCAN_LAYERS", bool, False),
     "disable_weight_fusion": ("RTP_DISABLE_WEIGHT_FUSION", bool, False),
     "parallel_warmup": ("RTP_PARALLEL_WARMUP", "warmup_bool", True),
@@ -107,6 +109,7 @@ def apply_engine_config(cfg) -> None:
         ("fullrow_vmem_mb", k.fullrow_vmem_mb),
         ("fullrow_nb", k.fullrow_nb),
         ("int4_packed", k.int4_packed),
+        ("int4_pipeline", k.int4_pipeline),
         ("no_scan_layers", k.no_scan_layers),
         ("disable_weight_fusion", k.disable_weight_fusion),
         ("parallel_warmup", k.parallel_warmup),

@@ -133,6 +133,65 @@ def _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _gw_kernel_pipe(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
+                    acc_ref, wlo_ref, whi_ref, *, code: str, n_k: int,
+                    group: int, stacked: bool = False):
+    """Software-pipelined (skewed) variant: grid runs n_k+1 steps; step t
+    DECODES packed tile t into the revolving VMEM slot t%2 while the MXU
+    DOTS tile t-1 from slot (t-1)%2 — the independent buffers give Mosaic's
+    scheduler the freedom to overlap the VPU nibble decode with the MXU
+    dot instead of serializing them per tile (the round-4 int4 floor:
+    ~5 wide VPU ops/element scheduled serially with the dot, PERF_NOTES)."""
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xdt = x_lo_ref.dtype
+
+    @pl.when(t < n_k)
+    def _decode():
+        p = p_ref[0] if stacked else p_ref[...]  # [KPt, Nt] u8
+        kpt, nt = p.shape
+        ng = kpt // group
+
+        def half(nib, s):
+            if code == "s4":
+                uf = nib.astype(jnp.float32)
+                w = (uf.reshape(ng, group, nt) * s[:, None, :]
+                     - (8.0 * s)[:, None, :]).reshape(kpt, nt)
+                return w.astype(xdt)
+            w = _decode_nibble(nib, code, jnp.float32)
+            w = (w.reshape(ng, group, nt) * s[:, None, :]).reshape(kpt, nt)
+            return w.astype(xdt)
+
+        c = p.astype(jnp.int32)
+        slot = jax.lax.rem(t, 2)
+        wlo_ref[slot] = half(c & 0xF, s_ref[0, 0, :ng, :])
+        whi_ref[slot] = half((c >> 4) & 0xF, s_ref[0, 1, :ng, :])
+
+    @pl.when(t > 0)
+    def _dot():
+        slot = jax.lax.rem(t - 1, 2)
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] += (dot(x_lo_ref[...], wlo_ref[slot])
+                         + dot(x_hi_ref[...], whi_ref[slot]))
+
+    @pl.when(t == n_k)
+    def _flush():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+def _pipeline_enabled() -> bool:
+    from rtp_llm_tpu.config import runtime_flags
+
+    return bool(runtime_flags.get("int4_pipeline"))
+
+
 def _pick_tile(total: int, candidates) -> int:
     for c in candidates:
         if c <= total and total % c == 0:
@@ -170,7 +229,10 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     nt = _pick_tile(n, (512, 256, 128))
     if not nt:
         return None
-    cap = (4 << 20) // nt  # packed-tile byte budget -> max k rows
+    pipelined = _pipeline_enabled()
+    # pipelined mode double-buffers the DECODED bf16 tiles in VMEM scratch
+    # (4 x kpt x nt x 2B), so the packed-tile budget shrinks accordingly
+    cap = ((1 << 20) if pipelined else (4 << 20)) // nt
     big = [d for d in range(k2, 0, -256)
            if k2 % d == 0 and d % group_k == 0 and d <= cap]
     kpt = _pick_tile(k2, big + [c for c in (512, 256, 128, 64, 32)
@@ -199,29 +261,70 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     if ng_pad != ng:
         s3 = jnp.pad(s3, ((0, 0), (0, 0), (0, ng_pad - ng), (0, 0)))
 
+    if pipelined:
+        # skewed grid: one extra drain step; packed/scale maps clamp at the
+        # last real tile, x maps lag one step behind (the dot consumes the
+        # PREVIOUS step's decode)
+        gsteps = n_k + 1
+        last = n_k - 1
+
+        def _xlo(i, j, t, *a):
+            return (i, jnp.maximum(t - 1, 0))
+
+        def _xhi(i, j, t, *a):
+            return (i, jnp.maximum(t - 1, 0) + n_k)
+
+        def _smap(i, j, t, *a):
+            return (jnp.minimum(t, last), 0, 0, j)
+
+        body = functools.partial(_gw_kernel_pipe, code=code, n_k=n_k,
+                                 group=group_k)
+        scratch = [
+            pltpu.VMEM((mt, nt), jnp.float32),
+            pltpu.VMEM((2, kpt, nt), x2.dtype),
+            pltpu.VMEM((2, kpt, nt), x2.dtype),
+        ]
+    else:
+        gsteps, last = n_k, n_k - 1
+
+        def _xlo(i, j, t, *a):
+            return (i, t)
+
+        def _xhi(i, j, t, *a):
+            return (i, t + n_k)
+
+        def _smap(i, j, t, *a):
+            return (t, 0, 0, j)
+
+        body = functools.partial(_gw_kernel, code=code, n_k=n_k,
+                                 group=group_k)
+        scratch = [pltpu.VMEM((mt, nt), jnp.float32)]
+
+    def _pmap2(i, j, t, *a):
+        return ((jnp.minimum(t, last) if pipelined else t), j)
+
     if stacked:
         li = jnp.asarray(layer, jnp.int32).reshape(1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(mm // mt, n // nt, n_k),
+            grid=(mm // mt, n // nt, gsteps),
             in_specs=[
-                pl.BlockSpec((mt, kpt), lambda i, j, kk, li_r: (i, kk)),
-                pl.BlockSpec((mt, kpt),
-                             lambda i, j, kk, li_r, _o=n_k: (i, kk + _o)),
-                pl.BlockSpec((1, kpt, nt),
-                             lambda i, j, kk, li_r: (li_r[0], kk, j)),
-                pl.BlockSpec((1, 2, ng_pad, nt),
-                             lambda i, j, kk, li_r: (kk, 0, 0, j)),
+                pl.BlockSpec((mt, kpt), _xlo),
+                pl.BlockSpec((mt, kpt), _xhi),
+                pl.BlockSpec(
+                    (1, kpt, nt),
+                    lambda i, j, t, li_r: (
+                        li_r[0],
+                        (jnp.minimum(t, last) if pipelined else t), j)),
+                pl.BlockSpec((1, 2, ng_pad, nt), _smap),
             ],
-            out_specs=pl.BlockSpec((mt, nt), lambda i, j, kk, li_r: (i, j)),
-            scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+            out_specs=pl.BlockSpec((mt, nt), lambda i, j, t, li_r: (i, j)),
+            scratch_shapes=scratch,
         )
-        def _stacked_body(li_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref,
-                          acc_ref):
+        def _stacked_body(li_ref, *refs):
             # scalar-prefetch operands arrive first; the index maps already
             # consumed li_ref, the body only needs the block refs
-            _gw_kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref,
-                       code=code, n_k=n_k, group=group_k, stacked=True)
+            body(*refs, stacked=True)
 
         out = pl.pallas_call(
             _stacked_body,
@@ -234,17 +337,17 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         return out[:m] if pad_m else out
 
     out = pl.pallas_call(
-        functools.partial(_gw_kernel, code=code, n_k=n_k, group=group_k),
-        grid=(mm // mt, n // nt, n_k),
+        body,
+        grid=(mm // mt, n // nt, gsteps),
         in_specs=[
-            pl.BlockSpec((mt, kpt), lambda i, j, kk: (i, kk)),
-            pl.BlockSpec((mt, kpt), lambda i, j, kk, _o=n_k: (i, kk + _o)),
-            pl.BlockSpec((kpt, nt), lambda i, j, kk: (kk, j)),
-            pl.BlockSpec((1, 2, ng_pad, nt), lambda i, j, kk: (kk, 0, 0, j)),
+            pl.BlockSpec((mt, kpt), _xlo),
+            pl.BlockSpec((mt, kpt), _xhi),
+            pl.BlockSpec((kpt, nt), _pmap2),
+            pl.BlockSpec((1, 2, ng_pad, nt), _smap),
         ],
-        out_specs=pl.BlockSpec((mt, nt), lambda i, j, kk: (i, j)),
+        out_specs=pl.BlockSpec((mt, nt), lambda i, j, t: (i, j)),
         out_shape=jax.ShapeDtypeStruct((mm, n), x2.dtype),
-        scratch_shapes=[pltpu.VMEM((mt, nt), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
