@@ -231,8 +231,10 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         return None
     pipelined = _pipeline_enabled()
     # pipelined mode double-buffers the DECODED bf16 tiles in VMEM scratch
-    # (4 x kpt x nt x 2B), so the packed-tile budget shrinks accordingly
-    cap = ((1 << 20) if pipelined else (4 << 20)) // nt
+    # (4 x kpt x nt x 2B) on top of the decode's f32 temporaries, so the
+    # packed-tile budget shrinks sharply (measured: 1 MB tiles -> 18.8 MB
+    # scoped vmem, over the 16 MB limit)
+    cap = ((512 << 10) if pipelined else (4 << 20)) // nt
     big = [d for d in range(k2, 0, -256)
            if k2 % d == 0 and d % group_k == 0 and d <= cap]
     kpt = _pick_tile(k2, big + [c for c in (512, 256, 128, 64, 32)
