@@ -2408,33 +2408,6 @@ class LlmEngine:
                         jnp.zeros((rows,), jnp.int32),
                         jnp.zeros((rows,), jnp.int32),
                     )
-            # EXECUTION RAMP (round-5 hardware finding): on the tunneled
-            # runtime the first ~dozen executions of a program run ~2.3x
-            # slower than steady state (measured: 461 -> 188 ms/group for
-            # the packed [4,512] prefill after ~25 executions; one warmup
-            # execution is not enough). Re-executing the hot serving
-            # prefill program here moves that ramp out of the first
-            # requests' TTFT.
-            ramp = int(os.environ.get("RTP_WARMUP_RAMP", "8"))
-            if ramp > 0 and self.config.scheduler.prefill_buckets:
-                bucket = self.config.scheduler.prefill_buckets[-1]
-                fn = self._get_prefill_fn(bucket)
-                _ramp_logits = None
-                for rows, n_ramp in ((1, max(2, ramp // 2)),
-                                     (2, max(2, ramp // 2)),
-                                     (self.PREFILL_PACK, ramp)):
-                    rargs = (jnp.zeros((rows, bucket), jnp.int32),
-                             jnp.zeros((rows, bucket), jnp.int32),
-                             jnp.zeros((rows, mb), jnp.int32),
-                             jnp.zeros((rows,), jnp.int32),
-                             jnp.zeros((rows,), jnp.int32),
-                             jnp.zeros((rows,), jnp.int32))
-                    for _ in range(n_ramp):
-                        self.kv, _ramp_logits = fn(self.weights, self.kv,
-                                                   *rargs)
-                # concrete scalar fetch: the ramp executions must COMPLETE
-                # (block_until_ready does not sync on the relay)
-                float(_ramp_logits[0, 0])
             # EVERY kv bucket must be compiled before serving: a miss at
             # serving time is a multi-second (remote) compile holding the
             # device lock — measured as a ~90 s TTFT cliff under load.
@@ -2492,6 +2465,46 @@ class LlmEngine:
                 self.state, jnp.int32(0), jnp.zeros((mb,), jnp.int32)
             )
             self.state = self._set_ban_jit(self.state, jnp.zeros((b,), bool))
+            # EXECUTION RAMP, deliberately LAST (round-5 hardware findings):
+            # (1) the first ~dozen executions of a program run ~2.3x slower
+            # than steady state on this runtime (461 -> 188 ms/group for the
+            # packed [4,512] prefill across ~25 executions), and (2) the
+            # first execution of a program AFTER many other programs ran
+            # pays a ~500 ms residency reload regardless of prior execution
+            # count or operand provenance (measured with input bisects).
+            # Re-executing the hot serving prefill programs at the very end
+            # of warmup retires the count-ramp AND leaves them resident, so
+            # neither cost lands on the first requests' TTFT.
+            ramp = int(os.environ.get("RTP_WARMUP_RAMP", "8"))
+            if ramp > 0 and self.config.scheduler.prefill_buckets:
+                bucket = self.config.scheduler.prefill_buckets[-1]
+                fn = self._get_prefill_fn(bucket)
+                _ramp_tok = None
+                for rows, n_ramp in ((2, max(2, ramp // 2)),
+                                     (self.PREFILL_PACK, ramp), (1, ramp)):
+                    for _ in range(n_ramp):
+                        rargs = (
+                            jnp.asarray(np.zeros((rows, bucket), np.int32)),
+                            jnp.asarray(np.zeros((rows, bucket), np.int32)),
+                            jnp.asarray(np.zeros((rows, mb), np.int32)),
+                            jnp.asarray(np.zeros((rows,), np.int32)),
+                            jnp.asarray(np.zeros((rows,), np.int32)),
+                            jnp.asarray(np.zeros((rows,), np.int32)),
+                        )
+                        self.kv, _ramp_logits = fn(self.weights, self.kv,
+                                                   *rargs)
+                        # the first-token sampler needs the SAME ramp (its
+                        # first real execution measured 454 ms vs 73 steady
+                        # despite the one warmup call above); interleave it
+                        # exactly as serving does
+                        _ramp_tok, _, rng_ = self._first_sample_jit(
+                            _ramp_logits, SamplingParams.zeros(rows),
+                            jnp.asarray(np.zeros((rows, v), bool)),
+                            self.state.rng, False)
+                        self.state = self.state._replace(rng=rng_)
+                # concrete scalar fetch: the ramp executions must COMPLETE
+                # (block_until_ready does not sync on the relay)
+                int(_ramp_tok[0])
             jax.block_until_ready(self.state)
         self._start_background_warmup()
         logger.info("engine warmup done in %.1fs", time.time() - t0)
