@@ -189,11 +189,18 @@ def measure_hbm_gbps(probe_mb: int = 256, inner: int = 24,
         float(x[0, 0])  # concrete scalar fetch
         return time.time() - t0
 
-    t_short, t_long = run(c_short), run(c_long)
-    if t_long <= t_short:
+    # median of 3 marginal estimates: a host hiccup inside one short run
+    # inflates that pair's subtraction arbitrarily (observed: a single-pair
+    # probe once read 1006 GB/s, above the physical part rating)
+    ests = []
+    for _ in range(3):
+        t_short, t_long = run(c_short), run(c_long)
+        if t_long > t_short:
+            ests.append((c_long - c_short) * bytes_per_call
+                        / (t_long - t_short) / 1e9)
+    if not ests:
         return None
-    gbps = (c_long - c_short) * bytes_per_call / (t_long - t_short) / 1e9
-    return round(gbps, 1)
+    return round(float(np.median(ests)), 1)
 
 
 def build_device_weights(cfg, quant, mesh=None):
@@ -683,8 +690,12 @@ def main():
     step_bytes = wbytes + kv_bytes
     ideal_step = step_bytes / (HBM_GBPS[args.hbm] * 1e9)
     ideal_tps = args.batch / ideal_step
-    measured_tps = (args.batch * measured_gbps * 1e9 / step_bytes
-                    if measured_gbps else None)
+    # calibrated roofline: the probe cannot physically beat the part's
+    # rated bandwidth by more than measurement slack — cap at 1.05x nominal
+    gbps_eff = (min(measured_gbps, HBM_GBPS[args.hbm] * 1.05)
+                if measured_gbps else None)
+    measured_tps = (args.batch * gbps_eff * 1e9 / step_bytes
+                    if gbps_eff else None)
 
     result = {
         "metric": f"decode_tokens_per_sec_per_chip ({args.model} {args.quant}, "
