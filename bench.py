@@ -433,8 +433,11 @@ def _parse_args():
     p.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
                    help="KV cache dtype (int8: in-kernel dequant)")
     p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
-    p.add_argument("--windows", type=int, default=2,
-                   help="separated timed decode windows (drift visibility)")
+    p.add_argument("--windows", type=int, default=3,
+                   help="timed decode windows; within-run spread on the "
+                        "shared relay is +-20% (noise, not a ramp), so "
+                        "more windows = better min-window steady-state "
+                        "estimate")
     p.add_argument("--sequential-prefill", action="store_true",
                    help="round-4 behavior: one _run_prefill per stream "
                         "(for A/B against the packed pipelined path)")
