@@ -100,6 +100,47 @@ def run(name, ffn, weights):
           f"(weight bytes {bytes_per_call / 1e9:.2f} GB)", flush=True)
 
 
+def ffn_fused(buf, wgu, wd, sgu, sd):
+    """gate|up stacked into ONE [E,H,2I] operand: one batched GEMM + split
+    (halves the launch/fusion boundaries of the up-projection pair)."""
+    gu = jnp.einsum("ech,ehi->eci", buf, wgu.astype(buf.dtype)) * sgu[:, None, :]
+    g, u = gu[..., :I], gu[..., I:]
+    a = (jax.nn.silu(g) * u).astype(buf.dtype)
+    return jnp.einsum("eci,eih->ech", a, wd.astype(buf.dtype)) * sd[:, None, :]
+
+
+def run_fused(weights):
+    wg, wu, wd, sg, sd = weights
+    wgu = jnp.concatenate([wg, wu], axis=-1)  # [L,E,H,2I]
+    sgu = jnp.concatenate([sg, sg], axis=-1)
+
+    @jax.jit
+    def chain(x, wgu, wd, sgu, sd):
+        def body(x, l):
+            y = ffn_fused(x, wgu[l], wd[l], sgu[l], sd[l])
+            return (y * 1e-3).astype(x.dtype), None
+
+        x, _ = lax.scan(body, x, jnp.arange(L))
+        return x
+
+    bytes_per_call = (2 * L * E * H * I + L * E * I * H)
+
+    def t(n):
+        x = jnp.ones((E, C, H), jnp.bfloat16)
+        x = chain(x, wgu, wd, sgu, sd)
+        float(x[0, 0, 0])
+        t0 = time.time()
+        for _ in range(n):
+            x = chain(x, wgu, wd, sgu, sd)
+        float(x[0, 0, 0])
+        return time.time() - t0
+
+    t2, t8 = t(2), t(8)
+    dt = (t8 - t2) / 6
+    print(f"{'fused gate|up':12s}: {dt * 1e3:7.2f} ms/call  "
+          f"{bytes_per_call / dt / 1e9:6.1f} GB/s effective", flush=True)
+
+
 def main():
     key = jax.random.PRNGKey(0)
     weights = make_weights(key)
@@ -107,6 +148,7 @@ def main():
     for name, fn in (("vmap", ffn_vmap), ("einsum", ffn_einsum),
                      ("unrolled", ffn_unrolled)):
         run(name, fn, weights)
+    run_fused(weights)
 
 
 if __name__ == "__main__":

@@ -691,3 +691,57 @@ def test_model_inputs_logger_dump_and_replay(tmp_path):
     # the replayed step's sampled token for the live slot equals the token
     # the original engine produced at that step (output[1]: decode step 1)
     assert toks[slot_mask][0] == s.output_token_ids[1]
+
+
+class TestDeferredPrefillFinish:
+    """Round-5 serving pipeline: packed prefill groups dispatched in step N
+    finish (token fetch + slot insert) in step N+1; every deferral must
+    flush and never lose or duplicate a first token."""
+
+    def test_groups_defer_and_flush(self):
+        # sequential single-stream reference (no packing, no deferral)
+        ref_eng = make_engine(max_batch=8, num_blocks=128)
+        prompts = [[1, 2, 3, i % 5 + 4] for i in range(6)]
+        expected = [ref_eng.generate(p, greedy(6)).output_token_ids
+                    for p in prompts]
+
+        eng = make_engine(max_batch=8, num_blocks=128)
+        streams = [eng.enqueue(p, greedy(6)) for p in prompts]
+        eng.step()  # admits all 6: one PACK group + a pair -> both pending
+        assert eng._prefill_pending, "groups should defer to the next step"
+        assert all(s.slot < 0 for s in streams
+                   if not s.output_token_ids), \
+            "deferred streams must not be inserted yet"
+        # run to completion: all first tokens delivered exactly once
+        for _ in range(60):
+            if all(s.is_finished() for s in streams):
+                break
+            eng.step()
+        eng._resolve_pending()
+        assert not eng._prefill_pending
+        for s, want in zip(streams, expected):
+            assert s.output_token_ids == want
+
+    def test_abort_between_dispatch_and_finish(self):
+        ref_eng = make_engine(max_batch=8, num_blocks=128)
+        prompts = [[9, 8, 7, i + 1] for i in range(4)]
+        expected = [ref_eng.generate(p, greedy(6)).output_token_ids
+                    for p in prompts]
+
+        eng = make_engine(max_batch=8, num_blocks=128)
+        streams = [eng.enqueue(p, greedy(6)) for p in prompts]
+        eng.step()
+        assert eng._prefill_pending
+        streams[2].abort()
+        # flush happens inside the next step; the aborted stream is skipped
+        for _ in range(60):
+            if all(s.is_finished() for s in streams):
+                break
+            eng.step()
+        eng._resolve_pending()
+        for i, (s, want) in enumerate(zip(streams, expected)):
+            if i == 2:
+                continue
+            assert s.output_token_ids == want
+        # no slot leak: all decode slots returned
+        assert len(eng._free_slots) == eng.config.scheduler.max_batch_size
