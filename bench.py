@@ -214,7 +214,8 @@ def build_device_weights(cfg, quant, mesh=None):
     from rtp_llm_tpu.loader.weight_maps import get_weight_specs
     from rtp_llm_tpu.quant.marker import MARKER
 
-    quantize_int8 = quant in ("int8", "int4", "fp4", "w8a8", "w4a8", "fp8")
+    quantize_int8 = quant in ("int8", "int4", "fp4", "w8a8", "w4a8", "fp8",
+                              "gptq")
     group = 128  # int4 groupwise scale granularity
     fp4_group = 32  # e2m1 group granularity (quant/weight_only.FP4_GROUP)
     plan = []  # (name, full_shape, kind)
@@ -252,6 +253,26 @@ def build_device_weights(cfg, quant, mesh=None):
                     full[:-2] + (full[-2] // fp4_group, full[-1]), 4e-3,
                     jnp.float32)
                 out[name + ".fp4"] = MARKER
+            elif kind == "int8" and quant == "gptq" and axis != "expert":
+                # GPTQ-style asymmetric act-order layout: packed u4 codes +
+                # groupwise scale AND zero + input-feature permutation —
+                # exercises the zero-corrected no-copy kernel path and the
+                # act-order gather the packed-GPTQ loader emits
+                out[name] = jax.random.randint(
+                    sub, full[:-2] + (full[-2] // 2, full[-1]), 0, 256,
+                    jnp.int32).astype(jnp.uint8)
+                out[name + ".scale"] = jnp.full(
+                    full[:-2] + (full[-2] // group, full[-1]), 4e-4,
+                    jnp.float32)
+                out[name + ".zero"] = jnp.full(
+                    full[:-2] + (full[-2] // group, full[-1]), 0.5,
+                    jnp.float32)
+                out[name + ".int4p"] = MARKER
+                perm = jax.vmap(
+                    lambda kk: jax.random.permutation(kk, full[-2])
+                )(jax.random.split(sub, int(np.prod(full[:-2])) or 1))
+                out[name + ".act_perm"] = perm.reshape(
+                    full[:-2] + (full[-2],)).astype(jnp.int32)
             elif kind == "int8" and quant == "int4" and axis != "expert":
                 # split-half packed s4 groupwise weights (u8 [in/2, out],
                 # Pallas dequant-GEMM reads 0.5 B/elem)
@@ -262,7 +283,7 @@ def build_device_weights(cfg, quant, mesh=None):
                     full[:-2] + (full[-2] // group, full[-1]), 4e-4,
                     jnp.float32)
                 out[name + ".int4p"] = MARKER
-            elif kind == "int8" and quant in ("int4", "fp4", "w4a8"):
+            elif kind == "int8" and quant in ("int4", "fp4", "w4a8", "gptq"):
                 # experts + w4a8 integer contraction: unpacked int8 values
                 # with groupwise scales
                 out[name] = jax.random.randint(sub, full, -7, 8, jnp.int8)
@@ -333,6 +354,14 @@ def load_weights_from_disk(mc, args):
     t0 = time.time()
     transform = (make_quant_transform(QuantConfig(method=args.quant))
                  if args.quant != "bf16" else None)
+    # converted-weights cache (the reference's ft-dump/reload): the first
+    # run pays the full convert and writes the dump; reruns mmap it —
+    # load_s then measures the RESTART path
+    from rtp_llm_tpu.config import runtime_flags as _rf
+
+    wcache = os.path.join(args.ckpt_dir, "wcache")
+    _rf.set_flag("weights_cache_dir", wcache)
+    cache_was_warm = os.path.isdir(wcache) and bool(os.listdir(wcache))
     host_weights = CheckpointLoader(mc, transform=transform).load(ckpt)
     load_s = time.time() - t0
     _hb("host_to_device")
@@ -356,6 +385,7 @@ def load_weights_from_disk(mc, args):
         "checkpoint_gb": round(ck_bytes / 1e9, 2),
         "peak_host_rss_gb": round(rss_gb, 2),
         "rss_before_gb": round(rss0 / 1e6, 2),
+        "converted_cache": "warm" if cache_was_warm else "cold (written)",
     }
 
 
@@ -415,7 +445,7 @@ def _parse_args():
     p.add_argument("--model", default="qwen2-7b", choices=list(MODELS))
     p.add_argument("--quant", default="int8",
                    choices=["int8", "int4", "fp4", "bf16", "w8a8", "w4a8",
-                            "fp8"])
+                            "fp8", "gptq"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
@@ -549,9 +579,12 @@ def main():
             decode_steps=args.multi_steps,
             defer_kv_writes=args.defer_kv,
         ),
-        quant=QuantConfig(method=args.quant if args.quant != "bf16" else "none",
-                          kv_cache_dtype=("int8" if args.kv == "int8"
-                                          else "bfloat16")),
+        quant=QuantConfig(
+            # engine-side method governs runtime behavior only (weights are
+            # already converted above); gptq weights run the int4 paths
+            method={"bf16": "none", "gptq": "int4"}.get(args.quant,
+                                                        args.quant),
+            kv_cache_dtype=("int8" if args.kv == "int8" else "bfloat16")),
         speculative=SpeculativeConfig(method=args.spec,
                                       draft_tokens=args.spec_k),
     )

@@ -618,19 +618,22 @@ class LlamaFamilyModel:
             y = fp4_matmul(xq, w[name], s[i],
                            layer=i if li is None else li)
             W = None
-        elif name + ".int4p" in w and z is None and w[name].ndim == 3:
+        elif name + ".int4p" in w and w[name].ndim == 3:
             # split-half packed s4: the kernel indexes the FULL per-layer
             # stack in place via a (scalar-prefetched) layer index — a
             # sliced operand would make XLA copy the whole [K/2, N] packed
             # matrix before every pallas call (xprof: slice_bitcast_fusion
             # dominated the int4 decode step). The scan path leaves these
             # stacks unsliced and provides __layer_idx (forward(); the
-            # unrolled path uses the static python index).
+            # unrolled path uses the static python index). GPTQ/AWQ zeros
+            # ride as the rank-1 correction outside the kernel, so the
+            # asymmetric path keeps the same no-copy operands.
             from rtp_llm_tpu.ops.quant_gemm import groupwise_matmul_packed
 
             li = w.get("__layer_idx")
             y = groupwise_matmul_packed(
                 xq, w[name], s[i], code="s4",
+                zero=None if z is None else z[i],
                 layer=i if li is None else li)
             W = None
         else:
