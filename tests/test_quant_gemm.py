@@ -116,3 +116,37 @@ def test_stacked_kernel_matches_sliced():
                                       layer=jnp.int32(li), interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_pipelined_kernel_matches(monkeypatch):
+    """RTP_INT4_PIPELINE=1 (skewed decode/dot grid, revolving VMEM slots)
+    must be numerically identical to the baseline kernel in both plain and
+    stacked modes."""
+    import numpy as np
+
+    from rtp_llm_tpu.config import runtime_flags
+    from rtp_llm_tpu.ops.quant_gemm import (
+        groupwise_matmul_packed, pack_split_half,
+    )
+
+    rng = np.random.default_rng(1)
+    L, m, k, n, group = 2, 8, 512, 256, 128
+    q = rng.integers(-8, 8, (L, k, n)).astype(np.int8)
+    packed = jnp.asarray(pack_split_half(q))
+    scale = jnp.asarray(rng.uniform(1e-3, 5e-3, (L, k // group, n)),
+                        jnp.float32)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+
+    refs = [groupwise_matmul_packed(x, packed[li], scale[li], interpret=True)
+            for li in range(L)]
+    monkeypatch.setattr(runtime_flags, "_OVERRIDES",
+                        {**runtime_flags._OVERRIDES, "int4_pipeline": True})
+    for li in range(L):
+        got = groupwise_matmul_packed(x, packed[li], scale[li],
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(refs[li]),
+                                   rtol=1e-5, atol=1e-5)
+        got_st = groupwise_matmul_packed(x, packed, scale[li],
+                                         layer=jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(np.asarray(got_st), np.asarray(refs[li]),
+                                   rtol=1e-5, atol=1e-5)
