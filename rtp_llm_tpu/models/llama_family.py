@@ -563,6 +563,13 @@ class LlamaFamilyModel:
                 return False
         if any(k.endswith((".lora_a", ".lora_b")) for k in w):
             return False
+        if any(k.endswith(".act_perm") for k in w):
+            # GPTQ act-order: the per-layer input-perm gather + zero slices
+            # inside the scan body trip a TPU runtime kernel fault with the
+            # scalar-prefetch stacked kernel (round-5; unrolled runs clean
+            # at 9.7k tok/s on the 1.5B) — keep act-order checkpoints on
+            # the unrolled path until the Mosaic interaction is understood
+            return False
         if self.use_ring_prefill and t > 1:
             return False
         flags = {bool(cfg.is_moe_layer(i)) for i in range(cfg.num_layers)}

@@ -230,11 +230,21 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     if not nt:
         return None
     pipelined = _pipeline_enabled()
-    # pipelined mode double-buffers the DECODED bf16 tiles in VMEM scratch
-    # (4 x kpt x nt x 2B) on top of the decode's f32 temporaries, so the
-    # packed-tile budget shrinks sharply (measured: 1 MB tiles -> 18.8 MB
-    # scoped vmem, over the 16 MB limit)
-    cap = ((512 << 10) if pipelined else (4 << 20)) // nt
+    # packed-tile VMEM budget:
+    # - pipelined: double-buffered DECODED bf16 tiles on top of the f32
+    #   decode temporaries (measured: 1 MB tiles -> 18.8 MB scoped vmem)
+    # - prefill row counts (m > 64): the x tiles grow with mt and the
+    #   whole-k budget overflows scoped vmem on some K (measured: 23.55 MB
+    #   at [512, 8960] x [8960, 1536] GPTQ) — prefill is MXU-bound, so the
+    #   extra grid steps from smaller tiles are free
+    # - decode (m <= 64): whole-k tiles are the measured win (22.1 -> 17.9
+    #   ms int4 step); keep the 4 MB budget
+    if pipelined:
+        cap = (512 << 10) // nt
+    elif m > 64:
+        cap = (1 << 20) // nt
+    else:
+        cap = (4 << 20) // nt
     big = [d for d in range(k2, 0, -256)
            if k2 % d == 0 and d % group_k == 0 and d <= cap]
     kpt = _pick_tile(k2, big + [c for c in (512, 256, 128, 64, 32)
