@@ -93,7 +93,8 @@ async def _drive(url, prompts, max_tokens, rate):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="qwen2-7b")
-    p.add_argument("--quant", default="int8", choices=["int8", "bf16"])
+    p.add_argument("--quant", default="int8",
+                   choices=["int8", "bf16", "w8a8", "fp8"])
     p.add_argument("--num-prompts", type=int, default=128)
     p.add_argument("--request-rate", type=float, default=8.0,
                    help="Poisson arrival rate (req/s); 0 = all at once")
@@ -148,7 +149,8 @@ def main():
             **({} if args.prefill_budget is None
                else {"max_prefill_tokens_per_step": args.prefill_budget}),
         ),
-        quant=QuantConfig(method="int8" if args.quant == "int8" else "none"),
+        quant=QuantConfig(method=args.quant if args.quant != "bf16"
+                          else "none"),
     )
     engine = LlmEngine(model, weights, econf)
     t0 = time.time()
