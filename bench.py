@@ -349,11 +349,30 @@ def load_weights_from_disk(mc, args):
         print(f"[bench-hb] wrote {ckpt} in {time.time() - t0:.0f}s",
               file=sys.stderr, flush=True)
 
+    transform = None
+    if args.quant == "gptq":
+        # the north-star config verbatim: a GPTQ-format HF checkpoint on
+        # disk through the packed-quant loader (qweight/qzeros/scales/
+        # g_idx; no load-time transform — the checkpoint IS quantized)
+        from rtp_llm_tpu.loader.gptq_export import export_gptq_checkpoint
+
+        gdir = os.path.join(args.ckpt_dir, f"{args.model}-gptq")
+        if not os.path.exists(os.path.join(gdir, "model.safetensors")):
+            _hb("export_gptq_checkpoint (one-time)")
+            t0 = time.time()
+            export_gptq_checkpoint(ckpt, gdir, mc, group_size=64,
+                                   act_order=True)
+            print(f"[bench-hb] exported {gdir} in {time.time() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+        ckpt = gdir
+        mc.quantization = {"method": "gptq", "bits": 4, "group_size": 64,
+                           "desc_act": True}
+    elif args.quant != "bf16":
+        transform = make_quant_transform(QuantConfig(method=args.quant))
+
     _hb("load_from_disk")
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     t0 = time.time()
-    transform = (make_quant_transform(QuantConfig(method=args.quant))
-                 if args.quant != "bf16" else None)
     # converted-weights cache (the reference's ft-dump/reload): the first
     # run pays the full convert and writes the dump; reruns mmap it —
     # load_s then measures the RESTART path
