@@ -106,7 +106,13 @@ def export_gptq_checkpoint(src_dir: str, dst_dir: str, cfg,
                 packed_names.add(hf_name)
 
     tensors = {}
-    for name in src.names():
+    # REAL tensor names only: _TensorSource.names() appends legacy-alias
+    # spellings (model.language_model.* etc.) for loader-side resolution —
+    # exporting those would write every tensor twice (a 15 GB checkpoint
+    # exported to 19.8 GB with full-precision duplicates, round-5 bug)
+    real_names = (list(src._torch_state) if src._torch_state is not None
+                  else list(src._name_to_file))
+    for name in real_names:
         arr = np.asarray(src.get(name))
         if name in packed_names and arr.ndim == 2 \
                 and arr.shape[1] % 8 == 0 and arr.shape[0] % 8 == 0 \
