@@ -28,11 +28,18 @@ AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
 
 
 def unpack_gptq_qweight(qweight: np.ndarray) -> np.ndarray:
-    """[in/8, out] i32 -> [in, out] uint8 (values 0..15)."""
+    """[in/8, out] i32 -> [in, out] uint8 (values 0..15).
+
+    Per-nibble passes with uint32 math: the broadcasted one-shot form
+    upcast through a [in/8, 8, out] int64 temporary (int64 shift operand)
+    — ~540 MB and ~10 s per 7B MLP tensor; this runs in ~0.6 s."""
     kq, n = qweight.shape
-    shifts = (np.arange(8) * 4).reshape(1, 8, 1)
-    vals = (qweight[:, None, :].view(np.uint32) >> shifts) & 0xF
-    return vals.reshape(kq * 8, n).astype(np.uint8)
+    u = np.ascontiguousarray(qweight).view(np.uint32)
+    out = np.empty((kq, 8, n), np.uint8)
+    for j in range(8):
+        out[:, j, :] = ((u >> np.uint32(4 * j)) & np.uint32(0xF)
+                        ).astype(np.uint8)
+    return out.reshape(kq * 8, n)
 
 
 def unpack_gptq_qzeros(qzeros: np.ndarray) -> np.ndarray:
