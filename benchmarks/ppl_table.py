@@ -158,16 +158,17 @@ def _run_rows(args, build, stream_toks, path, synthetic, trained):
         ("fp8 e4m3 weights (b=128)", "fp8", "bfloat16"),
         ("int4 groupwise (g=64)", "int4", "bfloat16"),
         ("gptq int4 (g=64, act-order ckpt)", "gptq", "bfloat16"),
+        ("awq int4 (g=64 ckpt)", "awq", "bfloat16"),
         ("fp4 e2m1 (g=32)", "fp4", "bfloat16"),
         ("w4a8 (int4 w x s8 act)", "w4a8", "bfloat16"),
         ("int8 + int8 KV", "int8", "int8"),
         ("int8 + fp8 KV", "int8", "fp8"),
     ]
 
-    def build_gptq(kv):
-        """GPTQ row: EMIT a packed act-order GPTQ checkpoint from ``path``
-        and load it through the real packed-quant path (VERDICT r4 weak #6:
-        the north star is 'Qwen2-7B GPTQ-INT4 (HF checkpoint)')."""
+    def build_packed(method):
+        """GPTQ/AWQ rows: EMIT a packed checkpoint from ``path`` and load
+        it through the real packed-quant path (VERDICT r4 weak #6: the
+        north star is 'Qwen2-7B GPTQ-INT4 (HF checkpoint) + AWQ variant')."""
         import jax as _jax
 
         from rtp_llm_tpu.config.model_config import ModelConfig
@@ -175,11 +176,11 @@ def _run_rows(args, build, stream_toks, path, synthetic, trained):
         from rtp_llm_tpu.loader.gptq_export import export_gptq_checkpoint
         from rtp_llm_tpu.models import create_model
 
-        gdir = path.rstrip("/") + "_gptq"
+        gdir = path.rstrip("/") + "_" + method
         if not os.path.exists(os.path.join(gdir, "model.safetensors")):
             src_cfg = ModelConfig.from_pretrained(path)
             export_gptq_checkpoint(path, gdir, src_cfg, group_size=64,
-                                   act_order=True)
+                                   act_order=method == "gptq", method=method)
         cfg = ModelConfig.from_pretrained(gdir)
         cfg.dtype = ("float32" if _jax.default_backend() == "cpu"
                      else "bfloat16")
@@ -189,7 +190,8 @@ def _run_rows(args, build, stream_toks, path, synthetic, trained):
 
     base_ppl = None
     for label, quant, kv in configs:
-        model, weights, qc = (build_gptq(kv) if quant == "gptq"
+        model, weights, qc = (build_packed(quant)
+                              if quant in ("gptq", "awq")
                               else build(quant, kv))
         kv_dtype = {"int8": jnp.int8, "fp8": jnp.float8_e4m3fn}.get(kv)
         if jax.default_backend() == "cpu" and kv == "fp8":

@@ -41,6 +41,37 @@ def pack_gptq_qzeros(z: np.ndarray) -> np.ndarray:
     return (z << shifts).sum(axis=2, dtype=np.uint32).view(np.int32)
 
 
+AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def pack_awq(vals: np.ndarray) -> np.ndarray:
+    """[in, out] u8 -> [in, out/8] i32, AWQ interleaved nibble order
+    (logical column j of each 8-group lands in nibble AWQ_ORDER[j])."""
+    k, n = vals.shape
+    v = vals.reshape(k, n // 8, 8)[:, :, AWQ_ORDER].astype(np.uint32)
+    shifts = (np.arange(8) * 4).reshape(1, 1, 8)
+    return (v << shifts).sum(axis=2, dtype=np.uint32).view(np.int32)
+
+
+def quantize_awq_tensor(w: np.ndarray, group_size: int):
+    """Quantize W [out, in] -> AWQ tensor dict (RTN asym, no act-order —
+    AWQ checkpoints are monotonic by construction)."""
+    wt = np.asarray(w, np.float32).T  # [in, out]
+    k, n = wt.shape
+    ng = k // group_size
+    blk = wt.reshape(ng, group_size, n)
+    mn, mx = blk.min(axis=1), blk.max(axis=1)
+    s = np.maximum((mx - mn) / 15.0, 1e-10)
+    z = np.clip(np.round(-mn / s), 0, 15).astype(np.uint8)
+    q = np.clip(np.round(blk / s[:, None, :] + z[:, None, :]), 0, 15
+                ).astype(np.uint8).reshape(k, n)
+    return {
+        "qweight": pack_awq(q),
+        "qzeros": pack_awq(z),
+        "scales": s.astype(np.float16),
+    }
+
+
 def quantize_gptq_tensor(w: np.ndarray, group_size: int, act_order: bool):
     """Quantize W [out, in] -> GPTQ tensor dict (round-to-nearest asym).
 
@@ -83,10 +114,13 @@ def quantize_gptq_tensor(w: np.ndarray, group_size: int, act_order: bool):
 
 def export_gptq_checkpoint(src_dir: str, dst_dir: str, cfg,
                            group_size: int = 64,
-                           act_order: bool = True) -> str:
-    """Convert the checkpoint at ``src_dir`` into GPTQ format at
+                           act_order: bool = True,
+                           method: str = "gptq") -> str:
+    """Convert the checkpoint at ``src_dir`` into GPTQ or AWQ format at
     ``dst_dir``. Projection weights (q/k/v/o, MLP, experts) become packed
-    tensors; embeddings/norms/lm_head/biases stay as-is (GPTQ convention)."""
+    tensors; embeddings/norms/lm_head/biases stay as-is (GPTQ convention).
+    ``method='awq'`` writes the AWQ interleaved layout (no g_idx; AWQ is
+    monotonic) with its quantization_config stanza."""
     from safetensors.numpy import save_file
 
     from rtp_llm_tpu.loader.loader import _TensorSource
@@ -118,18 +152,23 @@ def export_gptq_checkpoint(src_dir: str, dst_dir: str, cfg,
                 and arr.shape[1] % 8 == 0 and arr.shape[0] % 8 == 0 \
                 and arr.shape[1] % group_size == 0:
             base = name[: -len(".weight")]
-            t = quantize_gptq_tensor(arr, group_size, act_order)
+            t = (quantize_awq_tensor(arr, group_size) if method == "awq"
+                 else quantize_gptq_tensor(arr, group_size, act_order))
             for suffix, v in t.items():
-                tensors[f"{base}.{suffix}"] = v
+                # safetensors serializes the RAW buffer: a non-contiguous
+                # view (e.g. reductions over transposed views) writes
+                # scrambled bytes SILENTLY (found via a corrupted AWQ
+                # export — every tensor must be C-contiguous)
+                tensors[f"{base}.{suffix}"] = np.ascontiguousarray(v)
         else:
-            tensors[name] = arr
+            tensors[name] = np.ascontiguousarray(arr)
     save_file(tensors, os.path.join(dst_dir, "model.safetensors"))
 
     with open(os.path.join(src_dir, "config.json")) as f:
         hf_cfg = json.load(f)
     hf_cfg["quantization_config"] = {
-        "quant_method": "gptq", "bits": 4, "group_size": group_size,
-        "desc_act": bool(act_order),
+        "quant_method": method, "bits": 4, "group_size": group_size,
+        "desc_act": bool(act_order) and method == "gptq",
     }
     with open(os.path.join(dst_dir, "config.json"), "w") as f:
         json.dump(hf_cfg, f)

@@ -294,3 +294,66 @@ def test_gptq_export_e2e_forward(tmp_path):
     assert corr > 0.95, corr
     rel = float(np.mean(np.abs(ref - got)) / np.mean(np.abs(ref)))
     assert rel < 0.35, rel
+
+
+def test_awq_export_roundtrip_and_forward(tmp_path):
+    """AWQ emitter -> ingest roundtrip + e2e forward through the real
+    packed path (north-star 'AWQ variant')."""
+    import jax.numpy as jnp
+
+    from rtp_llm_tpu.config.model_config import ModelConfig
+    from rtp_llm_tpu.loader import CheckpointLoader
+    from rtp_llm_tpu.loader.fake_checkpoint import (
+        tiny_config, write_fake_checkpoint,
+    )
+    from rtp_llm_tpu.loader.gptq_export import (
+        export_gptq_checkpoint, quantize_awq_tensor,
+    )
+    from rtp_llm_tpu.models import create_model
+    from rtp_llm_tpu.models.batch import ModelInputs
+    from rtp_llm_tpu.quant.gptq_awq import awq_to_canonical
+
+    rng = np.random.default_rng(3)
+    g = 16
+    w = rng.standard_normal((24, 64)).astype(np.float32)  # [out, in]
+    t = quantize_awq_tensor(w, group_size=g)
+    v, s, z = awq_to_canonical(t["qweight"], t["qzeros"], t["scales"])
+    gi = np.arange(w.shape[1]) // g
+    deq = (v.astype(np.float32) - z[gi]) * s[gi]
+    err = np.abs(w.T - deq)
+    assert float(err.max()) <= float(s.max()) * 1.01
+
+    cfg = tiny_config("qwen2", hidden_size=128, intermediate_size=256,
+                      num_layers=2, num_attention_heads=4, num_kv_heads=2,
+                      head_dim=32, vocab_size=256)
+    cfg.dtype = "float32"
+    src = str(tmp_path / "src")
+    write_fake_checkpoint(src, cfg, seed=5, scale=0.05)
+    dst = str(tmp_path / "awq")
+    export_gptq_checkpoint(src, dst, cfg, group_size=32, method="awq")
+    qcfg = ModelConfig.from_pretrained(dst)
+    assert qcfg.quantization and qcfg.quantization["method"] == "awq"
+    qcfg.dtype = "float32"
+
+    def fwd(c, path):
+        model = create_model(c)
+        weights = CheckpointLoader(c).load(path)
+        toks = jnp.arange(8, dtype=jnp.int32)[None, :] + 3
+        cache = model.init_cache(4, 8, jnp.float32)
+        inputs = ModelInputs(
+            tokens=toks, positions=jnp.arange(8, dtype=jnp.int32)[None, :],
+            block_tables=jnp.arange(2, dtype=jnp.int32)[None, :] + 1,
+            kv_lens=jnp.asarray([8], jnp.int32),
+            q_offsets=jnp.asarray([0], jnp.int32),
+        )
+        out, _ = model.forward(weights, cache, inputs)
+        return np.asarray(out.logits, np.float32)
+
+    cfg2 = tiny_config("qwen2", hidden_size=128, intermediate_size=256,
+                       num_layers=2, num_attention_heads=4, num_kv_heads=2,
+                       head_dim=32, vocab_size=256)
+    cfg2.dtype = "float32"
+    ref = fwd(cfg2, src)
+    got = fwd(qcfg, dst)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.95, corr
