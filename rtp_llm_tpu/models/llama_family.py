@@ -434,12 +434,15 @@ class LlamaFamilyModel:
                 # duplicated -> HBM OOM at warmup); loop-invariant operands
                 # read by dynamic-slice stay in place.
                 for k2, v2 in per_layer.items():
-                    if ((k2 + ".int4p" in weights or k2 + ".fp4" in weights)
-                            and k2 + ".zero" not in weights):
+                    if k2 + ".int4p" in weights or k2 + ".fp4" in weights:
                         # packed-s4 stacks stay UNSLICED: the Pallas dequant
                         # kernel indexes the stack in place via __layer_idx
                         # (slicing here copies the whole packed matrix per
-                        # layer — see ops/quant_gemm._kernel_matmul)
+                        # layer — see ops/quant_gemm._kernel_matmul). This
+                        # must include zero-carrying (GPTQ/AWQ) stacks: a
+                        # keepdims slice here plus __layer_idx indexing in
+                        # _linear double-indexed out of bounds (round-5 bug,
+                        # caught by the AWQ ppl row exploding to 21)
                         w_i[k2] = v2
                         continue
                     w_i[k2] = jax.lax.dynamic_index_in_dim(
@@ -563,12 +566,13 @@ class LlamaFamilyModel:
                 return False
         if any(k.endswith((".lora_a", ".lora_b")) for k in w):
             return False
-        if any(k.endswith(".act_perm") for k in w):
-            # GPTQ act-order: the per-layer input-perm gather + zero slices
-            # inside the scan body trip a TPU runtime kernel fault with the
-            # scalar-prefetch stacked kernel (round-5; unrolled runs clean
-            # at 9.7k tok/s on the 1.5B) — keep act-order checkpoints on
-            # the unrolled path until the Mosaic interaction is understood
+        if any(k.endswith((".act_perm", ".zero")) for k in w):
+            # GPTQ/AWQ asymmetric checkpoints: the act-order gather / zero
+            # slices inside the scan body trip a TPU runtime kernel fault
+            # with the scalar-prefetch stacked kernel (round-5; unrolled
+            # runs clean at 9.7k tok/s on the 1.5B) — keep asymmetric
+            # checkpoints on the unrolled path until the Mosaic interaction
+            # is understood
             return False
         if self.use_ring_prefill and t > 1:
             return False
