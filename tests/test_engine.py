@@ -745,3 +745,42 @@ class TestDeferredPrefillFinish:
             assert s.output_token_ids == want
         # no slot leak: all decode slots returned
         assert len(eng._free_slots) == eng.config.scheduler.max_batch_size
+
+
+def test_warmup_covers_serving_no_retrace():
+    """Regression net for the round-5 bug class: warmup must call every
+    serving program with EXACTLY serving's jit signature — an arg-structure
+    mismatch silently recompiles a 'warm' program at first serving use
+    (measured ~10s mid-serving stall on the 7B). After warmup, a full
+    serving pass (packed prefill groups + singles + fused decode + release)
+    must add ZERO new jit-cache entries."""
+    eng = make_engine(max_batch=8, num_blocks=128)
+    eng.config.scheduler.decode_steps = 4
+    eng.warmup()
+    eng.wait_warmup_complete()
+
+    jits = {
+        "prefill": list(eng._prefill_jits.values()),
+        "first_sample": [eng._first_sample_jit],
+        "insert": [eng._insert_jit],
+        "decode": [eng._decode_jit],
+        "decode_multi": [eng._decode_multi_jit],
+        "clear": [eng._clear_jit],
+    }
+
+    def sizes():
+        return {k: [f._cache_size() for f in v] for k, v in jits.items()}
+
+    before = sizes()
+    # serving: 5 streams -> one PACK group + a single, decode to finish
+    streams = [eng.enqueue([1, 2, 3, i + 4], greedy(6)) for i in range(5)]
+    for _ in range(60):
+        if all(s.is_finished() for s in streams):
+            break
+        eng.step()
+    eng._resolve_pending()
+    assert all(s.is_finished() for s in streams)
+    after = sizes()
+    grew = {k: (before[k], after[k]) for k in jits
+            if after[k] != before[k]}
+    assert not grew, f"serving retraced warm programs: {grew}"
