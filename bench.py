@@ -203,7 +203,7 @@ def measure_hbm_gbps(probe_mb: int = 256, inner: int = 24,
     return round(float(np.median(ests)), 1)
 
 
-def build_device_weights(cfg, quant, mesh=None):
+def build_device_weights(cfg, quant, mesh=None, lm_head_int8=False):
     """Generate weights directly on device in ONE jitted program: int8 +
     scales for matmul weights, bf16 elsewhere. Avoids shipping GBs through the
     host tunnel and pays a single (remote) compile."""
@@ -235,6 +235,8 @@ def build_device_weights(cfg, quant, mesh=None):
             and spec.name != "lm_head"
         )
         kind = "int8" if is_mm else ("ones" if spec.name.endswith("_norm") else "bf16")
+        if spec.name == "lm_head" and lm_head_int8:
+            kind = "lm_head_int8"  # per-channel int8 head, any body method
         plan.append((spec.name, full, kind, spec.shard_axis))
 
     @jax.jit
@@ -314,6 +316,11 @@ def build_device_weights(cfg, quant, mesh=None):
                 )
                 if quant == "w8a8" and axis != "expert":
                     out[name + ".w8a8"] = MARKER
+            elif kind == "lm_head_int8":
+                out[name] = jax.random.randint(sub, full, -127, 128,
+                                               jnp.int8)
+                out[name + ".scale"] = jnp.full((full[-1],), 2e-4,
+                                                jnp.float32)
             elif kind == "ones":
                 out[name] = jnp.ones(full, jnp.bfloat16)
             else:
@@ -506,6 +513,9 @@ def _parse_args():
                         "device and records peak host RSS")
     p.add_argument("--ckpt-dir", default="/tmp/rtp_bench_ckpt",
                    help="root for the on-disk checkpoints (per model)")
+    p.add_argument("--quant-lm-head", action="store_true",
+                   help="per-channel int8 LM head (~11%% of 7B decode "
+                        "bytes; ppl cost in docs/PPL_TABLE.md)")
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu for local smoke)")
     p.add_argument("--watchdog", type=int, default=1500,
@@ -564,7 +574,8 @@ def main():
     if args.from_disk:
         weights, load_detail = load_weights_from_disk(mc, args)
     else:
-        weights = build_device_weights(mc, args.quant)
+        weights = build_device_weights(mc, args.quant,
+                                       lm_head_int8=args.quant_lm_head)
     jax.block_until_ready(weights)
     t_weights = time.time() - t0
 

@@ -97,8 +97,12 @@ def main():
             __import__("rtp_llm_tpu.config.model_config",
                        fromlist=["ModelConfig"]).ModelConfig.from_pretrained(path))
         cfg.dtype = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+        lmh = quant.endswith("_lmh")
+        if lmh:
+            quant = quant[: -len("_lmh")]
         qc = QuantConfig(method=quant if quant != "none" else "none",
-                         kv_cache_dtype=kv, group_size=64)
+                         kv_cache_dtype=kv, group_size=64,
+                         quantize_lm_head=lmh)
         transform = make_quant_transform(qc) if quant != "none" else None
         weights = CheckpointLoader(cfg, transform=transform).load(path)
         model = create_model(cfg)
@@ -161,6 +165,7 @@ def _run_rows(args, build, stream_toks, path, synthetic, trained):
         ("awq int4 (g=64 ckpt)", "awq", "bfloat16"),
         ("fp4 e2m1 (g=32)", "fp4", "bfloat16"),
         ("w4a8 (int4 w x s8 act)", "w4a8", "bfloat16"),
+        ("int8 + int8 lm_head", "int8_lmh", "bfloat16"),
         ("int8 + int8 KV", "int8", "int8"),
         ("int8 + fp8 KV", "int8", "fp8"),
     ]

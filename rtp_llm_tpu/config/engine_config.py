@@ -35,6 +35,11 @@ class QuantMethod(str, enum.Enum):
 class QuantConfig:
     method: QuantMethod = QuantMethod.NONE
     group_size: int = 128  # for int4 groupwise
+    # per-channel int8 for the LM head (normally excluded): the 152k-vocab
+    # head is ~11% of a 7B decode step's HBM bytes; ppl cost is measured in
+    # docs/PPL_TABLE.md ("int8 + int8 lm_head" row). llama-family models
+    # consume the scale; other families ignore the flag.
+    quantize_lm_head: bool = False
     fp8_block_size: int = 128  # fp8 scales: >0 per-block, 0 per-tensor, -1 per-out-channel (fast decode layout)
     kv_cache_dtype: str = "bfloat16"  # bfloat16 | int8 | fp8
 

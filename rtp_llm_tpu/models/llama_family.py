@@ -486,8 +486,12 @@ class LlamaFamilyModel:
 
         if cfg.tie_word_embeddings:
             lm_head = weights["embed_tokens"].T  # [H, V]
+            lm_scale = None
         else:
             lm_head = weights["lm_head"]
+            # opt-in per-channel int8 head (QuantConfig.quantize_lm_head):
+            # the 152k-vocab head is ~11% of a 7B decode step's bytes
+            lm_scale = weights.get("lm_head.scale")
 
         # logits only at each row's last valid token (reference lm_output_indexes,
         # PyWrappedModel.cc:714-742)
@@ -498,7 +502,8 @@ class LlamaFamilyModel:
             last = jnp.argmax(tpos == last_pos[:, None], axis=1).astype(
                 jnp.int32)
         hidden_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B,H]
-        logits = (hidden_last @ lm_head).astype(jnp.float32)
+        logits = quantized_matmul(hidden_last, lm_head,
+                                  lm_scale).astype(jnp.float32)
         if "lm_head.bias" in weights:  # phi-2
             logits = logits + weights["lm_head.bias"].astype(jnp.float32)
         if cfg.logit_scale:
@@ -509,7 +514,8 @@ class LlamaFamilyModel:
 
         all_logits = None
         if need_all_logits:
-            all_logits = (x @ lm_head).astype(jnp.float32)
+            all_logits = quantized_matmul(x, lm_head,
+                                          lm_scale).astype(jnp.float32)
             if "lm_head.bias" in weights:
                 all_logits = all_logits + weights["lm_head.bias"].astype(
                     jnp.float32)

@@ -299,6 +299,11 @@ def make_quant_transform(quant: QuantConfig):
             and spec.shard_axis in ("out", "in", "expert")
             and spec.name != "lm_head"
         )
+        if spec.name == "lm_head" and quant.quantize_lm_head:
+            # always per-channel int8 regardless of body method (the head
+            # matmul consumes [H, V] + scale [V] via quantized_matmul)
+            q, s = int8_quantize(arr)
+            return {"": q, ".scale": s}
         if not quantize:
             return {"": arr.astype(jnp.bfloat16)}
         if quant.method in (QuantMethod.WEIGHT_ONLY_INT8, QuantMethod.W8A8):
@@ -355,7 +360,8 @@ def make_quant_transform(quant: QuantConfig):
     # "-p3": offset-code (v+8) s4 packing (invalidates two's-complement
     # dumps; see quant_gemm.pack_split_half)
     transform.cache_key = (f"{quant.method.value}-g{quant.group_size}"
-                           f"-b{quant.fp8_block_size}-p3")
+                           f"-b{quant.fp8_block_size}-p3"
+                           + ("-lmh" if quant.quantize_lm_head else ""))
     return transform
 
 
