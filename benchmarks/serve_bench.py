@@ -95,6 +95,8 @@ def main():
     p.add_argument("--model", default="qwen2-7b")
     p.add_argument("--quant", default="int8",
                    choices=["int8", "bf16", "w8a8", "fp8"])
+    p.add_argument("--quant-lm-head", action="store_true",
+                   help="per-channel int8 LM head (+5%% decode, ppl +0.16%%)")
     p.add_argument("--num-prompts", type=int, default=128)
     p.add_argument("--request-rate", type=float, default=8.0,
                    help="Poisson arrival rate (req/s); 0 = all at once")
@@ -137,7 +139,8 @@ def main():
     mc = ModelConfig(model_type="qwen2", **MODELS[args.model])
     mc.eos_token_id = []
     model = create_model(mc)
-    weights = build_device_weights(mc, args.quant)
+    weights = build_device_weights(mc, args.quant,
+                                   lm_head_int8=args.quant_lm_head)
     max_seq = args.input_len + args.output_len + 64
     econf = EngineConfig(
         cache=CacheConfig(block_size=32),
