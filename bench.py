@@ -489,7 +489,7 @@ def _parse_args():
     p.add_argument("--kv", default="bf16", choices=["bf16", "int8"],
                    help="KV cache dtype (int8: in-kernel dequant)")
     p.add_argument("--hbm", default="v5e", choices=list(HBM_GBPS))
-    p.add_argument("--windows", type=int, default=3,
+    p.add_argument("--windows", type=int, default=5,
                    help="timed decode windows; within-run spread on the "
                         "shared relay is +-20% (noise, not a ramp), so "
                         "more windows = better min-window steady-state "
