@@ -130,6 +130,14 @@ MODELS = {
         num_attention_heads=4, num_kv_heads=2, head_dim=128,
         vocab_size=1024, attention_bias=True,
     ),
+    # Llama-3-8B geometry (north-star config: "Llama-3-8B INT4 + INT8
+    # KV-cache quant + prefix cache"); ~4.6 GB at int4 on one chip
+    "llama3-8b": dict(
+        model_type="llama",
+        hidden_size=4096, intermediate_size=14336, num_layers=32,
+        num_attention_heads=32, num_kv_heads=8, head_dim=128,
+        vocab_size=128256, attention_bias=False,
+    ),
     # MoE decode path (capacity dispatch + per-expert quantized GEMMs,
     # parallel/ep_moe.py): 16 experts top-2 + shared expert, sized to fit
     # one v5e chip at int8 (~4.3 GB experts + attn)

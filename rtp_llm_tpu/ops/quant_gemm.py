@@ -238,13 +238,15 @@ def _kernel_matmul(x2: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     #   at [512, 8960] x [8960, 1536] GPTQ) — prefill is MXU-bound, so the
     #   extra grid steps from smaller tiles are free
     # - decode (m <= 64): whole-k tiles are the measured win (22.1 -> 17.9
-    #   ms int4 step); keep the 4 MB budget
+    #   ms int4 step). Budget 2.5 MB: keeps the 7B's winning kpt=4736 tile
+    #   (2.42 MB) while splitting llama3-8B's kpt=7168 (3.67 MB packed,
+    #   24.4 MB actual scoped vmem — compile OOM) to half-k
     if pipelined:
         cap = (512 << 10) // nt
     elif m > 64:
         cap = (1 << 20) // nt
     else:
-        cap = (4 << 20) // nt
+        cap = (2560 << 10) // nt
     big = [d for d in range(k2, 0, -256)
            if k2 % d == 0 and d % group_k == 0 and d <= cap]
     kpt = _pick_tile(k2, big + [c for c in (512, 256, 128, 64, 32)
