@@ -150,6 +150,19 @@ class Router:
                     st = await resp.json()
                     # logical-clock merge: adopt the highest epoch seen
                     self.epoch = max(self.epoch, int(st.get("epoch", 0)))
+                    # state sync (reference: flexlb-sync consistency
+                    # service): a NON-master replica shadows the master's
+                    # router-side in-flight accounting, so a failover
+                    # promotes a replica whose load view matches the
+                    # master's last published state instead of starting
+                    # every worker at zero
+                    if (not self.is_master
+                            and addr == self.master_address
+                            and st.get("is_master")):
+                        for a, ws in (st.get("workers") or {}).items():
+                            if a in self.workers:
+                                self.workers[a].inflight = int(
+                                    ws.get("inflight", 0))
         except Exception:
             self.peers[addr] = False
 

@@ -541,3 +541,42 @@ async def _run_pd():
     finally:
         for s in servers:
             await s.close()
+
+
+def test_replica_shadows_master_inflight():
+    asyncio.run(_run_shadow())
+
+
+async def _run_shadow():
+    """Reference flexlb-sync analog: a standby replica mirrors the master's
+    router-side in-flight accounting through the existing peer polls, so a
+    failover starts from the master's last published load view."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from rtp_llm_tpu.server.router import Router
+
+    b1 = TestServer(_stub_backend("w1", available=8))
+    await b1.start_server()
+    try:
+        workers = [f"{b1.host}:{b1.port}"]
+        r_master = Router(workers, poll_interval=0.1,
+                          self_address="a:1", peers=["b:2"])
+        r_replica = Router(workers, poll_interval=0.1,
+                           self_address="b:2", peers=["a:1"])
+        cm = TestClient(TestServer(r_master.build_app()))
+        await cm.start_server()
+        # replica must reach the master's real test port for peer polls
+        r_replica.peers = {f"{cm.host}:{cm.port}": False}
+        cr = TestClient(TestServer(r_replica.build_app()))
+        await cr.start_server()
+        try:
+            await asyncio.sleep(0.4)
+            # simulate live requests accounted on the master
+            r_master.workers[workers[0]].inflight = 5
+            await asyncio.sleep(0.4)  # replica peer-poll cycle
+            assert r_replica.workers[workers[0]].inflight == 5
+        finally:
+            await cm.close()
+            await cr.close()
+    finally:
+        await b1.close()
